@@ -1,0 +1,55 @@
+"""Fixture-table catalog.
+
+Registers the driver-generated parquet tables (TESTDATA.md) as temp views so
+operators can be written either in the DataFrame API or Spark SQL. At cluster
+scale these would be catalog tables (Delta/Iceberg) -- the temp-view
+registration is the only local-mode concession.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar parquet scan; Catalyst pushes projection + predicates into it.
+
+    events.ts is physically TIMESTAMP(NANOS): with
+    spark.sql.legacy.parquet.nanosAsLong=true it scans as int64 nanoseconds,
+    converted here to a microsecond timestamp by floor division -- the same
+    truncation DuckDB applies when coercing ns to its us TIMESTAMP, keeping
+    oracle comparisons exact.
+    """
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view named after itself."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        df = load_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

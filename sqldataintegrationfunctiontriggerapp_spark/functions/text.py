@@ -1,0 +1,109 @@
+"""Text-analysis column functions (north-star C5 + training-data-pipeline
+text ops). Everything is a composition of built-in functions, so the whole
+pipeline stays inside whole-stage codegen -- at 100 TB these run at parquet
+scan speed with zero Python in the loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# A tiny multilingual stopword table for the language-ID heuristic and the
+# quality score's stopword ratio. Deliberately deterministic and public.
+STOPWORDS = {
+    "en": ["the", "a", "of", "to", "and", "in", "is"],
+    "es": ["el", "la", "de", "que", "y", "en", "un"],
+    "fr": ["le", "la", "de", "et", "un", "que", "est"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization; empty strings dropped."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_count(text: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(text)))
+
+
+def stopword_count(text: Column | str, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(*words)))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    return stopword_count(text, lang) / F.greatest(token_count(text), F.lit(1))
+
+
+def mean_token_length(text: Column | str) -> Column:
+    toks = tokens(text)
+    lens = F.transform(toks, lambda t: F.length(t))
+    return (
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / F.greatest(F.size(toks), F.lit(1))
+    )
+
+
+def non_alpha_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are not [a-z ] after lower-casing --
+    a punctuation/noise proxy for quality filtering."""
+    c = F.col(text) if isinstance(text, str) else text
+    lowered = F.lower(c)
+    stripped = F.regexp_replace(lowered, "[^a-z ]", "")
+    return (F.length(lowered) - F.length(stripped)) / F.greatest(
+        F.length(lowered), F.lit(1)
+    )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic: favors texts with a sane length,
+    some stopwords, and little non-alpha noise. The standard cheap pre-filter
+    before expensive dedup/embedding stages in a training-data pipeline."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = token_count(c)
+    length_ok = F.when((n >= 5) & (n <= 5000), F.lit(0.4)).otherwise(F.lit(0.0))
+    stop_ok = F.when(stopword_ratio(c) >= 0.05, F.lit(0.3)).otherwise(F.lit(0.0))
+    noise_ok = F.when(non_alpha_ratio(c) <= 0.3, F.lit(0.3)).otherwise(F.lit(0.0))
+    return length_ok + stop_ok + noise_ok
+
+
+def lang_id(text: Column | str) -> Column:
+    """N-gram/stopword language-ID heuristic: pick the language whose stopword
+    list matches the most tokens; CJK-range characters short-circuit to 'zh'.
+    Ties break by fixed language order (en, es, fr, de)."""
+    c = F.col(text) if isinstance(text, str) else text
+    cjk = F.regexp_count(c, F.lit(r"[一-鿿]"))
+    scores = [(lang, stopword_count(c, lang)) for lang in ("en", "es", "fr", "de")]
+    best = F.greatest(*[s for _, s in scores])
+    guess = F.lit("unknown")
+    for lang, s in reversed(scores):
+        guess = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(guess)
+    return F.when(cjk > 0, F.lit("zh")).otherwise(guess)
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Normalization fingerprint: lower-case, collapse whitespace, md5.
+    The exact-dedup key used before any fuzzy stage."""
+    c = F.col(text) if isinstance(text, str) else text
+    normalized = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(normalized)
+
+
+def rolling_hash_fingerprint(text: Column | str, window: int = 8) -> Column:
+    """Winnowing-style document fingerprint: md5 over every `window`-token
+    shingle, keep the lexicographic minimum. Robust to local edits (the
+    min-shingle survives unless the edit touches it)."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), n - window)
+    shingles = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, window)))
+    )
+    return F.when(n >= window, F.array_min(shingles)).otherwise(F.md5(F.concat_ws(" ", toks)))

@@ -1,0 +1,168 @@
+"""Deduplication operator family (north-star C1-C3): exact, keyed
+latest-wins, MinHash+LSH, SimHash, and n-gram Jaccard.
+
+Portability-by-construction: the fuzzy hashes are built from md5 (identical
+in Spark and DuckDB) instead of engine hash functions, so every stage is
+oracle-checkable. MinHash permutations are approximated as
+``min(md5(band || '|' || shingle))`` per band -- the standard
+min-over-a-random-permutation estimator with md5 as the permutation.
+
+Scale design (100 TB):
+- exact dedup: hash-aggregate on the fingerprint; one shuffle on a short key.
+- MinHash LSH: docs -> shingles -> per-band signatures is embarrassingly
+  parallel map work; candidate generation is a self-equi-join on
+  (band, signature), which shuffles *signatures* (tiny) and only materializes
+  pairs that collide -- never the O(n^2) cross join. Verification joins touch
+  only candidate pairs.
+- SimHash: one map over tokens + one groupBy(doc); near-dup buckets come from
+  grouping on the hash value itself -- no pairwise work at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.functions.text import tokens
+
+
+def exact_dedup_groups(df: DataFrame, key: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """C1 exact dedup: one row per distinct `key`, keeping the smallest id
+    (deterministic winner) and the duplicate count."""
+    return df.groupBy(key).agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def keyed_latest(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
+    """C2 latest-wins compaction (CDC 'current row state', README.md:5)."""
+    w = Window.partitionBy(key).orderBy(*[F.desc(c) for c in order_cols])
+    return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
+                  id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs: distinct word n-grams per document. Documents with
+    fewer than n tokens are dropped (no shingle exists)."""
+    toks = tokens(text_col)
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(id_col, F.explode(shingles).alias("shingle"))
+    )
+
+
+def minhash_signatures(shingled: DataFrame, n_bands: int = 8,
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-(doc, band) MinHash signature: min over shingles of
+    md5(band || '|' || shingle). One shuffle on (doc, band)."""
+    spark = shingled.sparkSession
+    bands = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
+    return (
+        shingled.crossJoin(F.broadcast(bands))
+        .groupBy(id_col, "band")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
+            ).alias("sig")
+        )
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Self-join on (band, sig): pairs colliding in >=1 band. The join key is
+    the signature, so shuffle volume is O(n_docs * n_bands), not O(n^2)."""
+    a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(candidates: DataFrame, shingled: DataFrame,
+                   threshold: float, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard on candidate pairs only: intersection via a shingle
+    equi-join restricted to candidates, sizes via a per-doc count."""
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    ea = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
+    eb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(ea, "doc_a")
+        .join(eb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                      shingle_n: int = 3, n_bands: int = 8,
+                      threshold: float = 0.7) -> DataFrame:
+    """C3 end-to-end: shingle -> MinHash band signatures -> LSH collision
+    candidates -> exact-Jaccard verification. Returns (doc_a, doc_b, jaccard)."""
+    shingled = word_shingles(df, text_col, shingle_n, id_col)
+    sigs = minhash_signatures(shingled, n_bands, id_col)
+    cands = lsh_candidate_pairs(sigs, id_col)
+    return verify_jaccard(cands, shingled, threshold, id_col)
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                        shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join: only
+    pairs sharing >=1 shingle are materialized (the exact baseline LSH
+    approximates)."""
+    shingled = word_shingles(df, text_col, shingle_n, id_col)
+    ea = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
+    eb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    cands = (
+        ea.join(eb, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return verify_jaccard(cands, shingled, threshold, id_col)
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 16) -> DataFrame:
+    """SimHash over whitespace tokens with an md5-derived bit source:
+    bit b of a token = (hex_digit(md5[b div 4]) >> (b mod 4)) & 1.
+    Per-doc hash = sign of the per-bit vote sum. Identical construction is
+    expressible in the DuckDB oracle, so values hash-check."""
+    spark = df.sparkSession
+    toked = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
+    bit_ids = spark.range(bits).select(F.col("id").cast("int").alias("b"))
+    # bit b of a token: nibble (b div 4) of the md5 hex, bit (b mod 4).
+    contrib = F.expr(
+        "((instr('0123456789abcdef', substring(md5(token), (b div 4) + 1, 1)) - 1)"
+        " div cast(pow(2, b % 4) as int)) % 2 * 2 - 1"
+    )
+    votes = (
+        toked.crossJoin(F.broadcast(bit_ids))
+        .groupBy(id_col, "b")
+        .agg(F.sum(contrib).alias("vote"))
+    )
+    packed = F.expr(
+        "cast(case when vote > 0 then 1 else 0 end as bigint)"
+        " * cast(pow(2, b) as bigint)"
+    )
+    return votes.groupBy(id_col).agg(F.sum(packed).alias("simhash"))

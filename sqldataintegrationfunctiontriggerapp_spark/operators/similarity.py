@@ -1,0 +1,148 @@
+"""Similarity search over embedding columns (north-star C4).
+
+Baseline: brute-force cosine top-k -- query set broadcast against the corpus,
+cosine computed JVM-side with array expressions (zip_with + a sequential
+aggregate fold, which is bit-identical to DuckDB's list_dot_product), top-k
+via a per-query window.
+
+Scale path: signed-random-projection LSH -- hyperplanes derived
+deterministically from md5 so the operator needs no RNG state; vectors hash
+to a bucket id, and search only compares against same-bucket candidates
+(optionally multi-probe by flipping low bits). At 100 TB the corpus is
+bucketed once (one shuffle, or bucketed table layout on write) and each query
+touches O(corpus / 2^nbits) vectors instead of the full scan.
+
+Cosine parity note: cosine = dot / sqrt(dot_aa * dot_bb), computed in double.
+DuckDB's builtin list_cosine_similarity does NOT match a sequential fold
+bit-for-bit (verified empirically), but list_dot_product does -- oracles must
+use the dot-product formula, as these operators do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-to-right double fold of the elementwise product --
+    deterministic and identical to DuckDB list_dot_product."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+
+
+def _as_double(col: str | Column) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("array<double>")
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set, score the full
+    corpus, keep k per query. One corpus scan, no shuffle of the corpus
+    itself (only k rows per query move). Self-matches are excluded."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def cosine_pairs_above(
+    vectors: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (dedup path): all pairs >= threshold.
+    O(n^2) by construction -- correct baseline; the LSH variant below is the
+    scale path."""
+    a = vectors.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, nbits: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5 -- no RNG state, same
+    planes on every run/executor. Component h[i][j] in [-1, 1)."""
+    import hashlib
+
+    planes: list[list[float]] = []
+    for i in range(nbits):
+        row: list[float] = []
+        for j in range(dim):
+            h = hashlib.md5(f"plane:{i}:{j}".encode()).hexdigest()
+            row.append(int(h[:12], 16) / float(16**12) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Signed-random-projection bucket id: bit i = (vec . plane_i) >= 0."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        proj = dot(vec_col, F.array(*[F.lit(p) for p in plane]))
+        bucket = bucket + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nbits: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's SRP bucket.
+    Recall < 1 by design; the candidate set per query shrinks by ~2^nbits.
+    At scale, corpus bucketing is a one-off shuffle (or a bucketed table
+    layout) reused by every query batch."""
+    planes = _hyperplanes(dim, nbits)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("bucket", srp_bucket(F.col("cv"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("bucket", srp_bucket(F.col("qv"), planes))
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )

@@ -1,0 +1,67 @@
+"""Shared helpers for oracle-parity queries.
+
+Summing doubles is order-dependent, and Spark and DuckDB do not traverse rows
+in the same order, so a plain double SUM/AVG would drift in the last ulp and
+fail the driver's value hash. The fix used throughout the registry:
+
+1. compute the per-row expression in DOUBLE (IEEE ops are deterministic and
+   identical in both engines),
+2. cast the per-row value to DECIMAL(18,6) (half-up rounding in both engines,
+   applied to the same binary double => identical),
+3. SUM the decimals (exact, order-independent),
+4. cast the aggregate back to DOUBLE (deterministic).
+
+This costs one extra cast per row and keeps the aggregation entirely inside
+whole-stage codegen; at 100 TB it changes nothing about the plan shape
+(still a partial/final hash aggregate).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(18,6)"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent exact sum of a double expression, as double."""
+    return F.sum(_c(col).cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Exact-decimal average returned as double (decimal sum / count)."""
+    c = _c(col)
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+# sum(l_extendedprice * (1 - l_discount)) -- the TPC-H revenue expression.
+# (Built lazily: pyspark Columns cannot be constructed before a session exists.)
+def revenue_expr() -> Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+SQL_REVENUE_EXPR = "l_extendedprice * (1 - l_discount)"
+
+
+def revenue_col(alias: str = "revenue") -> Column:
+    return dsum(revenue_expr(), alias)
+
+
+def sql_revenue(alias: str = "revenue") -> str:
+    return sql_dsum(SQL_REVENUE_EXPR, alias)

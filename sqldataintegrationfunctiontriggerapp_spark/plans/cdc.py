@@ -1,0 +1,271 @@
+"""CDC-pipeline-shaped queries: the reference's change-feed operators
+re-expressed as oracle-checkable batch queries (SURVEY.md §2.A).
+
+The `events` fixture stands in for a change feed: `event_id` is the change
+sequence, `user_id` the row key, `ts` the change time, `event_type` maps onto
+operation kinds, and `props` is the JSON payload.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.operators.projection import (
+    project_allowlist,
+    union_allowlists,
+)
+from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+
+
+@register(
+    "allowlist_projection",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate
+    FROM orders
+    """,
+)
+def allowlist_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A3+A4: union of a 'config' CSV and a 'client' CSV, case-insensitive
+    matching (note the deliberately wrong-cased names), resolved driver-side
+    into a select that Catalyst pushes into the parquet reader."""
+    allow = union_allowlists("O_ORDERKEY, o_custkey", " o_OrderDate ,, ")
+    return project_allowlist(load_table(spark, sf_dir, "orders"), allow)
+
+
+@register(
+    "identifier_normalization",
+    oracle="""
+    SELECT DISTINCT
+        '[dbo].[' || o_orderstatus || ']' AS raw_name,
+        regexp_replace('[dbo].[' || o_orderstatus || ']', '\\[|\\]', '', 'g')
+          AS normalized
+    FROM orders
+    """,
+)
+def identifier_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: bracket-stripping table-name normalization
+    (ClientAllowedColumnsFunction.cs:21) as a set-level transform."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = F.concat(F.lit("[dbo].["), F.col("o_orderstatus"), F.lit("]"))
+    return o.select(
+        raw.alias("raw_name"),
+        F.regexp_replace(raw, r"\[|\]", "").alias("normalized"),
+    ).distinct()
+
+
+@register(
+    "json_envelope",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(to_json(struct_pack(
+               operation := 'Update',
+               o_orderkey := o_orderkey,
+               o_orderstatus := o_orderstatus,
+               o_orderpriority := o_orderpriority
+           )) AS VARCHAR) AS payload
+    FROM orders
+    WHERE o_orderkey < 1000
+    """,
+)
+def json_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: the change-batch JSON envelope (HttpPostAction.cs:36) -- operation
+    plus the projected row serialized to one JSON document per change."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 1000)
+    return o.select(
+        "o_orderkey",
+        F.to_json(
+            F.struct(
+                F.lit("Update").alias("operation"),
+                F.col("o_orderkey"),
+                F.col("o_orderstatus"),
+                F.col("o_orderpriority"),
+            )
+        ).alias("payload"),
+    )
+
+
+@register(
+    "retry_classification",
+    oracle="""
+    SELECT status,
+           CASE WHEN status IN (408, 429) OR status >= 500
+                THEN 'retryable' ELSE 'fatal' END AS classification,
+           COUNT(*) AS n
+    FROM (SELECT 100 + (event_id % 600) AS status FROM events) t
+    WHERE NOT (status >= 200 AND status < 300)
+    GROUP BY status,
+           CASE WHEN status IN (408, 429) OR status >= 500
+                THEN 'retryable' ELSE 'fatal' END
+    """,
+)
+def retry_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: retryable-vs-fatal HTTP status classification
+    (HttpPostAction.cs:74-83) over a synthetic status column."""
+    ev = load_table(spark, sf_dir, "events")
+    status = (F.lit(100) + F.col("event_id") % 600).alias("status")
+    df = ev.select(status)
+    cls = F.when(
+        F.col("status").isin(408, 429) | (F.col("status") >= 500), "retryable"
+    ).otherwise("fatal")
+    return (
+        df.where(~((F.col("status") >= 200) & (F.col("status") < 300)))
+        .groupBy("status", cls.alias("classification"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "error_truncation",
+    oracle="""
+    SELECT doc_id,
+           SUBSTRING(text, 1, 500) AS err_500,
+           SUBSTRING(text, 1, 40) AS err_40,
+           LENGTH(SUBSTRING(text, 1, 40)) AS err_40_len
+    FROM documents
+    """,
+)
+def error_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: bound diagnostic payloads to the first N chars
+    (HttpPostAction.cs:60-63)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring("text", 1, 500).alias("err_500"),
+        F.substring("text", 1, 40).alias("err_40"),
+        F.length(F.substring("text", 1, 40)).alias("err_40_len"),
+    )
+
+
+@register(
+    "retry_backoff",
+    oracle="""
+    SELECT retry_count,
+           LEAST(6 + retry_count, 12) AS linear_minutes,
+           ROUND(LEAST(10.0 * pow(1.125, retry_count), 300.0), 4) AS expo_seconds,
+           (retry_count = 4) AS notify_now,
+           COUNT(*) AS n
+    FROM (SELECT event_id % 20 AS retry_count FROM events) t
+    GROUP BY retry_count
+    """,
+)
+def retry_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12+A15+A20: capped-linear orchestrated backoff
+    (RetryFunctions.cs:30-33), exponential activity backoff (:41-48), and the
+    notify-on-Nth-retry threshold trigger (:170-173)."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select((F.col("event_id") % 20).alias("retry_count"))
+    g = df.groupBy("retry_count").agg(F.count(F.lit(1)).alias("n"))
+    return g.select(
+        "retry_count",
+        F.least(F.lit(6) + F.col("retry_count"), F.lit(12)).alias("linear_minutes"),
+        F.round(
+            F.least(
+                F.lit(10.0) * F.pow(F.lit(1.125), F.col("retry_count")),
+                F.lit(300.0),
+            ),
+            4,
+        ).alias("expo_seconds"),
+        (F.col("retry_count") == 4).alias("notify_now"),
+        "n",
+    )
+
+
+@register(
+    "cdc_latest_state",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+    FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) t
+    WHERE rn = 1
+    """,
+)
+def cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: keyed latest-wins compaction -- the engine-side construction of the
+    reference's 'current state of changed rows' delivery (README.md:5,:21).
+    One shuffle on the key; at 100 TB the key partitioning is reused by any
+    downstream per-key op."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", F.col("ts").cast("timestamp").alias("ts"),
+                "event_type", "value")
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: JSON extraction from a string column (events.props)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_int"),
+    ).where(F.col("k_int") >= 50)
+
+
+@register(
+    "purge_retention",
+    oracle="""
+    SELECT event_type AS status, COUNT(*) AS kept
+    FROM events
+    WHERE NOT (event_type = 'purchase'
+               AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-25'
+           OR event_type IN ('error', 'signup')
+               AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-08')
+    GROUP BY event_type
+    """,
+)
+def purge_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: age+status retention purge (CleanupFunction.cs:13-34) expressed as
+    the surviving-rows filter: 'completed' rows kept 7 days ('purchase' here),
+    'failed-ish' rows kept a longer window -- the inverse of the DELETE."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    purge = (
+        (F.col("event_type") == "purchase") & (ts < F.lit("2024-01-25").cast("timestamp"))
+    ) | (
+        F.col("event_type").isin("error", "signup")
+        & (ts < F.lit("2024-01-08").cast("timestamp"))
+    )
+    return (
+        ev.where(~purge)
+        .groupBy(F.col("event_type").alias("status"))
+        .agg(F.count(F.lit(1)).alias("kept"))
+    )
+
+
+@register(
+    "changefeed_watermark",
+    oracle="""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-28'
+    """,
+)
+def changefeed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 batch analog: 'changed since high-water mark' incremental scan; the
+    predicate pushes to parquet min/max row-group stats, so an incremental
+    read of a 100 TB time-partitioned table touches only new files."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.where(
+        F.col("ts").cast("timestamp") > F.lit("2024-01-28").cast("timestamp")
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
+             "event_type")

@@ -1,0 +1,162 @@
+"""Dedup queries over `documents` / `embeddings` (north-star C1-C3), each an
+oracle-checked pairing of the operators in operators/dedup.py with the same
+construction written in DuckDB SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.operators import dedup as D
+from sqldataintegrationfunctiontriggerapp_spark.operators.similarity import (
+    cosine_pairs_above,
+)
+from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+# word 3-gram shingles, distinct, docs with >= 3 tokens (1-indexed DuckDB slices)
+_SHINGLED = f"""
+    SELECT doc_id, UNNEST(list_distinct(
+        [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+    )) AS shingle
+    FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    WHERE len(toks) >= 3
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT text, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: exact dedup as a hash-aggregate on the dedup key; deterministic
+    min-id winner."""
+    return D.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH ex AS ({_SHINGLED}),
+    bands AS (SELECT CAST(range AS INTEGER) AS band FROM range(8)),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+        FROM ex CROSS JOIN bands
+        GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.doc_a
+        JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.7
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: MinHash (md5-permutation) band signatures -> LSH collision
+    candidates -> exact-Jaccard verification at 0.7."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(d, shingle_n=3, n_bands=8, threshold=0.7)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH ex AS ({_SHINGLED}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.doc_a
+        JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (>= 0.8) via inverted-index join --
+    the exact baseline the LSH variant approximates."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.8)
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH toked AS (
+        SELECT doc_id,
+               UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                      x -> x <> '')) AS token
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               SUM(((instr('0123456789abcdef',
+                           substring(md5(token), (b // 4) + 1, 1)) - 1)
+                    // CAST(pow(2, b % 4) AS INTEGER)) % 2 * 2 - 1) AS vote
+        FROM toked CROSS JOIN (SELECT CAST(range AS INTEGER) AS b FROM range(16)) bits
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM((CASE WHEN vote > 0 THEN 1 ELSE 0 END)
+                    * CAST(pow(2, b) AS BIGINT)) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (16-bit, md5 bit source): near-dup buckets by grouping on the
+    hash -- zero pairwise work, the cheapest fuzzy-dedup scale path."""
+    return D.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[]))
+               / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(a.embedding AS DOUBLE[]))
+                      * list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[]))) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.4
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact O(n^2) baseline; the SRP-LSH
+    bucketed variant in operators/similarity.py is the 100 TB path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_above(e, 0.4)

@@ -1,0 +1,636 @@
+"""Relational operator coverage (SURVEY.md §2.A/§2.B/§2.D).
+
+Each query exercises one operator family from the reference's surface --
+projection, predicates (incl. BETWEEN sql.txt:124), equi/semi/anti/outer
+joins (update-join sql.txt:126-129), MIN/MAX aggregates (sql.txt:116,
+RetryFunctions.cs:141), TOP/limit (sql.txt:108), CTEs (sql.txt:121-125),
+keyed range batching (sql.txt:113-134) -- plus the analytics upgrades
+(rollup/cube/grouping sets, distinct counts, pivot, set ops) that a query
+engine needs and the reference delegates to SQL Server.
+
+Scale notes: every query here is a scan -> (optional broadcast/shuffle
+join) -> partial+final hash aggregate plan. Dimension joins (nation,
+region, small filtered orders) are explicitly broadcast; fact-fact joins
+(lineitem x orders) shuffle on the join key, which AQE coalesces/splits at
+runtime. Filters and projections sit directly on the parquet scan so
+Catalyst pushes them into the reader (verified via .explain in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+    DEC,
+    davg,
+    dsum,
+    revenue_expr,
+    revenue_col,
+    sql_davg,
+    sql_dsum,
+    sql_revenue,
+)
+from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+
+
+# --------------------------------------------------------------------------
+# Aggregations (B5/B6 min-max; groupBy aggregate upgrade)
+# --------------------------------------------------------------------------
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_revenue('sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: 8 aggregates over two group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = revenue_expr() * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            revenue_col("sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey,
+           {sql_revenue('revenue')},
+           o.o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship star join (customer |X| orders |X| lineitem) + top-10 revenue.
+
+    customer is filtered then broadcast; orders |X| lineitem shuffles on the
+    order key. TakeOrderedAndProject keeps the top-k driver-side tiny.
+    """
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    co = orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    return (
+        li.join(co, li.l_orderkey == co.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(revenue_col("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "minmax_agg",
+    oracle="""
+    SELECT MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+           MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date,
+           COALESCE(MAX(CASE WHEN o_orderstatus = 'X' THEN o_orderkey END), -1)
+             AS max_missing
+    FROM orders
+    """,
+)
+def minmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar MIN/MAX (sql.txt:116; attempt-count poll RetryFunctions.cs:141)
+    plus the NULL-sentinel handling of RetryFunctions.cs:146-157 via COALESCE."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.min("o_orderdate").alias("min_date"),
+        F.max("o_orderdate").alias("max_date"),
+        F.coalesce(
+            F.max(F.when(F.col("o_orderstatus") == "X", F.col("o_orderkey"))),
+            F.lit(-1),
+        ).alias("max_missing"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_extendedprice', 'sum_price')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice", "sum_price"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+@register(
+    "count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("approx_count_distinct")  # sketch differs from DuckDB's: rows-only check
+def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ approximate distinct -- the at-scale replacement for exact
+    COUNT(DISTINCT) (single pass, no shuffle explosion, mergeable sketches)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
+    )
+
+
+# --------------------------------------------------------------------------
+# Predicates / limit (B4, B7)
+# --------------------------------------------------------------------------
+
+@register(
+    "between_filter",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey BETWEEN 1000 AND 1499
+      AND o_orderstatus IN ('O', 'F')
+      AND o_totalprice IS NOT NULL
+    """,
+)
+def between_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BETWEEN range predicate (sql.txt:124) + IN + null predicate; all three
+    push down to the parquet scan as data filters."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderkey").between(1000, 1499)
+        & F.col("o_orderstatus").isin("O", "F")
+        & F.col("o_totalprice").isNotNull()
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
+
+
+@register(
+    "top_limit",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 1000
+    """,
+)
+def top_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT TOP (1000) (sql.txt:108-111): Spark plans TakeOrderedAndProject,
+    a per-partition top-k + driver merge -- no global sort even at 100 TB."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(1000)
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (B9 + engine upgrades)
+# --------------------------------------------------------------------------
+
+@register(
+    "cte_update_join",
+    oracle=f"""
+    WITH cte AS (
+        SELECT o_orderkey, o_custkey
+        FROM orders
+        WHERE o_orderkey BETWEEN 0 AND 4999
+    )
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_orders,
+           {sql_dsum('c.c_acctbal', 'sum_bal')}
+    FROM customer c
+    JOIN cte ON cte.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+)
+def cte_update_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + keyed inner join, the shape of the reference's batched
+    update-join (sql.txt:121-129)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cte = o.where(F.col("o_orderkey").between(0, 4999)).select(
+        "o_orderkey", "o_custkey"
+    )
+    return (
+        c.join(cte, cte.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("c_acctbal", "sum_bal"))
+    )
+
+
+@register(
+    "join_broadcast_star",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal', 'sum_acctbal')}
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+)
+def join_broadcast_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join with two explicitly-broadcast dimensions: no shuffle for the
+    joins at any scale; only the final aggregate exchanges 25 rows."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "sum_acctbal"),
+        )
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS == left-semi join; Spark never materializes the right side."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, o.o_custkey == c.c_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS == left-anti join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH co AS (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+                FROM customer GROUP BY c_nationkey),
+         su AS (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+                FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(co.nk, su.nk) AS nationkey,
+           COALESCE(co.n_cust, 0) AS n_cust,
+           COALESCE(su.n_supp, 0) AS n_supp
+    FROM co FULL OUTER JOIN su ON co.nk = su.nk
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.nk == s.nk, "full").select(
+        F.coalesce(c.nk, s.nk).alias("nationkey"),
+        F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+        F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+    )
+
+
+@register(
+    "theta_range_join",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           {sql_revenue('revenue')}
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate BETWEEN o.o_orderdate
+                            AND o.o_orderdate + INTERVAL 90 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi join with a range residual: Spark evaluates the BETWEEN as a
+    post-join filter on the shuffled equi join, so it stays a sort-merge
+    join (never a cartesian) at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == o.o_orderkey)
+        & (li.l_shipdate >= o.o_orderdate)
+        & (li.l_shipdate <= o.o_orderdate + F.expr("INTERVAL 90 DAY"))
+    )
+    return (
+        li.join(o, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_lines"), revenue_col("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (§2.D)
+# --------------------------------------------------------------------------
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.union(s).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# Pivot, range batching, scalar functions
+# --------------------------------------------------------------------------
+
+@register(
+    "pivot_status",
+    oracle=f"""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_open,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double"))
+        .withColumnRenamed("O", "qty_open")
+        .withColumnRenamed("F", "qty_filled")
+    )
+
+
+@register(
+    "range_batching",
+    oracle=f"""
+    SELECT CAST(floor(o_orderkey / 500) AS BIGINT) AS batch_id,
+           COUNT(*) AS n,
+           MIN(o_orderkey) AS min_key,
+           MAX(o_orderkey) AS max_key,
+           {sql_dsum('o_totalprice', 'sum_price')}
+    FROM orders
+    GROUP BY CAST(floor(o_orderkey / 500) AS BIGINT)
+    """,
+)
+def range_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed batch chunking (WHILE loop over id ranges, @batchSize=500,
+    sql.txt:113-134) -- in Spark this is just a group-by over the bucket id;
+    the distributed analog of the reference's driver-side loop."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.floor(F.col("o_orderkey") / 500).alias("batch_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+            dsum("o_totalprice", "sum_price"),
+        )
+    )
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT DISTINCT
+           o_orderpriority,
+           TRIM(string_split(o_orderpriority, '-')[1]) AS priority_code,
+           LOWER(TRIM(string_split(o_orderpriority, '-')[2])) AS priority_label,
+           REPLACE(o_orderpriority, '-', ':') AS replaced,
+           SUBSTRING(o_orderpriority, 1, 1) AS first_char,
+           LENGTH(o_orderpriority) AS len
+    FROM orders
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar-string surface in one query: split+trim
+    (ClientAllowedColumnsFunction.cs:58-65), replace (:21), substring
+    (HttpPostAction.cs:62), case folding (ExecuteTriggerHelper.cs:69)."""
+    o = load_table(spark, sf_dir, "orders")
+    sp = F.split(F.col("o_orderpriority"), "-")
+    return o.select(
+        "o_orderpriority",
+        F.trim(sp.getItem(0)).alias("priority_code"),
+        F.lower(F.trim(sp.getItem(1))).alias("priority_label"),
+        F.replace(F.col("o_orderpriority"), F.lit("-"), F.lit(":")).alias("replaced"),
+        F.substring("o_orderpriority", 1, 1).alias("first_char"),
+        F.length("o_orderpriority").alias("len"),
+    ).distinct()
+
+
+@register(
+    "timestamp_arithmetic",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderdate,
+           o_orderdate + INTERVAL 90 DAY AS due_date,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+           CAST(year(o_orderdate) AS INTEGER) AS order_year,
+           CAST(month(o_orderdate) AS INTEGER) AS order_m,
+           (o_orderdate + INTERVAL 168 HOUR < TIMESTAMP '1995-02-01')
+             AS timed_out
+    FROM orders
+    WHERE o_orderkey < 2000
+    """,
+)
+def timestamp_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp arithmetic incl. the retry-timeout predicate
+    `start + INTERVAL n HOURS < now` (RetryFunctions.cs:129-132) with a fixed
+    'now' so the oracle is deterministic."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") < 2000)
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")).alias("due_date"),
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_m"),
+        (
+            F.col("o_orderdate") + F.expr("INTERVAL 168 HOUR")
+            < F.lit("1995-02-01").cast("timestamp")
+        ).alias("timed_out"),
+    )

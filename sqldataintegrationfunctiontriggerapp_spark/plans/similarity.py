@@ -1,0 +1,81 @@
+"""Similarity-search queries over `embeddings` (north-star C4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
+from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+               / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv)) AS cos
+        FROM c CROSS JOIN q
+        WHERE neighbor_id <> query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cos
+    FROM ranked WHERE rnk <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for a fixed query set (vec_id < 5): broadcast
+    queries, scan corpus once, per-query window top-k. The exact baseline for
+    recall evaluation of the LSH path."""
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.brute_force_topk(e, e.where(F.col("vec_id") < 5), k=5)
+    return out.withColumnRenamed("rank", "rnk").select(
+        "query_id", "neighbor_id", "rnk", "cos"
+    )
+
+
+@register("ann_lsh_topk")  # approximate by design: rows-only check
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed top-k (nbits=4): compares only same-bucket vectors --
+    the 100 TB scale path where the full scan per query is unaffordable.
+    Deterministic (md5-derived hyperplanes) but approximate, so no SQL oracle;
+    recall-vs-exact is asserted in tests/test_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, e.where(F.col("vec_id") < 5), k=5, nbits=4, dim=64)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                               CAST(embedding AS DOUBLE[])))
+                         AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS mean_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-expression coverage: per-label mean L2 norm of the embedding
+    column (JVM-side fold, no Python in the loop)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(S.dot(v, v))
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(norm.cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias(
+            "mean_norm"
+        ),
+    )

@@ -1,0 +1,59 @@
+"""SparkSession factory.
+
+Local testing runs one JVM with N threads (``local[N]``); the configs below
+are chosen so the same code scales to a 1000-executor cluster reading 100 TB:
+
+- AQE on (runtime shuffle-partition coalescing, skew-join splitting, dynamic
+  broadcast selection) -- the single most important at-scale knob.
+- ``spark.sql.caseSensitive=false`` mirrors the reference's case-insensitive
+  column matching (ExecuteTriggerHelper.cs:69).
+- Session timezone pinned UTC so timestamp semantics match the DuckDB oracle
+  and are cluster-location-independent.
+- Arrow enabled for the Pandas-UDF slow path (similarity / multimodal ops).
+
+At cluster scale the caller overrides ``shuffle_partitions`` (rule of thumb:
+2-3x total executor cores, or rely on AQE coalescing from a high initial
+value) and ``spark.sql.files.maxPartitionBytes`` stays at 128MB so a 100 TB
+scan yields ~800k input splits -- fine for a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_session(
+    app_name: str = "sqldataintegrationfunctiontriggerapp_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession."""
+    cpus = int(DEFAULT_CPUS)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.caseSensitive", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp
+        # type, so read the raw int64 and convert in the catalog (floor to
+        # microseconds, matching DuckDB's ns->us coercion).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
