@@ -1,0 +1,66 @@
+"""Streaming analytics: watermarked event-time windows, session windows, and
+streaming dedup -- the analytics upgrade over the reference's processing-time
+loop, bounded by the same 7-day retention idea (CHANGE_RETENTION,
+sql.txt:89 -> withWatermark('ts', '7 days')).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import dsum
+
+DEFAULT_RETENTION = "7 days"  # B12: CHANGE_RETENTION 7 days (sql.txt:89)
+
+
+def windowed_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = DEFAULT_RETENTION,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Tumbling/sliding event-time aggregate with late-data bound. Works on
+    both batch and streaming frames (watermark is a no-op in batch)."""
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
+    return (
+        df.groupBy(win.alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), key_col, "n", "sum_value")
+    )
+
+
+def session_windows(
+    events: DataFrame,
+    gap: str = "1 hour",
+    watermark: str = DEFAULT_RETENTION,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Native session_window aggregation (gap-close semantics)."""
+    df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "session_value"))
+        .select(key_col, F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"), "n_events", "session_value")
+    )
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = DEFAULT_RETENTION,
+) -> DataFrame:
+    """Streaming exact dedup with bounded state: the A21 singleton-by-key /
+    A22 suppress-repeats analog. State per key is dropped once the watermark
+    passes -- the knob that keeps 100 TB/day streams from accumulating
+    unbounded dedup state."""
+    if events.isStreaming:
+        return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    return events.dropDuplicates(keys)
