@@ -44,7 +44,15 @@ def keyed_latest(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) pairs: distinct word n-grams per document. Documents with
-    fewer than n tokens are dropped (no shingle exists)."""
+    fewer than n tokens are dropped (no shingle exists).
+
+    The input is repartitioned on the id BEFORE the row-expanding work: a
+    small document table arrives as a handful of input splits, and without
+    this the explode + hashing below runs on as many cores as there are
+    splits (measured 84s single-task vs ~3s spread over 32). Hash
+    partitioning on id also satisfies every downstream per-doc groupBy, so
+    the shuffle is paid once."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
     toks = tokens(text_col)
     shingles = F.array_distinct(
         F.transform(
@@ -119,7 +127,9 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       threshold: float = 0.7) -> DataFrame:
     """C3 end-to-end: shingle -> MinHash band signatures -> LSH collision
     candidates -> exact-Jaccard verification. Returns (doc_a, doc_b, jaccard)."""
-    shingled = word_shingles(df, text_col, shingle_n, id_col)
+    # shingled feeds signatures + sizes + both verification sides: cache it
+    # so the explode/tokenize work happens once per run, not four times.
+    shingled = word_shingles(df, text_col, shingle_n, id_col).persist()
     sigs = minhash_signatures(shingled, n_bands, id_col)
     cands = lsh_candidate_pairs(sigs, id_col)
     return verify_jaccard(cands, shingled, threshold, id_col)
@@ -130,7 +140,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join: only
     pairs sharing >=1 shingle are materialized (the exact baseline LSH
     approximates)."""
-    shingled = word_shingles(df, text_col, shingle_n, id_col)
+    shingled = word_shingles(df, text_col, shingle_n, id_col).persist()
     ea = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
     eb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
     cands = (
@@ -149,6 +159,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Per-doc hash = sign of the per-bit vote sum. Identical construction is
     expressible in the DuckDB oracle, so values hash-check."""
     spark = df.sparkSession
+    df = df.repartition(spark.sparkContext.defaultParallelism, id_col)
     toked = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
     bit_ids = spark.range(bits).select(F.col("id").cast("int").alias("b"))
     # bit b of a token: nibble (b div 4) of the md5 hex, bit (b mod 4).

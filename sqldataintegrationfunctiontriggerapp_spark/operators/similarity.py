@@ -51,16 +51,23 @@ def brute_force_topk(
     """Exact cosine top-k: broadcast the (small) query set, score the full
     corpus, keep k per query. One corpus scan, no shuffle of the corpus
     itself (only k rows per query move). Self-matches are excluded."""
+    # Precompute each side's squared norm once (N + Q dots) instead of per
+    # pair (3*N*Q dots); cos = dot/sqrt(na2*nb2) is bit-identical either way.
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    )
+    ).withColumn("qn2", dot(F.col("qv"), F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    )
+    ).withColumn("cn2", dot(F.col("cv"), F.col("cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv"))
+             / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -79,12 +86,26 @@ def cosine_pairs_above(
     """Embedding-cosine near-dup pairs (dedup path): all pairs >= threshold.
     O(n^2) by construction -- correct baseline; the LSH variant below is the
     scale path."""
-    a = vectors.select(F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"))
-    b = vectors.select(F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"))
+    base = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).withColumn("n2", dot(F.col("v"), F.col("v")))
+    a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
+                    F.col("n2").alias("na2"))
+    b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+                    F.col("n2").alias("nb2"))
+    # Repartition the probe side so the O(n^2) nested-loop work spreads over
+    # every core instead of riding the scan's few input splits.
+    n_part = vectors.sparkSession.sparkContext.defaultParallelism
     return (
-        a.crossJoin(b)
+        a.repartition(n_part)
+        .crossJoin(F.broadcast(b))
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb"))
+             / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
     )
 
@@ -129,16 +150,29 @@ def lsh_topk(
     At scale, corpus bucketing is a one-off shuffle (or a bucketed table
     layout) reused by every query batch."""
     planes = _hyperplanes(dim, nbits)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("bucket", srp_bucket(F.col("cv"), planes))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("bucket", srp_bucket(F.col("qv"), planes))
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        )
+        .withColumn("bucket", srp_bucket(F.col("cv"), planes))
+        .withColumn("cn2", dot(F.col("cv"), F.col("cv")))
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+        .withColumn("bucket", srp_bucket(F.col("qv"), planes))
+        .withColumn("qn2", dot(F.col("qv"), F.col("qv")))
+    )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv"))
+             / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (

@@ -13,6 +13,14 @@ from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.functions import text as TX
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents arrives as a single small parquet split; spread the
+    expression-heavy per-row text work over every core (the 100 TB input has
+    plenty of splits -- this only matters for small-file local runs)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
 # DuckDB fragments mirroring functions/text.py
 _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _STOP_EN = "('the', 'a', 'of', 'to', 'and', 'in', 'is')"
@@ -34,7 +42,7 @@ _STOP_EN = "('the', 'a', 'of', 'to', 'and', 'in', 'is')"
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, mean token length,
     stopword ratio -- all inside whole-stage codegen."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         TX.token_count("text").cast("long").alias("n_tokens"),
@@ -72,7 +80,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length / stopword-ratio / punctuation-noise heuristic,
     the cheap pre-filter stage of a training-data pipeline."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         TX.quality_score("text").alias("quality"),
@@ -83,23 +91,22 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_lang_id",
     oracle="""
-    WITH t AS (
+    WITH toks AS (
         SELECT doc_id, lang,
-          len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'),
-              x -> x <> ''),
-              x -> lower(x) IN ('the','a','of','to','and','in','is'))) AS s_en,
-          len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'),
-              x -> x <> ''),
-              x -> lower(x) IN ('el','la','de','que','y','en','un'))) AS s_es,
-          len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'),
-              x -> x <> ''),
-              x -> lower(x) IN ('le','la','de','et','un','que','est'))) AS s_fr,
-          len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'),
-              x -> x <> ''),
-              x -> lower(x) IN ('der','die','das','und','ist','ein','zu'))) AS s_de,
-          length(text) - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))
-            AS cjk
+               list_distinct(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS t,
+               length(text)
+                 - length(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g'))
+                 AS cjk
         FROM documents
+    ),
+    t AS (
+        SELECT doc_id, lang, cjk,
+          len(list_distinct(list_intersect(t, ['the','a','of','to','and','in','is']))) AS s_en,
+          len(list_distinct(list_intersect(t, ['el','la','de','que','y','en','un']))) AS s_es,
+          len(list_distinct(list_intersect(t, ['le','la','de','et','un','que','est']))) AS s_fr,
+          len(list_distinct(list_intersect(t, ['der','die','das','und','ist','ein','zu']))) AS s_de
+        FROM toks
     )
     SELECT doc_id, lang AS actual_lang,
            CASE WHEN cjk > 0 THEN 'zh'
@@ -115,7 +122,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword votes + CJK short-circuit). The fixture
     text shares one vocabulary, so the interesting contract is that Spark and
     the oracle agree on the same deterministic guess."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
@@ -139,7 +146,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 of normalized text (exact-dedup key) and
     a winnowing-style min-of-rolling-shingle-hashes fingerprint (stable under
     local edits)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
         TX.fingerprint("text").alias("fp"),
@@ -159,7 +166,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C5: tokenize -> explode -> count -- corpus term frequencies, top 20."""
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return (
         d.select(F.explode(TX.tokens("text")).alias("term"))
         .groupBy("term")

@@ -61,9 +61,11 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
+        t_spark = time.time() - t0
         if name not in oracles:
-            print(f"ok?   {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(f"ok?   {name}: rows-only ({len(srows)} rows, spark {t_spark:.1f}s)")
             continue
+        t0 = time.time()
         try:
             orel = con.sql(oracles[name])
             ocols_raw = orel.columns
@@ -92,7 +94,10 @@ def main() -> int:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
         else:
-            print(f"PASS  {name} ({len(srows)} rows, {time.time()-t0:.1f}s)")
+            print(
+                f"PASS  {name} ({len(srows)} rows, spark {t_spark:.1f}s,"
+                f" duck {time.time()-t0:.1f}s)"
+            )
     print(f"\n{len(queries) - len(failures)}/{len(queries)} ok; failures: {failures}")
     return 1 if failures else 0
 
