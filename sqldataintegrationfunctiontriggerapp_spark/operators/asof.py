@@ -1,0 +1,66 @@
+"""As-of join -- an operator Spark lacks natively (SURVEY.md §2 'custom
+operators': compose from existing DataFrame ops when semantics allow).
+
+Semantics: for each left row, attach the most recent right row (by time)
+with the same key and right.ts <= left.ts -- i.e. DuckDB/kdb ASOF JOIN,
+pandas merge_asof(direction='backward').
+
+Implementation: union-and-carry -- tag both sides, union, then one window
+pass per key ordered by (ts, side) carrying `last(right-value, ignoreNulls)`
+forward. Cost: ONE shuffle on the key + an in-partition sort; never the
+range-condition join explosion (a naive l.ts >= r.ts join is O(n*m) per
+key). This is the scale-correct shape: at 100 TB both sides shuffle once,
+and AQE handles skewed keys.
+
+Ties: a right row with ts equal to the left row's ts IS visible (right rows
+sort before left rows at equal ts), matching ASOF JOIN's ts <= semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: left columns + prefixed right value columns (null when
+    no right row precedes)."""
+    lcols = left.columns
+    l = left.withColumn("_side", F.lit(1)).withColumn("_ts", F.col(left_ts))
+    r = (
+        right.select(
+            F.col(key),
+            F.col(right_ts).alias("_ts"),
+            *[F.col(c).alias(f"{prefix}{c}") for c in value_cols],
+        )
+        .withColumn("_side", F.lit(0))
+    )
+    for c in lcols:
+        if c not in r.columns:
+            r = r.withColumn(c, F.lit(None))
+    for c in [f"{prefix}{v}" for v in value_cols]:
+        l = l.withColumn(c, F.lit(None))
+    unioned = l.unionByName(r.select(*l.columns))
+    # right rows (_side=0) sort before left rows at equal _ts => ts<= visible
+    w = (
+        Window.partitionBy(key)
+        .orderBy("_ts", "_side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *lcols,
+        F.col("_side"),
+        *[
+            F.last(F.col(f"{prefix}{v}"), ignorenulls=True).over(w).alias(f"{prefix}{v}")
+            for v in value_cols
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop("_side")

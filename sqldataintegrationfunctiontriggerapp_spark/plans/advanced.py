@@ -1,0 +1,298 @@
+"""Advanced operator coverage: as-of join (custom operator, cross-validated
+against DuckDB's native ASOF JOIN), ordered string aggregation, unpivot,
+exact percentiles, correlated subqueries, order-count distribution, a
+Pandas-UDF path proven against the same oracle as its expression twin, and
+JSON roundtripping.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.operators.asof import asof_join
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import dsum, sql_dsum
+from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+
+
+@register(
+    "asof_join_prior_purchase",
+    oracle="""
+    WITH p AS (
+        SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(event_id) AS pid
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+    SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+           p.pts AS asof_purchase_ts, p.pid AS asof_purchase_id
+    FROM events e
+    ASOF LEFT JOIN p ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= p.pts
+    """,
+)
+def asof_join_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the latest purchase at-or-before
+    it for the same user. The engine's union-and-carry window implementation
+    (operators/asof.py -- one shuffle, no range-join explosion) is verified
+    against DuckDB's *native* ASOF JOIN, i.e. two independent constructions
+    of the semantics."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("pts"))
+        .agg(F.max("event_id").alias("pid"))
+        .select("user_id", F.col("pts").alias("purchase_ts"),
+                F.col("pid").alias("purchase_id"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        value_cols=["purchase_ts", "purchase_id"],
+    )
+    return out.select("event_id", "user_id", "ts",
+                      "asof_purchase_ts", "asof_purchase_id")
+
+
+@register(
+    "string_agg_ordered",
+    oracle="""
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_name) AS names,
+           COUNT(*) AS n
+    FROM (SELECT c_nationkey, c_name FROM customer
+          WHERE c_acctbal > 4500) t
+    GROUP BY c_nationkey
+    """,
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list -> array_sort -> array_join
+    (deterministic regardless of shuffle arrival order -- the unordered
+    collect_list alone would be nondeterministic)."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 4500)
+    return c.groupBy("c_nationkey").agg(
+        F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias("names"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value
+    FROM part WHERE p_partkey < 500
+    UNION ALL
+    SELECT p_partkey, 'retailprice' AS metric, p_retailprice AS value
+    FROM part WHERE p_partkey < 500
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack()."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.expr(
+            "stack(2, 'size', CAST(p_size AS DOUBLE),"
+            " 'retailprice', p_retailprice) AS (metric, value)"
+        ),
+    )
+
+
+@register(
+    "percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+           ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (the at-scale variant is
+    percentile_approx below -- single-pass mergeable sketch)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+@register("percentile_approx")  # sketch differs from DuckDB: rows-only
+def percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL-style approximate percentile: one pass, mergeable, the only
+    affordable shape at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price_approx")
+    )
+
+
+@register(
+    "correlated_subquery",
+    oracle="""
+    SELECT c.c_custkey, c.c_nationkey, c.c_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(c2.c_acctbal)
+        FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey
+    )
+    """,
+)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance. The oracle states it
+    as a correlated scalar subquery; the engine decorrelates it explicitly --
+    per-key aggregate + join -- which is exactly the rewrite Catalyst itself
+    applies to such subqueries (and the only shape that scales)."""
+    c = load_table(spark, sf_dir, "customer")
+    avg_bal = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,6)")).cast("double")
+            / F.count("c_acctbal")
+        ).alias("nation_avg")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), c.c_nationkey == avg_bal.nk)
+        .where(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+@register(
+    "q13_order_distribution",
+    oracle="""
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                          AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    ) t
+    GROUP BY n_orders
+    """,
+)
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped double aggregation: customer order-count histogram
+    with a join-condition filter (not a WHERE -- customers with zero
+    qualifying orders must survive)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@register(
+    "pandas_udf_quality",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               len(list_filter(regexp_split_to_array(text, '\\s+'),
+                   x -> x <> '')) AS n_tokens,
+               CAST(len(list_filter(list_filter(regexp_split_to_array(text, '\\s+'),
+                        x -> x <> ''),
+                    x -> lower(x) IN ('the','a','of','to','and','in','is'))) AS DOUBLE)
+                 / greatest(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                     x -> x <> '')), 1) AS stop_ratio,
+               CAST(length(lower(text))
+                    - length(regexp_replace(lower(text), '[^a-z ]', '', 'g'))
+                    AS DOUBLE)
+                 / greatest(length(lower(text)), 1) AS noise_ratio
+        FROM documents
+    )
+    SELECT doc_id,
+           (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 0.4 ELSE 0.0 END
+            + CASE WHEN stop_ratio >= 0.05 THEN 0.3 ELSE 0.0 END
+            + CASE WHEN noise_ratio <= 0.3 THEN 0.3 ELSE 0.0 END) AS quality
+    FROM t
+    """,
+)
+def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-vectorized UDF surface: the same quality score as
+    text_quality_score, computed in a pandas_udf, checked against the SAME
+    oracle formula -- proving the Python slow path produces bit-identical
+    results to the JVM expression path."""
+    stop = {"the", "a", "of", "to", "and", "in", "is"}
+
+    @F.pandas_udf("double")
+    def quality(text: pd.Series) -> pd.Series:
+        def score(s: str) -> float:
+            toks = [t for t in re.split(r"\s+", s) if t]
+            n = len(toks)
+            stop_ratio = sum(1 for t in toks if t.lower() in stop) / max(n, 1)
+            low = s.lower()
+            noise = (len(low) - len(re.sub("[^a-z ]", "", low))) / max(len(low), 1)
+            q = 0.4 if 5 <= n <= 5000 else 0.0
+            q += 0.3 if stop_ratio >= 0.05 else 0.0
+            q += 0.3 if noise <= 0.3 else 0.0
+            return q
+
+        return text.map(score)
+
+    d = load_table(spark, sf_dir, "documents")
+    d = d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return d.select("doc_id", quality("text").alias("quality"))
+
+
+@register(
+    "from_json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(to_json(struct_pack(
+               k := CAST(json_extract_string(props, '$.k') AS BIGINT),
+               event_id := event_id)) AS VARCHAR) AS reserialized
+    FROM events
+    WHERE event_id < 1000
+    """,
+)
+def from_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-ful JSON parse (from_json with a StructType) + re-serialize."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") < 1000)
+    parsed = ev.withColumn("j", F.from_json("props", "k bigint"))
+    return parsed.select(
+        "event_id",
+        F.col("j.k").alias("k"),
+        F.to_json(F.struct(F.col("j.k").alias("k"), F.col("event_id"))).alias(
+            "reserialized"
+        ),
+    )
+
+
+@register(
+    "posexplode_terms",
+    oracle="""
+    SELECT doc_id,
+           UNNEST(range(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')))) AS pos,
+           UNNEST(list_filter(regexp_split_to_array(text, '\\s+'),
+                  x -> x <> '')) AS term
+    FROM documents
+    WHERE doc_id < 50
+    """,
+)
+def posexplode_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode: token with ordinal position (DuckDB zips parallel
+    UNNESTs; range() supplies the 0-based ordinal)."""
+    from sqldataintegrationfunctiontriggerapp_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")

@@ -1,0 +1,74 @@
+"""Plan-shape regressions: the properties that make these queries viable at
+100 TB (pushdown, broadcast, top-k, no cartesian products) asserted against
+the optimized physical plan -- so a refactor that silently loses them fails
+CI even though results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = entrymod.queries()[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filters_push_into_parquet_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "between_filter")
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_totalprice)" in plan or "GreaterThanOrEqual(o_orderkey" in plan
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "allowlist_projection")
+    # ReadSchema must carry only the three allowlisted columns
+    read = [line for line in plan.splitlines() if "ReadSchema" in line][0]
+    assert "o_orderkey" in read and "o_totalprice" not in read
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast_star")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_top_limit_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "top_limit")
+    assert "TakeOrderedAndProject" in plan
+    # no global sort materialization
+    assert "Sort [o_totalprice" not in plan
+
+
+def test_range_join_stays_equi_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "theta_range_join")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_semi_anti_joins_planned_as_such(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_anti")
+
+
+def test_q1_is_partial_final_hash_aggregate(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "HashAggregate" in plan
+    # partial+final pair => map-side combine before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_candidates_avoid_cross_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["q3_shipping_priority", "cdc_latest_state"])
+def test_whole_stage_codegen_present(spark, sf_dir, name):
+    # AQE shows codegen spans only in the final (post-execution) plan
+    df = entrymod.queries()[name](spark, sf_dir)
+    df.collect()  # finalize THIS queryExecution's adaptive plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes are the WholeStageCodegen markers in compact plan text
+    assert "*(" in plan
