@@ -11,6 +11,7 @@ from sqldataintegrationfunctiontriggerapp_spark.plans import (  # noqa: E402,F40
     advanced,
     cdc,
     dedup,
+    multimodal,
     relational,
     similarity,
     text,

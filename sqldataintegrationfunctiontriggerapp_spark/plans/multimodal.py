@@ -1,0 +1,77 @@
+"""Multimodal-column coverage (north-star C7): the documents fixture recast
+as the engine's canonical media layout (opaque binary payload + typed
+metadata), then metadata extraction, frame sampling, and the stubbed
+decode/feature-extract path over mapInPandas (operators/multimodal.py).
+
+The binary `content` column itself is excluded from oracle-compared outputs
+(the comparator hashes scalar columns); its integrity is asserted through
+`byte_len` and `content_md5`, which are computed FROM the binary column on
+the Spark side and from the source text on the DuckDB side -- if the binary
+round-trip corrupted anything, the md5s would disagree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+    frame_sample,
+)
+from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+
+
+@register(
+    "multimodal_media_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-table construction: binary payload + typed metadata columns.
+    Spark computes byte_len/md5 from the BinaryType column; DuckDB from the
+    source text (md5(VARCHAR) hashes UTF-8 bytes) -- two independent paths
+    to the same digests."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return media.select("media_id", "media_type", "byte_len", "content_md5")
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    SELECT doc_id AS media_id,
+           UNNEST(range(0, octet_length(encode(text)) // 100 + 1)) AS frame_no,
+           UNNEST(range(0, octet_length(encode(text)) // 100 + 1)) * 100
+               AS byte_offset
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the opaque payload: explode one row per sampled
+    byte offset, executor-side (the keyframe-extraction shape for video)."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    out = frame_sample(media, every_n_bytes=100)
+    return out.select(
+        "media_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.col("byte_offset").cast("long").alias("byte_offset"),
+    )
+
+
+@register("multimodal_feature_extract")  # stub decoder is Python-defined: rows-only
+def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode + feature-extract through Arrow-batched mapInPandas. The decode
+    is the deterministic stub (no media libs in this container); the Spark
+    plumbing -- binary column through Arrow, schema'd batch iterator -- is
+    the real article. Features depend on raw byte access (sum of first 64
+    bytes), which SQL can't express portably => rows-only check; exact
+    values are unit-tested in tests/test_dedup_similarity.py."""
+    media = documents_as_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(media, decode_stub=True)

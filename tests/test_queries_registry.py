@@ -29,7 +29,8 @@ def test_declared_rows_only_set_is_intentional():
     rows_only = set(qs) - set(os_)
     # approximate/beyond-SQL ops only; growing this set needs a reason
     assert rows_only == {
-        "approx_count_distinct",  # HLL++ sketch differs from DuckDB's
-        "ann_lsh_topk",           # approximate by design
-        "percentile_approx",      # KLL-style sketch differs from DuckDB's
+        "approx_count_distinct",      # HLL++ sketch differs from DuckDB's
+        "ann_lsh_topk",               # approximate by design
+        "percentile_approx",          # KLL-style sketch differs from DuckDB's
+        "multimodal_feature_extract", # stub decoder reads raw bytes; not SQL
     }
