@@ -69,18 +69,21 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 def minhash_signatures(shingled: DataFrame, n_bands: int = 8,
                        id_col: str = "doc_id") -> DataFrame:
     """Per-(doc, band) MinHash signature: min over shingles of
-    md5(band || '|' || shingle). One shuffle on (doc, band)."""
-    spark = shingled.sparkSession
-    bands = spark.range(n_bands).select(F.col("id").cast("int").alias("band"))
-    return (
-        shingled.crossJoin(F.broadcast(bands))
-        .groupBy(id_col, "band")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("band").cast("string"), F.lit("|"), F.col("shingle")))
-            ).alias("sig")
-        )
-    )
+    md5(band || '|' || shingle), computed as ONE wide aggregation (n_bands
+    min columns) then unpivoted with stack(). vs the naive
+    crossJoin(bands) + groupBy(doc, band): the aggregate's shuffle carries
+    one row per doc instead of n_bands rows per *shingle* -- at 100 TB that
+    is n_bands x |shingles| / |docs| (~400x here) less shuffle volume, and
+    map-side partial aggregation collapses everything before the exchange."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"_s{b}")
+        for b in range(n_bands)
+    ]
+    wide = shingled.groupBy(id_col).agg(*aggs)
+    pairs = ", ".join(f"{b}, _s{b}" for b in range(n_bands))
+    return wide.select(
+        id_col, F.expr(f"stack({n_bands}, {pairs}) AS (band, sig)")
+    ).withColumn("band", F.col("band").cast("int"))
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -137,19 +140,33 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via an inverted-index join: only
-    pairs sharing >=1 shingle are materialized (the exact baseline LSH
-    approximates)."""
+    """Exact n-gram Jaccard near-dup pairs via an inverted-index join (the
+    exact baseline LSH approximates). The self-join's per-pair match count IS
+    the intersection size, so jaccard comes from one join + one aggregate --
+    no candidate materialization + re-verification pass. Shuffle volume is
+    bounded by sum(freq(shingle)^2); at 100 TB hot shingles (stop-phrases)
+    need a frequency cap upstream, exactly the df-cap LSH banding provides."""
     shingled = word_shingles(df, text_col, shingle_n, id_col).persist()
+    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ea = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
     eb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
-    cands = (
+    inter = (
         ea.join(eb, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    return verify_jaccard(cands, shingled, threshold, id_col)
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
 
 
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
