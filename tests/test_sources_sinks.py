@@ -1,0 +1,113 @@
+"""File sources (CSV/JSON with corrupt-record capture) and table sinks
+(partitioned writes with pruning, dynamic partition overwrite, bucketed
+shuffle-free joins, compaction)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.sources.files import (
+    CORRUPT_COL,
+    read_csv,
+    read_json,
+)
+from sqldataintegrationfunctiontriggerapp_spark.sinks.table_sink import (
+    compact_partition,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def test_csv_roundtrip_and_corrupt_capture(spark, tmp_path):
+    p = str(tmp_path / "in.csv")
+    with open(p, "w") as f:
+        f.write("id,name\n1,alice\n2,bob\nnot_an_int,carol\n")
+    df = read_csv(
+        spark, p, schema=f"id int, name string, {CORRUPT_COL} string"
+    )
+    rows = {r.name: (r.id, r[CORRUPT_COL]) for r in df.collect()}
+    assert rows["alice"] == (1, None)
+    assert rows["carol"][0] is None and "not_an_int" in rows["carol"][1]
+
+
+def test_json_lines_with_schema(spark, tmp_path):
+    p = str(tmp_path / "in.jsonl")
+    with open(p, "w") as f:
+        f.write('{"k": 1, "v": "a"}\n{"k": "bad"}\n')
+    df = read_json(spark, p, schema=f"k long, v string, {CORRUPT_COL} string")
+    ok = df.where(F.col(CORRUPT_COL).isNull()).collect()
+    bad = df.where(F.col(CORRUPT_COL).isNotNull()).collect()
+    assert len(ok) == 1 and ok[0].k == 1 and len(bad) == 1
+
+
+def test_partitioned_write_prunes_and_dynamic_overwrite(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_partitioned(o, out, ["o_orderstatus"], target_file_partitions=2)
+
+    back = spark.read.parquet(out)
+    q = back.where(F.col("o_orderstatus") == "F")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    n_f = q.count()
+
+    # dynamic overwrite of ONE partition leaves the others untouched
+    repl = o.where(F.col("o_orderstatus") == "F").limit(10)
+    write_partitioned(repl, out, ["o_orderstatus"])
+    back2 = spark.read.parquet(out)
+    assert back2.where(F.col("o_orderstatus") == "F").count() == 10
+    assert back2.where(F.col("o_orderstatus") != "F").count() == \
+        o.where(F.col("o_orderstatus") != "F").count()
+    assert n_f > 10
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    wh = str(tmp_path / "wh")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    write_bucketed(c, "t_cust_b", "c_custkey", 8, path=os.path.join(wh, "c"))
+    write_bucketed(
+        o.withColumnRenamed("o_custkey", "c_custkey"),
+        "t_ord_b", "c_custkey", 8, path=os.path.join(wh, "o"),
+    )
+    try:
+        j = spark.table("t_ord_b").join(spark.table("t_cust_b"), "c_custkey")
+        # disable broadcast so the bucket layout is what avoids the exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # bucket-local join
+        assert j.count() == o.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ord_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_compact_partition_reduces_files(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "events_by_type")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value", "event_type")
+    # round-robin repartition => every task writes into every partition dir,
+    # fragmenting each partition into ~8 files (the streaming-sink failure
+    # mode compaction exists to fix)
+    write_partitioned(ev.repartition(8), out, ["event_type"])
+    some_type = ev.select("event_type").first().event_type
+    part_dir = os.path.join(out, f"event_type={some_type}")
+    before = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    n_rows = spark.read.parquet(out).where(F.col("event_type") == some_type).count()
+
+    compact_partition(spark, out, "event_type", some_type, target_files=1)
+    after = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    assert len(after) == 1 and len(before) > 1
+    assert spark.read.parquet(out).where(
+        F.col("event_type") == some_type
+    ).count() == n_rows
