@@ -136,6 +136,89 @@ def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    partitions the corpus into n_lists inverted lists; each query searches
+    only its n_probe nearest lists. With n_probe == n_lists this is exactly
+    brute force (tested); smaller n_probe trades recall for a ~n_lists/
+    n_probe scan reduction.
+
+    Scale shape (100 TB): centroids train on a sample and broadcast;
+    corpus assignment is one map (KMeansModel.transform, JVM-side) and can
+    be persisted as a bucketed layout keyed by list_id, making every later
+    query batch a broadcast join against n_probe lists -- the same
+    bucket-pruning idea as the reference's per-table change feeds, applied
+    to vector space."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("_fv", array_to_vector(F.col("cv")))
+    # a coarse quantizer needs balanced lists, not converged clusters: few
+    # iterations + random init (kmeans|| init alone costs more driver-side
+    # jobs than the whole fit). Cache the fit input: each KMeans iteration
+    # is a fresh pass, which would otherwise re-read + re-convert the corpus
+    # per iteration. At 100 TB, fit on a sample instead (sample fraction
+    # keyed to n_lists * ~256 points per centroid).
+    fit_input = c.select("_fv").persist()
+    km = KMeans(k=n_lists, seed=seed, maxIter=4, initMode="random",
+                featuresCol="_fv", predictionCol="list_id")
+    model = km.fit(fit_input)
+    fit_input.unpersist()
+    assigned = model.transform(c).drop("_fv").withColumn(
+        "cn2", dot(F.col("cv"), F.col("cv"))
+    )
+
+    # centroid table is tiny: broadcast-join queries x centroids, keep the
+    # n_probe nearest lists per query
+    centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
+    spark = corpus.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, ctr) for i, ctr in enumerate(centers)], "list_id int, ctr array<double>"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+    ).withColumn("qn2", dot(F.col("qv"), F.col("qv")))
+    qd = q.crossJoin(F.broadcast(cdf)).withColumn(
+        "_d2",
+        F.col("qn2") + dot(F.col("ctr"), F.col("ctr"))
+        - 2 * dot(F.col("qv"), F.col("ctr")),
+    )
+    wq = Window.partitionBy("query_id").orderBy("_d2", "list_id")
+    probes = (
+        qd.withColumn("_r", F.row_number().over(wq))
+        .where(F.col("_r") <= n_probe)
+        .select("query_id", "qv", "qn2", "list_id")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("cv"))
+             / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

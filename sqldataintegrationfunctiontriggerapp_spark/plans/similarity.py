@@ -55,6 +55,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_topk(e, e.where(F.col("vec_id") < 5), k=5, nbits=4, dim=64)
 
 
+@register("ann_ivf_topk")  # approximate by design: rows-only check
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer top-k (n_lists=16, n_probe=4): KMeans centroids
+    partition the corpus into inverted lists; each query scans only its 4
+    nearest lists. Exactness at n_probe=n_lists and recall-vs-exact are
+    asserted in tests/test_dedup_similarity.py."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e, e.where(F.col("vec_id") < 5), k=5,
+                      n_lists=16, n_probe=4)
+
+
 @register(
     "embedding_norms",
     oracle="""

@@ -31,6 +31,7 @@ def test_declared_rows_only_set_is_intentional():
     assert rows_only == {
         "approx_count_distinct",      # HLL++ sketch differs from DuckDB's
         "ann_lsh_topk",               # approximate by design
+        "ann_ivf_topk",               # approximate by design
         "percentile_approx",          # KLL-style sketch differs from DuckDB's
         "multimodal_feature_extract", # stub decoder reads raw bytes; not SQL
     }

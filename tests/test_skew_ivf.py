@@ -1,0 +1,83 @@
+"""Salted aggregation/join equivalence with the unsalted ops, and IVF ANN:
+exact at full probe, sane recall at partial probe."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
+from sqldataintegrationfunctiontriggerapp_spark.operators.skew import (
+    salted_agg,
+    salted_join,
+)
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_orderkey"
+    )
+    got = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("count", "l_quantity"),
+            "sum_qty": ("sum", "l_quantity"),
+            "min_ok": ("min", "l_orderkey"),
+            "max_ok": ("max", "l_orderkey"),
+        },
+        n_salt=8,
+    )
+    exp = li.groupBy("l_returnflag").agg(
+        F.count("l_quantity").alias("n"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, exp.collect()))
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("o_custkey", "c_nationkey") \
+        if "o_custkey" in load_table(spark, sf_dir, "customer").columns else \
+        load_table(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_nationkey")
+    got = salted_join(o, c, ["o_custkey"], n_salt=8)
+    exp = o.join(c, "o_custkey")
+    assert got.count() == exp.count()
+    g = got.groupBy("c_nationkey").count()
+    e = exp.groupBy("c_nationkey").count()
+    assert sorted(map(tuple, g.collect())) == sorted(map(tuple, e.collect()))
+
+    # left join keeps unmatched big-side rows exactly once
+    o_plus = o.union(spark.createDataFrame([(-1, 0.0)], o.schema))
+    left = salted_join(o_plus, c, ["o_custkey"], n_salt=8, how="left")
+    assert left.count() == o_plus.count() == o.join(c, "o_custkey", "left").count() + 1
+
+
+def test_ivf_full_probe_is_exact(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    exact = {(r.query_id, r.rank): r.neighbor_id
+             for r in S.brute_force_topk(e, q, k=5).collect()}
+    ivf = {(r.query_id, r.rank): r.neighbor_id
+           for r in S.ivf_topk(e, q, k=5, n_lists=8, n_probe=8).collect()}
+    assert exact == ivf
+
+
+def test_ivf_partial_probe_recall(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in S.brute_force_topk(e, q, k=5).collect()}
+    approx = S.ivf_topk(e, q, k=5, n_lists=16, n_probe=4).collect()
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    # scores must be true cosines (verifiable against brute force where shared)
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.4, f"IVF recall collapsed: {recall}"
+    # every query must still return k rows (lists are never empty at n_probe=4)
+    per_q = {}
+    for r in approx:
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(v == 5 for v in per_q.values())
