@@ -13,6 +13,7 @@ from sqldataintegrationfunctiontriggerapp_spark.plans import (  # noqa: E402,F40
     dedup,
     multimodal,
     relational,
+    sampling,
     similarity,
     text,
     windows,

@@ -1,0 +1,89 @@
+"""Training-data sampling operators: deterministic hash splits and
+per-group quota sampling.
+
+Random sampling is useless at 100 TB pipeline scale -- re-runs must land
+every row in the same split, with no RNG state shared across 1000
+executors. Both operators derive their randomness from md5 of the row key,
+so they are pure column expressions: reproducible, embarrassingly parallel,
+and identical in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+
+# hex-string thresholds: md5 < '1a' ~ 0x1a/0x100 = 10.2% (val),
+# '1a' <= md5 < '34' ~ next 10.2% (test), rest train. String comparison on
+# the hex digest is engine-independent.
+_VAL_HI = "1a"
+_TEST_HI = "34"
+
+
+def split_assign(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    h = F.md5(F.col(key_col).cast("string"))
+    return df.withColumn(
+        "split",
+        F.when(h < _VAL_HI, F.lit("val"))
+        .when(h < _TEST_HI, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+@register(
+    "train_val_split",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_VAL_HI}' THEN 'val'
+                    WHEN md5(CAST(doc_id AS VARCHAR)) < '{_TEST_HI}' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n, CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM s GROUP BY split
+    """,
+)
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment from md5(key): every re-run
+    and every engine lands each row in the same split -- the only split
+    semantics that survive incremental re-processing. Summarized per split
+    (the assignment itself is row-level)."""
+    d = split_assign(load_table(spark, sf_dir, "documents"))
+    return d.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
+
+
+@register(
+    "quota_per_source",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, source,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    )
+    SELECT doc_id, source FROM ranked WHERE rn <= 20
+    """,
+)
+def quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota sampling (cap each domain/source at N docs -- the
+    standard mixture-balancing op before training): deterministic priority
+    by md5(key), one window shuffle on the group key."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select("doc_id", "source")
+    )
