@@ -29,6 +29,25 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-ish pre-tokenizer regex, restricted to RE2-compatible constructs
+# (no lookahead) so the identical pattern runs in the DuckDB oracle:
+# runs of letters / digits / other-symbols, each with an optional leading
+# space -- the shape BPE merge tables are trained over.
+BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+def bpe_tokens(text: Column | str) -> Column:
+    """BPE-style pre-tokenization (letters/digits/punct runs with leading
+    space). A cheap, engine-portable proxy for LLM token counting -- the
+    real tokenizer's merge step only ever shrinks this count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_extract_all(c, F.lit(BPE_PATTERN), 0)
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def distinct_token_count(text: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(text)))
 

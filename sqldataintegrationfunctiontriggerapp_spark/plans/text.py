@@ -56,6 +56,29 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TX.BPE_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens,
+           CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens
+    FROM documents
+    """,
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-style token counting: GPT-2-ish pre-tokenizer regex (RE2-safe, so
+    the IDENTICAL pattern runs in both engines) next to the whitespace count.
+    The real BPE merge step only shrinks the pre-token count, so this is the
+    conservative budget estimate a data pipeline needs."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        TX.bpe_token_count("text").cast("long").alias("n_bpe_tokens"),
+        TX.token_count("text").cast("long").alias("n_ws_tokens"),
+    )
+
+
+@register(
     "text_quality_score",
     oracle=f"""
     WITH t AS (
