@@ -144,61 +144,65 @@ def ivf_topk(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    seed: int = 42,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
-    partitions the corpus into n_lists inverted lists; each query searches
-    only its n_probe nearest lists. With n_probe == n_lists this is exactly
-    brute force (tested); smaller n_probe trades recall for a ~n_lists/
-    n_probe scan reduction.
+    """IVF (inverted-file) approximate top-k: a coarse quantizer partitions
+    the corpus into n_lists inverted lists; each query searches only its
+    n_probe nearest lists. With n_probe == n_lists this is exactly brute
+    force (tested); smaller n_probe trades recall for a ~n_lists/n_probe
+    scan reduction.
 
-    Scale shape (100 TB): centroids train on a sample and broadcast;
-    corpus assignment is one map (KMeansModel.transform, JVM-side) and can
-    be persisted as a bucketed layout keyed by list_id, making every later
-    query batch a broadcast join against n_probe lists -- the same
-    bucket-pruning idea as the reference's per-table change feeds, applied
-    to vector space."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    Scale shape (100 TB): the coarse centroids are n_lists corpus vectors
+    picked by md5 order (a deterministic uniform sample -- an IVF quantizer
+    needs *a* space partitioning, not converged k-means; probing depth, not
+    centroid quality, controls recall). One TakeOrdered job collects them;
+    assignment is a pure map (an array expression computing argmin distance
+    against the broadcast pivot literals): no iterative fit, no shuffle, no
+    row blowup. The assigned corpus can be persisted as a bucketed layout
+    keyed by list_id, making every later query batch a broadcast join
+    against n_probe lists -- the same bucket-pruning idea as the reference's
+    per-table change feeds, applied to vector space."""
+    pivot_rows = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(n_lists)
+        .collect()
+    )
+    pivots = [[float(x) for x in r.v] for r in pivot_rows]
+    pn2 = [sum(x * x for x in p) for p in pivots]
+
+    def d2_to(vec: Column, n2: Column, i: int) -> Column:
+        """Squared distance to pivot i: |v|^2 + |p|^2 - 2 v.p (the |v|^2 term
+        is shared, so argmin needs only the cheap cross terms -- kept for
+        clarity; constant-folded by Catalyst)."""
+        p = F.array(*[F.lit(x) for x in pivots[i]])
+        return n2 + F.lit(pn2[i]) - 2 * dot(vec, p)
+
+    def nearest_list(vec: Column, n2: Column) -> Column:
+        d2s = F.array(*[d2_to(vec, n2, i) for i in range(len(pivots))])
+        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("_fv", array_to_vector(F.col("cv")))
-    # a coarse quantizer needs balanced lists, not converged clusters: few
-    # iterations + random init (kmeans|| init alone costs more driver-side
-    # jobs than the whole fit). Cache the fit input: each KMeans iteration
-    # is a fresh pass, which would otherwise re-read + re-convert the corpus
-    # per iteration. At 100 TB, fit on a sample instead (sample fraction
-    # keyed to n_lists * ~256 points per centroid).
-    fit_input = c.select("_fv").persist()
-    km = KMeans(k=n_lists, seed=seed, maxIter=4, initMode="random",
-                featuresCol="_fv", predictionCol="list_id")
-    model = km.fit(fit_input)
-    fit_input.unpersist()
-    assigned = model.transform(c).drop("_fv").withColumn(
-        "cn2", dot(F.col("cv"), F.col("cv"))
-    )
+    ).withColumn("cn2", dot(F.col("cv"), F.col("cv")))
+    assigned = c.withColumn("list_id", nearest_list(F.col("cv"), F.col("cn2")))
 
-    # centroid table is tiny: broadcast-join queries x centroids, keep the
-    # n_probe nearest lists per query
-    centers = [[float(x) for x in ctr] for ctr in model.clusterCenters()]
-    spark = corpus.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, ctr) for i, ctr in enumerate(centers)], "list_id int, ctr array<double>"
-    )
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).withColumn("qn2", dot(F.col("qv"), F.col("qv")))
-    qd = q.crossJoin(F.broadcast(cdf)).withColumn(
-        "_d2",
-        F.col("qn2") + dot(F.col("ctr"), F.col("ctr"))
-        - 2 * dot(F.col("qv"), F.col("ctr")),
-    )
-    wq = Window.partitionBy("query_id").orderBy("_d2", "list_id")
+    # n_probe nearest lists per query: sort an array of (d2, list_id)
+    # structs, slice, explode -- still a pure map over the (small) query set
+    probe_structs = F.array(*[
+        F.struct(
+            d2_to(F.col("qv"), F.col("qn2"), i).alias("d2"),
+            F.lit(i).cast("int").alias("list_id"),
+        )
+        for i in range(len(pivots))
+    ])
     probes = (
-        qd.withColumn("_r", F.row_number().over(wq))
-        .where(F.col("_r") <= n_probe)
-        .select("query_id", "qv", "qn2", "list_id")
+        q.withColumn(
+            "_probe", F.explode(F.slice(F.array_sort(probe_structs), 1, n_probe))
+        )
+        .select("query_id", "qv", "qn2", F.col("_probe.list_id").alias("list_id"))
     )
 
     scored = (

@@ -251,6 +251,46 @@ def pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_applyinpandas_scale",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CASE WHEN mx = mn THEN 0.0
+                ELSE (c_acctbal - mn) / (mx - mn) END AS bal_scaled
+    FROM (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               MIN(c_acctbal) OVER (PARTITION BY c_nationkey) AS mn,
+               MAX(c_acctbal) OVER (PARTITION BY c_nationkey) AS mx
+        FROM customer
+    ) t
+    """,
+)
+def grouped_applyinpandas_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-UDF surface: per-nation min-max scaling in applyInPandas
+    (one Arrow batch per group). min/max + a single subtract/divide are
+    bit-identical to the oracle's window formulation, so even the Python
+    slow path hash-checks. The groupBy key rides the shuffle exactly like a
+    window partition -- same scale shape, arbitrary Python inside."""
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["c_acctbal"].min(), pdf["c_acctbal"].max()
+        scaled = (pdf["c_acctbal"] - mn) / (mx - mn) if mx != mn else 0.0
+        return pd.DataFrame(
+            {
+                "c_custkey": pdf["c_custkey"],
+                "c_nationkey": pdf["c_nationkey"],
+                "bal_scaled": scaled,
+            }
+        )
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    return c.groupBy("c_nationkey").applyInPandas(
+        scale, "c_custkey bigint, c_nationkey int, bal_scaled double"
+    )
+
+
+@register(
     "from_json_roundtrip",
     oracle="""
     SELECT event_id,
