@@ -18,6 +18,7 @@ sort before left rows at equal ts), matching ASOF JOIN's ts <= semantics.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -64,3 +65,53 @@ def asof_join(
         ],
     )
     return carried.where(F.col("_side") == 1).drop("_side")
+
+
+def asof_join_cogroup(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Same semantics via the cogrouped-UDF surface: groupBy(key).cogroup +
+    applyInPandas running pandas merge_asof per key group (backward,
+    exact-match inclusive -- identical tie rule to the window variant).
+
+    Scale: both sides shuffle once on the key (exactly like the union-and-
+    carry variant); within a group the merge is the textbook two-pointer
+    O(n+m). Use this shape when per-key logic outgrows window expressions;
+    prefer the expression variant otherwise (no Python in the loop)."""
+    lcols = list(left.columns)
+    out_cols = lcols + [f"{prefix}{v}" for v in value_cols]
+    l_t = dict(zip(left.columns, [f.dataType.simpleString() for f in left.schema]))
+    r_t = {f.name: f.dataType.simpleString() for f in right.schema}
+    schema = ", ".join(
+        [f"{c} {l_t[c]}" for c in lcols]
+        + [f"{prefix}{v} {r_t[v]}" for v in value_cols]
+    )
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(left_ts, kind="mergesort")
+        if len(rpdf) == 0:
+            out = lpdf.copy()
+            for v in value_cols:
+                out[f"{prefix}{v}"] = None
+            return out[out_cols]
+        # dedicated merge-key column: right_ts may itself be a value col
+        rsub = pd.DataFrame({"_rts": rpdf[right_ts]})
+        for v in value_cols:
+            rsub[f"{prefix}{v}"] = rpdf[v]
+        rsub = rsub.sort_values("_rts", kind="mergesort")
+        merged = pd.merge_asof(
+            lpdf, rsub, left_on=left_ts, right_on="_rts", direction="backward"
+        )
+        return merged[out_cols]
+
+    return (
+        left.groupBy(key)
+        .cogroup(right.groupBy(key))
+        .applyInPandas(merge, schema)
+    )

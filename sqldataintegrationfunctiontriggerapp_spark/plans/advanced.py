@@ -14,14 +14,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
-from sqldataintegrationfunctiontriggerapp_spark.operators.asof import asof_join
+from sqldataintegrationfunctiontriggerapp_spark.operators.asof import (
+    asof_join,
+    asof_join_cogroup,
+)
 from sqldataintegrationfunctiontriggerapp_spark.plans._util import dsum, sql_dsum
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 
-
-@register(
-    "asof_join_prior_purchase",
-    oracle="""
+_ASOF_ORACLE = """
     WITH p AS (
         SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, MAX(event_id) AS pid
         FROM events WHERE event_type = 'purchase'
@@ -31,14 +31,10 @@ from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
            p.pts AS asof_purchase_ts, p.pid AS asof_purchase_id
     FROM events e
     ASOF LEFT JOIN p ON e.user_id = p.user_id AND CAST(e.ts AS TIMESTAMP) >= p.pts
-    """,
-)
-def asof_join_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each event annotated with the latest purchase at-or-before
-    it for the same user. The engine's union-and-carry window implementation
-    (operators/asof.py -- one shuffle, no range-join explosion) is verified
-    against DuckDB's *native* ASOF JOIN, i.e. two independent constructions
-    of the semantics."""
+    """
+
+
+def _asof_inputs(spark: SparkSession, sf_dir: str):
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
     )
@@ -49,8 +45,38 @@ def asof_join_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("pts").alias("purchase_ts"),
                 F.col("pid").alias("purchase_id"))
     )
+    return ev.select("event_id", "user_id", "ts"), purchases
+
+
+@register("asof_join_prior_purchase", oracle=_ASOF_ORACLE)
+def asof_join_prior_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event annotated with the latest purchase at-or-before
+    it for the same user. The engine's union-and-carry window implementation
+    (operators/asof.py -- one shuffle, no range-join explosion) is verified
+    against DuckDB's *native* ASOF JOIN, i.e. two independent constructions
+    of the semantics."""
+    ev, purchases = _asof_inputs(spark, sf_dir)
     out = asof_join(
-        ev.select("event_id", "user_id", "ts"),
+        ev,
+        purchases,
+        key="user_id",
+        left_ts="ts",
+        right_ts="purchase_ts",
+        value_cols=["purchase_ts", "purchase_id"],
+    )
+    return out.select("event_id", "user_id", "ts",
+                      "asof_purchase_ts", "asof_purchase_id")
+
+
+@register("asof_join_cogroup_pandas", oracle=_ASOF_ORACLE)
+def asof_join_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME as-of semantics through the cogrouped-UDF surface
+    (groupBy.cogroup.applyInPandas running pandas merge_asof per key) --
+    three independent constructions now hash-check against each other:
+    window expressions, pandas two-pointer merge, DuckDB native ASOF."""
+    ev, purchases = _asof_inputs(spark, sf_dir)
+    out = asof_join_cogroup(
+        ev,
         purchases,
         key="user_id",
         left_ts="ts",
@@ -312,6 +338,38 @@ def from_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_json(F.struct(F.col("j.k").alias("k"), F.col("event_id"))).alias(
             "reserialized"
         ),
+    )
+
+
+@register(
+    "fuzzy_levenshtein_pairs",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE a.p_partkey < 300 AND b.p_partkey < 300
+      AND levenshtein(a.p_name, b.p_name) <= 12
+    """,
+)
+def fuzzy_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching (entity-resolution shape): candidate
+    pairs blocked on an equality key (brand) so the quadratic comparison
+    runs per block, never across the whole table -- the classic blocking
+    strategy that keeps Levenshtein affordable at scale."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") < 300)
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("na"),
+                 "p_brand")
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("nb"),
+                 "p_brand")
+    return (
+        a.join(b, "p_brand")
+        .where(F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b",
+            F.levenshtein("na", "nb").alias("dist"),
+        )
+        .where(F.col("dist") <= 12)
     )
 
 
