@@ -634,3 +634,113 @@ def timestamp_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.lit("1995-02-01").cast("timestamp")
         ).alias("timed_out"),
     )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n.n_name,
+           {sql_revenue('revenue')}
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name IN ('ASIA', 'AMERICA')
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1999-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped 6-way join: revenue by supplier nation where customer
+    and supplier share a nation inside a region filter.
+
+    Plan shape at scale: the dimension chain region->nation->supplier is
+    broadcast (all tiny relative to facts); orders |X| lineitem is the one
+    real shuffle, on the order key; the local-supplier condition
+    (s_nationkey = c_nationkey) rides the supplier join as an extra equi-key
+    instead of a post-join filter, so the join itself prunes non-local rows.
+    """
+    r = load_table(spark, sf_dir, "region").where(
+        F.col("r_name").isin("ASIA", "AMERICA")
+    )
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    co = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey"
+    )
+    return (
+        li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(revenue_col("revenue"))
+    )
+
+
+@register(
+    "q7_nation_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS cust_nation,
+           n2.n_name AS supp_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           {sql_revenue('revenue')}
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE n1.n_name <> n2.n_name
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+    """,
+)
+def q7_nation_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped cross-nation trade volume: revenue between DIFFERENT
+    customer and supplier nations by ship year (the inequality predicate
+    n1 <> n2 is a post-join filter on two broadcast dimensions)."""
+    nat = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer").join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("cnk"),
+                               F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("cnk"),
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("snk"),
+                               F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("snk"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp")
+    )
+    co = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "cust_nation"
+    )
+    return (
+        li.join(co, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation", "supp_nation",
+            F.year("l_shipdate").alias("ship_year"),
+        )
+        .agg(revenue_col("revenue"))
+    )
