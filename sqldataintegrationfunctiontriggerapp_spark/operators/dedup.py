@@ -169,6 +169,72 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     )
 
 
+def connected_components(edges: DataFrame, src: str = "doc_a",
+                         dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+    """Connected components over an undirected edge list, returning
+    (node, component_id) with component_id = min node id in the component --
+    the step that turns near-dup *pairs* into dedup *groups* (pick one keeper
+    per component, drop the rest).
+
+    Algorithm: distributed min-label propagation with pointer jumping.
+    Each round every node takes the min label over {self} U neighbors
+    (one equi-join + one partial-aggregated groupBy), then compresses paths
+    by replacing its label with its label's label (a second equi-join).
+    The jump step makes label trees halve in height every round, so rounds
+    are O(log n) in the worst case rather than O(graph diameter) -- the same
+    round complexity as the large-star/small-star formulation (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14) while
+    keeping every step a plain shuffle join Catalyst/AQE can plan. All data
+    stays distributed; the driver sees only a one-row convergence count per
+    round. Lineage is truncated per round with localCheckpoint so the plan
+    does not grow exponentially across iterations.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(
+        sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("u", "node")
+        )
+        stepped = labels.join(nbr_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("comp"), F.coalesce("nbr_comp", "comp")
+            ).alias("comp"),
+        )
+        # pointer jump: comp <- comp(comp); labels always point at real nodes
+        jump = labels.select(
+            F.col("node").alias("comp"), F.col("comp").alias("jumped")
+        )
+        new_labels = stepped.join(jump, "comp", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("jumped", "comp")).alias("comp"),
+        ).localCheckpoint()
+        changed = (
+            new_labels.withColumnRenamed("comp", "new_comp")
+            .join(labels, "node")
+            .where(F.col("new_comp") != F.col("comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens with an md5-derived bit source:

@@ -111,6 +111,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE ex AS ({_SHINGLED}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.doc_a
+        JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.8
+    ),
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM edges
+    ),
+    reach AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+    )
+    SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+    FROM reach GROUP BY u
+    """,
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: n-gram-Jaccard near-dup pairs (>= 0.8) closed
+    under transitivity into connected components; component_id = min doc_id
+    is the canonical keeper. The oracle computes the same closure with a
+    recursive CTE; Spark uses O(log n)-round min-label propagation
+    (operators/dedup.py connected_components) since a recursive self-join
+    closure materializes all O(n^2) reachability pairs at scale."""
+    d = load_table(spark, sf_dir, "documents")
+    edges = D.ngram_jaccard_pairs(d, shingle_n=3, threshold=0.8).select(
+        "doc_a", "doc_b"
+    )
+    return D.connected_components(edges)
+
+
+@register(
     "dedup_simhash",
     oracle="""
     WITH toked AS (

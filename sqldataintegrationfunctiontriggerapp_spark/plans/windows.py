@@ -32,11 +32,15 @@ from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ordering is unique per row (event_id tiebreak), so an explicit ROWS
+    # frame is result-identical to the default RANGE frame but skips the
+    # per-row range-bound evaluation in the window exec
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return ev.select(
         "event_id",
         "user_id",
         F.row_number().over(w).alias("seq"),
-        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+        F.sum(F.col("value").cast(DEC)).over(w_sum).cast("double").alias("running_value"),
     )
 
 

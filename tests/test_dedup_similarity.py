@@ -86,3 +86,23 @@ def test_frame_sample_offsets(spark, sf_dir):
         F.col("byte_offset") > F.col("byte_len")
     )
     assert bad.count() == 0
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A 6-node chain (worst case for label propagation: full diameter) plus
+    a 2-node island and a triangle must resolve to min-id components in the
+    O(log n) pointer-jumping rounds."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),   # chain
+         (10, 11),                                  # island
+         (20, 21), (21, 22), (20, 22)],             # triangle
+        "doc_a long, doc_b long",
+    )
+    got = {
+        (r.doc_id, r.component_id)
+        for r in D.connected_components(edges).collect()
+    }
+    want = {(n, 1) for n in range(1, 7)} | {(10, 10), (11, 10)} | {
+        (n, 20) for n in (20, 21, 22)
+    }
+    assert got == want
