@@ -18,7 +18,7 @@ from sqldataintegrationfunctiontriggerapp_spark.operators.asof import (
     asof_join,
     asof_join_cogroup,
 )
-from sqldataintegrationfunctiontriggerapp_spark.plans._util import dsum, sql_dsum
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import DEC, dsum, sql_dsum
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 
 _ASOF_ORACLE = """
@@ -394,3 +394,122 @@ def posexplode_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "term")
+
+
+@register(
+    "exists_semi_subquery",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def exists_semi_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped EXISTS: orders with at least one lineitem shipped
+    more than 90 days after the order date, counted by priority. The engine
+    states the EXISTS as a LEFT SEMI join -- the decorrelated plan Catalyst
+    would produce, and the only shape that scales (the semi join stops
+    probing an order after its first late lineitem; no fact-side blowup)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "in_subquery_large_orders",
+    oracle="""
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_totalprice, SUM(l.l_quantity) AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+    )
+    GROUP BY c.c_name, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    """,
+)
+def in_subquery_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped IN + HAVING subquery: customers behind the very
+    largest orders (total quantity > 250, the top ~1%). The IN list is an
+    aggregate over the same fact table; the engine computes it once and
+    LEFT SEMI joins it back -- at scale the HAVING filter makes the semi
+    side tiny, so AQE converts the probe into a broadcast join."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .where(F.col("q") > 250)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+    )
+
+
+@register(
+    "not_exists_anti_subquery",
+    oracle="""
+    SELECT c.c_nationkey,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_bal
+    FROM customer c
+    WHERE c.c_acctbal > (
+        SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(c2.c_acctbal)
+        FROM customer c2 WHERE c2.c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    GROUP BY c.c_nationkey
+    """,
+)
+def not_exists_anti_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped NOT EXISTS + uncorrelated scalar subquery:
+    above-average-balance customers with no urgent order, by nation.
+    NOT EXISTS becomes a LEFT ANTI join against the pre-filtered orders
+    subset (filter pushed below the anti join, so the build side carries
+    only urgent orders); the scalar average is a one-row aggregate joined
+    in by broadcast -- no per-row subquery execution anywhere."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.where(F.col("c_acctbal") > 0.0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double")
+            / F.count("c_acctbal")
+        ).alias("avg_bal")
+    )
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(urgent, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_bal"),
+        )
+    )
