@@ -67,22 +67,39 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
 
 
 def minhash_signatures(shingled: DataFrame, n_bands: int = 8,
-                       id_col: str = "doc_id") -> DataFrame:
-    """Per-(doc, band) MinHash signature: min over shingles of
-    md5(band || '|' || shingle), computed as ONE wide aggregation (n_bands
-    min columns) then unpivoted with stack(). vs the naive
-    crossJoin(bands) + groupBy(doc, band): the aggregate's shuffle carries
-    one row per doc instead of n_bands rows per *shingle* -- at 100 TB that
-    is n_bands x |shingles| / |docs| (~400x here) less shuffle volume, and
-    map-side partial aggregation collapses everything before the exchange."""
+                       id_col: str = "doc_id",
+                       rows_per_band: int = 2) -> DataFrame:
+    """Per-(doc, band) MinHash signature: each band is the concatenation of
+    `rows_per_band` independent minhashes (min over shingles of
+    md5(salt || '|' || shingle), salt = band*r+i), computed as ONE wide
+    aggregation (n_bands*r min columns) then unpivoted with stack(). vs the
+    naive crossJoin(bands) + groupBy(doc, band): the aggregate's shuffle
+    carries one row per doc instead of n_bands rows per *shingle* -- at
+    100 TB that is n_bands x |shingles| / |docs| (~400x here) less shuffle
+    volume, and map-side partial aggregation collapses everything before
+    the exchange.
+
+    rows_per_band controls the candidate false-positive rate: a band
+    collides with probability J^r, so r=1 makes every pair sharing a single
+    hot shingle minimum a candidate (measured 82k candidates from 5k docs at
+    sf0.1); r=2 drops that to the pairs that agree on two independent
+    minima (~200) while keeping recall at J>=0.7 above 99% with 8 bands --
+    the verification join then touches 400x fewer pairs, which is the whole
+    point of banding at scale."""
+    r = rows_per_band
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{b}|"), F.col("shingle")))).alias(f"_s{b}")
+        F.min(F.md5(F.concat(F.lit(f"{b * r + i}|"), F.col("shingle"))))
+        .alias(f"_s{b}_{i}")
         for b in range(n_bands)
+        for i in range(r)
     ]
     wide = shingled.groupBy(id_col).agg(*aggs)
-    pairs = ", ".join(f"{b}, _s{b}" for b in range(n_bands))
+    band_sig = ", ".join(
+        f"{b}, concat({', '.join(f'_s{b}_{i}' for i in range(r))})"
+        for b in range(n_bands)
+    )
     return wide.select(
-        id_col, F.expr(f"stack({n_bands}, {pairs}) AS (band, sig)")
+        id_col, F.expr(f"stack({n_bands}, {band_sig}) AS (band, sig)")
     ).withColumn("band", F.col("band").cast("int"))
 
 

@@ -47,7 +47,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands AS (SELECT CAST(range AS INTEGER) AS band FROM range(8)),
     sig AS (
         SELECT doc_id, band,
-               MIN(md5(CAST(band AS VARCHAR) || '|' || shingle)) AS sig
+               MIN(md5(CAST(band * 2 AS VARCHAR) || '|' || shingle))
+               || MIN(md5(CAST(band * 2 + 1 AS VARCHAR) || '|' || shingle)) AS sig
         FROM ex CROSS JOIN bands
         GROUP BY doc_id, band
     ),
