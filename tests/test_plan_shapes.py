@@ -72,3 +72,29 @@ def test_whole_stage_codegen_present(spark, sf_dir, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes are the WholeStageCodegen markers in compact plan text
     assert "*(" in plan
+
+
+def test_exists_subquery_is_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "exists_semi_subquery")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_not_exists_is_anti_join_with_pushed_filter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "not_exists_anti_subquery")
+    assert "LeftAnti" in plan
+    # the urgent-orders filter must reach the scan below the anti join,
+    # not run as a post-join filter over the whole orders table
+    assert "EqualTo(o_orderpriority,1-URGENT)" in plan
+
+
+def test_in_subquery_is_semi_join_no_distinct_blowup(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "in_subquery_large_orders")
+    assert "LeftSemi" in plan
+
+
+def test_q5_broadcasts_dimension_chain(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    # region->nation->supplier chain rides broadcasts; the only shuffle
+    # joins are the order/customer/lineitem fact joins
+    assert plan.count("BroadcastHashJoin") >= 3
