@@ -49,9 +49,11 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    n_checked = 0
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        n_checked += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -98,7 +100,10 @@ def main() -> int:
                 f"PASS  {name} ({len(srows)} rows, spark {t_spark:.1f}s,"
                 f" duck {time.time()-t0:.1f}s)"
             )
-    print(f"\n{len(queries) - len(failures)}/{len(queries)} ok; failures: {failures}")
+    print(
+        f"\n{n_checked - len(failures)}/{n_checked} checked ok"
+        f" ({len(queries)} registered); failures: {failures}"
+    )
     return 1 if failures else 0
 
 
