@@ -25,13 +25,45 @@ def entry(spark: SparkSession) -> DataFrame:
     return plans.QUERIES["q3_shipping_priority"](spark, "/root/testdata/sf0.001")
 
 
+# Sweep priority: the driver checks queries in this dict's insertion order
+# and has a finite per-round budget (round 1 reached entry 50 of 83, leaving
+# 33 with no correctness signal -- VERDICT.md "What's missing" #1). Queries
+# with no signal yet come first, then the 9 that erred on the nanos bug
+# (fixed in catalog.load_table) so their flip to green is recorded, then the
+# already-hash-passed rest. Every entry is still registered regardless of
+# budget.
+_SWEEP_PRIORITY = [
+    # no correctness row in CORRECTNESS_r01.json
+    "join_full_outer", "theta_range_join", "set_union", "set_intersect",
+    "set_except", "pivot_status", "range_batching", "scalar_string_funcs",
+    "timestamp_arithmetic", "q5_local_supplier_volume",
+    "q7_nation_volume_shipping", "q10_returned_items", "monthly_order_trend",
+    "train_val_split", "quota_per_source", "ann_cosine_topk", "ann_lsh_topk",
+    "ann_ivf_topk", "embedding_norms", "embedding_centroids",
+    "text_token_stats", "text_bpe_token_count", "text_quality_score",
+    "text_lang_id", "text_fingerprint", "term_frequencies",
+    "window_running_sum", "window_lag_lead", "window_rank", "topk_per_group",
+    "sessionization", "time_window_tumbling", "time_window_sliding",
+    # erred in round 1 (events.parquet nanos, fixed): record the flip
+    "asof_join_prior_purchase", "asof_join_cogroup_pandas",
+    "from_json_roundtrip", "retry_classification", "retry_backoff",
+    "cdc_latest_state", "json_extract", "purge_retention",
+    "changefeed_watermark",
+]
+
+
+def _ordered(d: dict) -> dict:
+    head = {k: d[k] for k in _SWEEP_PRIORITY if k in d}
+    return head | {k: v for k, v in d.items() if k not in head}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(plans.QUERIES)
+    return _ordered(dict(plans.QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for every hash-checkable query; approximate or
     non-SQL-expressible ops (approx_count_distinct, ann_lsh_topk) are omitted
     and get the driver's rows-only check."""
-    return dict(plans.ORACLES)
+    return _ordered(dict(plans.ORACLES))

@@ -34,6 +34,13 @@ def _warm_fn(s: pd.Series) -> pd.Series:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The JVM child inherits fd 1 and can write banners/progress into stdout,
+    # which breaks the driver's json.loads of our one-line contract. Save the
+    # real stdout, point fd 1 (and sys.stdout) at stderr for the whole run,
+    # and emit the JSON line on the saved fd at the end -- the only stdout line.
+    real_stdout_fd = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
     spark = get_session(app_name="bench")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
     # Python-worker warmup: fork + pandas import for the Arrow UDF pool once,
@@ -57,17 +64,17 @@ def main() -> None:
         # doesn't fill with dead caches as the suite progresses
         spark.catalog.clearCache()
 
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_sec",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "suite_wall_sec",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        }
     )
+    os.write(real_stdout_fd, (line + "\n").encode())
+    os.close(real_stdout_fd)
 
 
 if __name__ == "__main__":

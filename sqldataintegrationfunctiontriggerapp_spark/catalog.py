@@ -38,8 +38,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     converted here to a microsecond timestamp by floor division -- the same
     truncation DuckDB applies when coercing ns to its us TIMESTAMP, keeping
     oracle comparisons exact.
+
+    The conf is set here (not only in session.get_session) because callers --
+    the correctness driver, notebooks -- hand us their own bare SparkSession;
+    it is runtime-settable SQL conf, so this works on any session.
     """
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"fixture table {name!r} not found at {path}")
+    df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

@@ -146,44 +146,62 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
                       shingle_n: int = 3, n_bands: int = 8,
                       threshold: float = 0.7) -> DataFrame:
     """C3 end-to-end: shingle -> MinHash band signatures -> LSH collision
-    candidates -> exact-Jaccard verification. Returns (doc_a, doc_b, jaccard)."""
+    candidates -> exact-Jaccard verification. Returns (doc_a, doc_b, jaccard).
+
+    The returned pair table is materialized eagerly (localCheckpoint) so the
+    shingle cache -- which feeds signatures + sizes + both verification
+    sides -- can be released before returning; callers in long-lived sessions
+    would otherwise accumulate dead caches (one per call) on the executors.
+    The pair table itself is tiny relative to the corpus (bounded by real
+    near-dups plus band collisions), so holding it checkpointed is cheap."""
     # shingled feeds signatures + sizes + both verification sides: cache it
     # so the explode/tokenize work happens once per run, not four times.
     shingled = word_shingles(df, text_col, shingle_n, id_col).persist()
-    sigs = minhash_signatures(shingled, n_bands, id_col)
-    cands = lsh_candidate_pairs(sigs, id_col)
-    return verify_jaccard(cands, shingled, threshold, id_col)
+    try:
+        sigs = minhash_signatures(shingled, n_bands, id_col)
+        cands = lsh_candidate_pairs(sigs, id_col)
+        result = verify_jaccard(cands, shingled, threshold, id_col).localCheckpoint()
+    finally:
+        shingled.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-                        shingle_n: int = 3, threshold: float = 0.8) -> DataFrame:
+                        shingle_n: int = 3, threshold: float = 0.8,
+                        max_shingle_df: int = 1000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join (the
-    exact baseline LSH approximates). The self-join's per-pair match count IS
-    the intersection size, so jaccard comes from one join + one aggregate --
-    no candidate materialization + re-verification pass. Shuffle volume is
-    bounded by sum(freq(shingle)^2); at 100 TB hot shingles (stop-phrases)
-    need a frequency cap upstream, exactly the df-cap LSH banding provides."""
+    exact baseline LSH approximates).
+
+    Scale guard: the inverted-index self-join's shuffle volume is bounded by
+    sum(freq(shingle)^2), so one stop-phrase shared by 1M documents would
+    alone generate 10^12 candidate rows. Shingles whose document frequency
+    exceeds ``max_shingle_df`` are excluded from CANDIDATE GENERATION only --
+    they carry no discrimination (any pair they suggest is also suggested by
+    rarer shared shingles unless the pair shares *only* boilerplate).
+    Verification then computes exact Jaccard over the FULL shingle sets of
+    the surviving candidates, so reported jaccard values are exact and the
+    DuckDB oracle matches unchanged wherever no shingle exceeds the cap
+    (always true at test SFs: 500 docs < cap=1000)."""
     shingled = word_shingles(df, text_col, shingle_n, id_col).persist()
-    sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    ea = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
-    eb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
-    inter = (
-        ea.join(eb, "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
-    jac = F.col("n_inter").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("n_inter")
-    )
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    try:
+        dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        rare = shingled.join(
+            F.broadcast(dfreq.where(F.col("_df") > max_shingle_df)),
+            "shingle",
+            "left_anti",
+        )
+        ea = rare.select(F.col(id_col).alias("doc_a"), "shingle")
+        eb = rare.select(F.col(id_col).alias("doc_b"), "shingle")
+        cands = (
+            ea.join(eb, "shingle")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        result = verify_jaccard(cands, shingled, threshold, id_col).localCheckpoint()
+    finally:
+        shingled.unpersist()
+    return result
 
 
 def connected_components(edges: DataFrame, src: str = "doc_a",

@@ -110,6 +110,120 @@ def cosine_pairs_above(
     )
 
 
+def cosine_pairs_above_bucketed(
+    vectors: DataFrame,
+    threshold: float,
+    n_pivots: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs >= threshold WITHOUT the O(n^2)
+    crossJoin: an exact pivot-partitioned angular join.
+
+    Why not SRP-LSH here: at the dedup threshold 0.4 (angle 66 deg) a
+    hyperplane agrees on a qualifying pair with p only ~0.63, so 100% recall
+    needs so many tables that the union of per-table self-joins exceeds the
+    n^2 it was meant to avoid. LSH prunes well only for high thresholds;
+    dedup wants a guarantee at a low one.
+
+    Exact pruning instead, via the triangle inequality on angles:
+      theta(a, b) >= theta(c_i, c_j) - r_i - r_j
+    for a in cluster i (angular radius r_i around pivot c_i), b in cluster j.
+    A cluster PAIR can be skipped outright when that lower bound exceeds
+    acos(threshold) -- no qualifying pair can span it. The survivors join on
+    the cluster-pair id (a plain shuffle equi-join -- no CartesianProduct, no
+    full-corpus broadcast) and exact cosine (same fold as the oracle) decides.
+
+    Scale shape (100 TB): pivots are a deterministic md5-ordered sample (one
+    bounded n_pivots-row collect, as in ivf_topk); assignment is a pure map;
+    radii are one n_pivots-row aggregate. Work is sum over admissible cluster
+    pairs of |C_i| x |C_j| -- with clustered real-world embeddings most of
+    the K^2 grid prunes away, and n_pivots scales as sqrt(corpus/target
+    partition size). AQE splits skewed clusters. Recall is 100% by
+    construction (inequality, not probability), so the DuckDB oracle matches
+    exactly; only cost, never the result, depends on pivot quality.
+    """
+    import math
+
+    base = (
+        vectors.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        .withColumn("n2", dot(F.col("v"), F.col("v")))
+    )
+    pivot_rows = (
+        base.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(n_pivots)
+        .collect()
+    )
+    pivots = [[float(x) for x in r.v] for r in pivot_rows]
+    pn2 = [sum(x * x for x in p) for p in pivots]
+    k = len(pivots)
+
+    def cos_to(vec: Column, n2: Column, i: int) -> Column:
+        p = F.array(*[F.lit(x) for x in pivots[i]])
+        return dot(vec, p) / F.sqrt(n2 * F.lit(pn2[i]))
+
+    # nearest pivot by angle == argmax cosine; theta kept for the radius agg.
+    # clamp cos into [-1, 1] before acos (fold roundoff can exceed by 1 ulp)
+    cos_arr = F.array(*[cos_to(F.col("v"), F.col("n2"), i) for i in range(k)])
+    assigned = (
+        base.withColumn("_cos_arr", cos_arr)
+        .withColumn(
+            "cluster",
+            (F.array_position(F.col("_cos_arr"), F.array_max(F.col("_cos_arr"))) - 1)
+            .cast("int"),
+        )
+        .withColumn(
+            "theta",
+            F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.array_max(F.col("_cos_arr"))))),
+        )
+        .drop("_cos_arr")
+    )
+    radii_rows = (
+        assigned.groupBy("cluster").agg(F.max("theta").alias("r")).collect()
+    )
+    radius = {int(r.cluster): float(r.r) for r in radii_rows}
+
+    # driver-side K x K admissibility grid (K^2 is tiny; this is metadata,
+    # not data). eps absorbs double roundoff in the acos bounds.
+    eps = 1e-9
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+
+    def angle(i: int, j: int) -> float:
+        d = sum(a * b for a, b in zip(pivots[i], pivots[j]))
+        c = d / math.sqrt(pn2[i] * pn2[j])
+        return math.acos(max(-1.0, min(1.0, c)))
+
+    admissible = [
+        (i, j)
+        for i in radius
+        for j in radius
+        if angle(i, j) - radius[i] - radius[j] <= theta_t + eps
+    ]
+    spark = vectors.sparkSession
+    adm = spark.createDataFrame(admissible, "ca int, cb int")
+
+    a = assigned.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("n2").alias("na2"), F.col("cluster").alias("ca"),
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("n2").alias("nb2"), F.col("cluster").alias("cb"),
+    )
+    return (
+        a.join(F.broadcast(adm), "ca")
+        .join(b, "cb")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot(F.col("va"), F.col("vb"))
+             / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def _hyperplanes(dim: int, nbits: int) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from md5 -- no RNG state, same
     planes on every run/executor. Component h[i][j] in [-1, 1)."""

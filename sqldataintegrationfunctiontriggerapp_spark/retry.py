@@ -86,14 +86,17 @@ class RetryController:
         new_count = rearm_attempt_count(count)
         if new_count is not None and self.rearm is not None:
             self.rearm(new_count)  # :161-167 (A18)
+        # Reference increments RetryCount BEFORE the notify comparison
+        # (RetryFunctions.cs:51,172), so the Nth probe turn notifies -- not
+        # the (N+1)th.
+        self.retry_count += 1
         if (
             self.retry_count == self.settings.notify_on_retry_count
             and self.notifier is not None
         ):
-            # :170-173 (A20); this path is not throttled (postfix variant)
+            # :170-173 (A20); this path is not throttled
             self.notifier.notify(self.table, f"retry #{self.retry_count} for {self.table}",
                                  throttled=False)
-        self.retry_count += 1
         return True
 
     def run_retry_loop(self, max_iterations: int = 1000) -> int:

@@ -125,22 +125,42 @@ class HttpSink:
     def post_partitions(self, enveloped: DataFrame, chunk_rows: int = 500) -> int:
         """Executor-side POST: each partition posts its own chunked batches
         (Sql_Trigger_MaxBatchSize analog) -- the at-scale path with no driver
-        bottleneck. Returns total rows posted."""
+        bottleneck. Returns total rows posted.
+
+        Sink errors are carried back as data and re-raised driver-side with
+        their classification intact: an exception thrown inside a task would
+        surface as an opaque Py4J error, losing the fatal-vs-retryable
+        signal process_batch routes on (A8). Fatal outranks retryable. A
+        failing partition may leave other partitions already posted -- that
+        is the at-least-once contract (A25): the caller re-raises, the
+        checkpoint does not advance, and the batch redelivers."""
         sink = self
 
         def _post_iter(it):
             buf: list[str] = []
             n = 0
-            for row in it:
-                buf.append(row["payload"])
-                if len(buf) >= chunk_rows:
+            try:
+                for row in it:
+                    buf.append(row["payload"])
+                    if len(buf) >= chunk_rows:
+                        sink.post_payloads(buf)
+                        n += len(buf)
+                        buf = []
+                if buf:
                     sink.post_payloads(buf)
                     n += len(buf)
-                    buf = []
-            if buf:
-                sink.post_payloads(buf)
-                n += len(buf)
-            yield n
+            except FatalSinkError as e:
+                yield (n, "fatal", str(e))
+                return
+            except RetryableSinkError as e:
+                yield (n, "retryable", str(e))
+                return
+            yield (n, None, None)
 
-        counts = enveloped.rdd.mapPartitions(_post_iter).collect()
-        return sum(counts)
+        results = enveloped.rdd.mapPartitions(_post_iter).collect()
+        for kind_wanted, exc in (("fatal", FatalSinkError),
+                                 ("retryable", RetryableSinkError)):
+            for _, kind, msg in results:
+                if kind == kind_wanted:
+                    raise exc(msg)
+        return sum(n for n, _, _ in results)

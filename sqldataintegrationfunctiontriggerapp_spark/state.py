@@ -7,15 +7,20 @@ entity families keyed by table name -- LastError {message, date}
 singleton orchestration instances keyed by table (RetryFunctions.cs:92).
 All three map onto rows here.
 
-Storage: a parquet directory, updated by read-modify-overwrite MERGE
-emulation (last-writer-wins per key). On a cluster this would be a Delta
-table and `MERGE INTO`; the API is shaped so that swap is one method body.
-The state table is tiny (one row per (entity, table)) -- rewriting it is
-O(number of tables), never O(data).
+Storage: a parquet directory laid out as
+``entity_type=<t>/bucket=<md5(key) % N>/``; an upsert reads, merges, and
+overwrites ONLY the one (entity_type, bucket) partition its key hashes to,
+so concurrent upserts against different tables touch disjoint files and the
+write cost is O(keys-in-bucket), never O(state). Point lookups (`get`) read
+one partition directory. On a cluster this layout maps 1:1 onto a Delta
+table partitioned the same way with `MERGE INTO`; the API is shaped so that
+swap is one method body. The md5 bucket (not Spark's hash()) keeps the
+layout engine-portable and stable across versions.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
 from datetime import datetime, timezone
 
@@ -32,8 +37,24 @@ STATE_SCHEMA = T.StructType(
     ]
 )
 
+# data files inside a partition carry only the non-partition columns
+_PART_SCHEMA = T.StructType(
+    [
+        T.StructField("key", T.StringType(), False),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("updated_at", T.TimestampType(), False),
+    ]
+)
+
+N_BUCKETS = 16
+
 LAST_ERROR = "LastError"          # EntityFunctions.cs:8
 ALLOWED_COLUMNS = "AllowedColumns"  # EntityFunctions.cs:32
+
+
+def key_bucket(key: str, n_buckets: int = N_BUCKETS) -> int:
+    """Stable, engine-portable bucket id for a state key."""
+    return int(hashlib.md5(key.encode()).hexdigest()[:8], 16) % n_buckets
 
 
 class StateStore:
@@ -41,34 +62,63 @@ class StateStore:
         self.spark = spark
         self.path = path
 
+    def _partition_dir(self, entity_type: str, key: str) -> str:
+        return os.path.join(
+            self.path,
+            f"entity_type={entity_type}",
+            f"bucket={key_bucket(key)}",
+        )
+
+    def _read_partition(self, part_dir: str) -> DataFrame:
+        if not os.path.isdir(part_dir):
+            return self.spark.createDataFrame([], _PART_SCHEMA)
+        return self.spark.read.schema(_PART_SCHEMA).parquet(part_dir)
+
     def _read(self) -> DataFrame:
-        if not os.path.exists(self.path):
+        if not os.path.isdir(self.path) or not os.listdir(self.path):
             return self.spark.createDataFrame([], STATE_SCHEMA)
-        return self.spark.read.schema(STATE_SCHEMA).parquet(self.path)
+        df = (
+            self.spark.read.schema(_PART_SCHEMA)
+            .option("basePath", self.path)
+            .parquet(self.path)
+        )
+        # partition-dir columns come back from directory names; normalize
+        # types/order to STATE_SCHEMA
+        return df.select(
+            F.col("entity_type").cast("string"),
+            "key",
+            "value",
+            "updated_at",
+        )
 
     def upsert(self, entity_type: str, key: str, value: str | None) -> None:
-        """MERGE-style last-writer-wins upsert (EntityFunctions.cs Save ops)."""
+        """MERGE-style last-writer-wins upsert (EntityFunctions.cs Save ops),
+        rewriting only the (entity_type, bucket) partition the key lives in --
+        untouched keys' files are never rewritten (asserted in
+        tests/test_state_retry.py)."""
         now = datetime.now(timezone.utc).replace(tzinfo=None)
-        new = self.spark.createDataFrame(
-            [(entity_type, key, value, now)], STATE_SCHEMA
-        )
-        merged = self._read().unionByName(new)
-        w = Window.partitionBy("entity_type", "key").orderBy(F.desc("updated_at"))
+        part_dir = self._partition_dir(entity_type, key)
+        new = self.spark.createDataFrame([(key, value, now)], _PART_SCHEMA)
+        merged = self._read_partition(part_dir).unionByName(new)
+        w = Window.partitionBy("key").orderBy(F.desc("updated_at"))
         latest = (
             merged.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .drop("_rn")
         )
-        # Small-state read-modify-overwrite; Delta MERGE at cluster scale.
+        # The partition is tiny (one row per table in this bucket): collect +
+        # rewrite is bounded, and decoupling read from overwrite avoids
+        # reading the files being replaced.
         rows = latest.collect()
-        out = self.spark.createDataFrame(rows, STATE_SCHEMA)
-        out.coalesce(1).write.mode("overwrite").parquet(self.path)
+        out = self.spark.createDataFrame(rows, _PART_SCHEMA)
+        out.coalesce(1).write.mode("overwrite").parquet(part_dir)
 
     def get(self, entity_type: str, key: str) -> str | None:
-        """Keyed point lookup (ClientAllowedColumnsFunction.cs:47-56)."""
+        """Keyed point lookup (ClientAllowedColumnsFunction.cs:47-56): reads
+        exactly one partition directory."""
         rows = (
-            self._read()
-            .where((F.col("entity_type") == entity_type) & (F.col("key") == key))
+            self._read_partition(self._partition_dir(entity_type, key))
+            .where(F.col("key") == key)
             .select("value")
             .collect()
         )

@@ -84,12 +84,17 @@ def throttle_by_key(
         last_emit = state.get[0] if state.exists else None
         gap = pd.Timedelta(seconds=min_gap_seconds)
         out_keys, out_ts = [], []
-        for pdf in pdfs:
-            for ts in sorted(pdf[ts_col]):
-                if last_emit is None or ts - last_emit >= gap:
-                    out_keys.append(str(key[0]))
-                    out_ts.append(ts)
-                    last_emit = ts
+        # A key's micro-batch may span multiple Arrow chunks; the gap logic is
+        # order-sensitive, so sort the concatenated batch -- per-chunk sorting
+        # would process a later chunk's earlier timestamps against a stale
+        # last_emit and emit/suppress the wrong rows.
+        chunks = list(pdfs)
+        batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame({ts_col: []})
+        for ts in sorted(batch[ts_col]):
+            if last_emit is None or ts - last_emit >= gap:
+                out_keys.append(str(key[0]))
+                out_ts.append(ts)
+                last_emit = ts
         if last_emit is not None:
             state.update((last_emit,))
         yield pd.DataFrame({"key": out_keys, "emitted_ts": out_ts})

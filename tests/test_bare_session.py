@@ -1,0 +1,47 @@
+"""Driver-contract smoke test: the correctness driver hands queries() its OWN
+bare SparkSession (no sqldataintegrationfunctiontriggerapp_spark.session
+involvement), so every query must be self-sufficient about session conf --
+this is the exact gap that shipped round 1's nanos bug (VERDICT.md What's
+wrong #1). Runs in a subprocess so no conf from the test session's JVM leaks.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+SCRIPT = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from pyspark.sql import SparkSession
+
+spark = SparkSession.builder.master("local[4]").appName("bare-driver").getOrCreate()
+assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) in (None, "false")
+
+import __spark_entry__ as entrymod
+
+qs = entrymod.queries()
+# one events-table query (nanos ts), one relational, one pandas-UDF path
+for name in ("changefeed_watermark", "q1_pricing_summary", "pandas_udf_quality"):
+    df = qs[name](spark, "/root/testdata/sf0.001")
+    n = df.count()
+    assert n >= 0, name
+    print(f"{name}: {n} rows", file=sys.stderr)
+print("BARE_OK")
+spark.stop()
+"""
+
+
+def test_bare_session_runs_events_queries():
+    proc = subprocess.run(
+        [sys.executable, "-c", SCRIPT % {"repo": REPO}],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO,
+    )
+    assert proc.returncode == 0, f"stderr tail:\n{proc.stderr[-3000:]}"
+    assert "BARE_OK" in proc.stdout

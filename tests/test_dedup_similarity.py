@@ -27,6 +27,22 @@ def test_minhash_lsh_finds_all_exact_jaccard_pairs(spark, sf_dir):
     assert exact == lsh
 
 
+def test_bucketed_cosine_pairs_match_bruteforce_exactly(spark, sf_dir):
+    """The pivot-partitioned angular join is EXACT (triangle-inequality
+    pruning, not probabilistic LSH): at the dedup threshold 0.4 it must
+    return the identical pair set and bit-identical cosines as the O(n^2)
+    baseline -- 100% recall by construction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = {(r.id_a, r.id_b): r.cos for r in S.cosine_pairs_above(e, 0.4).collect()}
+    bucketed = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.cosine_pairs_above_bucketed(e, 0.4).collect()
+    }
+    assert brute, "fixtures should contain qualifying pairs"
+    assert set(brute) == set(bucketed)
+    assert all(brute[k] == bucketed[k] for k in brute)
+
+
 def test_exact_dedup_counts(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     groups = D.exact_dedup_groups(d)

@@ -113,17 +113,34 @@ def test_failure_records_last_error_and_reraises(spark, sf_dir, pipeline):
 
 
 def test_retryable_backoff_then_raise(spark, sf_dir, pipeline):
+    """Executor-side POST path: the 503 classification must survive the trip
+    back to the driver (post_partitions re-raises with the fatal-vs-retryable
+    signal intact). Backoff TIMING is asserted driver-side in
+    test_backoff_schedule_first_10s below -- the executor's sleeper is a
+    pickled copy the test process cannot record."""
     pipe, handler, state = pipeline
     handler.status_plan = [503, 503]
-    sleeps = []
-    pipe.sink.sleeper = sleeps.append
     from sqldataintegrationfunctiontriggerapp_spark.sources.changefeed import with_operation
 
     ev = load_table(spark, sf_dir, "events").limit(2)
     with pytest.raises(RetryableSinkError):
         pipe.process_batch(with_operation(ev), "events")
-    assert sleeps == [10.0]  # A15 first backoff (RetryFunctions.cs:44)
+    # max_attempts=2: initial try + 1 backed-off retry reached the server
+    assert len(handler.received) == 2
     assert pipe.last_outcome["retryable"] is True
+    assert "status=503" in state.get("LastError", "events")
+
+
+def test_backoff_schedule_first_10s(http_server):
+    """A15 first backoff = 10 s (RetryFunctions.cs:44), asserted against the
+    driver-side post path where the sleeper is observable."""
+    base_url, handler = http_server
+    handler.status_plan = [503, 503]
+    sleeps: list[float] = []
+    sink = HttpSink(base_url=base_url, max_attempts=2, sleeper=sleeps.append)
+    with pytest.raises(RetryableSinkError):
+        sink.post_payloads(["{}"])
+    assert sleeps == [10.0]
 
 
 def test_batch_changes_watermark_and_cap(spark, sf_dir):

@@ -60,8 +60,28 @@ def test_q1_is_partial_final_hash_aggregate(spark, sf_dir):
 
 
 def test_lsh_candidates_avoid_cross_join(spark, sf_dir):
-    plan = plan_of(spark, sf_dir, "dedup_minhash_lsh")
+    # build from the operator internals: the registered query localCheckpoints
+    # its (small) result to release the shingle cache, which hides the
+    # interesting plan behind an RDD scan
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    shingled = D.word_shingles(docs)
+    cands = D.lsh_candidate_pairs(D.minhash_signatures(shingled))
+    plan = D.verify_jaccard(cands, shingled, 0.7)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_cosine_dedup_is_bucketed_equi_join(spark, sf_dir):
+    """VERDICT.md What's wrong #2: the registered embedding near-dup query
+    must not be the O(n^2) crossJoin-with-full-corpus-broadcast shape. The
+    pivot-partitioned angular join is all equi-joins; the only broadcast is
+    the K^2 cluster-admissibility grid (metadata, not the corpus)."""
+    plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 @pytest.mark.parametrize("name", ["q3_shipping_priority", "cdc_latest_state"])

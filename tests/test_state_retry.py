@@ -29,6 +29,32 @@ def test_state_upsert_and_point_lookup(spark, tmp_path):
     assert st.as_dataframe().count() == 2  # one row per (entity, key)
 
 
+def test_state_upsert_leaves_other_partitions_untouched(spark, tmp_path):
+    """The bucketed layout's point: upserting one key must not rewrite files
+    belonging to other (entity_type, bucket) partitions (VERDICT.md next #6)."""
+    import os
+
+    st = StateStore(spark, str(tmp_path / "state"))
+    st.save_allowed_columns("t1", "a,b")
+    st.save_last_error("t2", "boom")
+
+    def files_of(entity, key):
+        d = st._partition_dir(entity, key)
+        return {
+            f: os.stat(os.path.join(d, f)).st_mtime_ns
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_t1 = files_of("AllowedColumns", "t1")
+    before_t2 = files_of("LastError", "t2")
+    st.save_last_error("t2", "boom again")  # different entity partition
+    assert files_of("AllowedColumns", "t1") == before_t1  # bytes untouched
+    assert files_of("LastError", "t2") != before_t2       # target rewritten
+    assert st.get_allowed_columns("t1") == "a,b"
+    assert st.get("LastError", "t2") == "boom again"
+
+
 def test_backoff_capped_linear():
     s = EngineSettings()
     # A12 (RetryFunctions.cs:30-33): 6, 7, ..., capped at 12
