@@ -170,37 +170,55 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
                         shingle_n: int = 3, threshold: float = 0.8,
                         max_shingle_df: int = 1000) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join (the
-    exact baseline LSH approximates).
+    exact baseline LSH approximates). The self-join's per-pair match count IS
+    the intersection size, so jaccard comes from one join + one aggregate --
+    no candidate materialization + re-verification pass.
 
-    Scale guard: the inverted-index self-join's shuffle volume is bounded by
-    sum(freq(shingle)^2), so one stop-phrase shared by 1M documents would
-    alone generate 10^12 candidate rows. Shingles whose document frequency
-    exceeds ``max_shingle_df`` are excluded from CANDIDATE GENERATION only --
-    they carry no discrimination (any pair they suggest is also suggested by
-    rarer shared shingles unless the pair shares *only* boilerplate).
-    Verification then computes exact Jaccard over the FULL shingle sets of
-    the surviving candidates, so reported jaccard values are exact and the
-    DuckDB oracle matches unchanged wherever no shingle exceeds the cap
-    (always true at test SFs: 500 docs < cap=1000)."""
+    Scale guard: the inverted-index join's row count is bounded by
+    sum(df(shingle)^2), so one stop-phrase shared by 1M documents would alone
+    generate 10^12 rows. Shingles with document frequency above
+    ``max_shingle_df`` are therefore removed from the shingle UNIVERSE before
+    anything else -- the standard stop-element filter: boilerplate carries no
+    discrimination, and jaccard is then computed exactly (intersection AND
+    sizes) over the filtered universe, keeping the measure internally
+    consistent. At test SFs the cap cannot bind (500 docs < cap=1000), so
+    the DuckDB oracle over unfiltered shingles matches bit-for-bit."""
     shingled = word_shingles(df, text_col, shingle_n, id_col).persist()
+    rare = None
     try:
         dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        # rare feeds sizes + both join sides: persist it, or the dfreq
+        # aggregation and anti-join would re-run per consumer
         rare = shingled.join(
             F.broadcast(dfreq.where(F.col("_df") > max_shingle_df)),
             "shingle",
             "left_anti",
-        )
+        ).persist()
+        sizes = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
         ea = rare.select(F.col(id_col).alias("doc_a"), "shingle")
         eb = rare.select(F.col(id_col).alias("doc_b"), "shingle")
-        cands = (
+        inter = (
             ea.join(eb, "shingle")
             .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
         )
-        result = verify_jaccard(cands, shingled, threshold, id_col).localCheckpoint()
+        sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n").alias("n_a"))
+        sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n").alias("n_b"))
+        jac = F.col("n_inter").cast("double") / (
+            F.col("n_a") + F.col("n_b") - F.col("n_inter")
+        )
+        result = (
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold)
+            .localCheckpoint()
+        )
     finally:
         shingled.unpersist()
+        if rare is not None:
+            rare.unpersist()
     return result
 
 

@@ -193,6 +193,11 @@ def cosine_pairs_above_bucketed(
         c = d / math.sqrt(pn2[i] * pn2[j])
         return math.acos(max(-1.0, min(1.0, c)))
 
+    # Full (i, j) grid, deduplicated after the join by the orientation filter
+    # below: a triangular i<=j grid would concentrate all of cluster j's pair
+    # work in bucket j (skew over only K join keys), while the full grid
+    # spreads each cluster's work evenly and the filter drops the mirror
+    # orientation BEFORE the expensive cosine is evaluated.
     admissible = [
         (i, j)
         for i in radius
@@ -210,13 +215,37 @@ def cosine_pairs_above_bucketed(
         F.col("vid").alias("id_b"), F.col("v").alias("vb"),
         F.col("n2").alias("nb2"), F.col("cluster").alias("cb"),
     )
+    # shuffle_hash: the pair stream is huge and wide (two embedding arrays
+    # per row) -- a sort-merge join would sort it; hash-joining on the
+    # cluster key streams it instead. Each unordered pair survives exactly
+    # once: cross-cluster via the lower-numbered cluster's orientation,
+    # same-cluster via id order -- checked before the cosine is computed.
+    #
+    # Salting: K cluster ids alone give the pair-generation stage at most K
+    # tasks; sub-bucketing the probe side by a hash salt (and replicating
+    # the build side across salts) raises it to K x n_salt without changing
+    # the pair set -- each (a, b) pair still meets in exactly one
+    # (cb, salt) bucket. Salt count scales with available cores, not data.
+    n_salt = max(1, (vectors.sparkSession.sparkContext.defaultParallelism * 4) // max(k, 1))
+    salts = F.array(*[F.lit(s) for s in range(n_salt)])
+    pair_ok = (F.col("ca") < F.col("cb")) | (
+        (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))
+    )
     return (
         a.join(F.broadcast(adm), "ca")
-        .join(b, "cb")
-        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("_salt", F.explode(salts))
+        .join(
+            b.hint("shuffle_hash").withColumn(
+                "_salt", F.pmod(F.hash("id_b"), F.lit(n_salt)).cast("int")
+            ),
+            ["cb", "_salt"],
+        )
+        .where(pair_ok)
         .select(
-            "id_a",
-            "id_b",
+            # normalize to id_a < id_b (cross-cluster orientation follows
+            # cluster numbering, not id order; cosine is symmetric)
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
             (dot(F.col("va"), F.col("vb"))
              / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cos"),
         )

@@ -55,6 +55,27 @@ def test_state_upsert_leaves_other_partitions_untouched(spark, tmp_path):
     assert st.get("LastError", "t2") == "boom again"
 
 
+def test_cli_shim_get_set(spark, tmp_path):
+    """ClientAllowedColumnsFunction.cs:16-56 analog: set then get through the
+    CLI surface; missing key maps to rc=1 (the 404 path)."""
+    from sqldataintegrationfunctiontriggerapp_spark import cli
+
+    path = str(tmp_path / "state")
+    p = cli.build_parser()
+    rc, _ = cli.run(p.parse_args(
+        ["allowed-columns", "set", "--state-path", path,
+         "--table", "events", "--columns", "a,b"]), spark)
+    assert rc == 0
+    rc, val = cli.run(p.parse_args(
+        ["allowed-columns", "get", "--state-path", path, "--table", "events"]),
+        spark)
+    assert (rc, val) == (0, "a,b")
+    rc, val = cli.run(p.parse_args(
+        ["last-error", "get", "--state-path", path, "--table", "events"]),
+        spark)
+    assert (rc, val) == (1, None)
+
+
 def test_backoff_capped_linear():
     s = EngineSettings()
     # A12 (RetryFunctions.cs:30-33): 6, 7, ..., capped at 12
