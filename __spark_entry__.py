@@ -33,6 +33,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # already-hash-passed rest. Every entry is still registered regardless of
 # budget.
 _SWEEP_PRIORITY = [
+    # new this round (no correctness row can exist yet)
+    "text_pii_scrub", "text_repetition", "contamination_check",
+    "tfidf_top_terms",
     # no correctness row in CORRECTNESS_r01.json
     "join_full_outer", "theta_range_join", "set_union", "set_intersect",
     "set_except", "pivot_status", "range_batching", "scalar_string_funcs",

@@ -117,6 +117,52 @@ def lang_id(text: Column | str) -> Column:
     return F.when(cjk > 0, F.lit("zh")).otherwise(guess)
 
 
+# PII patterns, restricted to constructs with identical semantics in Java
+# regex (Spark) and RE2 (DuckDB): no lookaround, ASCII classes, \b word
+# boundaries. Masking order is fixed (email, then IPv4, then phone) so both
+# engines rewrite identically.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_PATTERN = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_PATTERN = r"\b[0-9]{3}-[0-9]{4}\b"
+
+_PII_RULES = (
+    (EMAIL_PATTERN, "<EMAIL>"),
+    (IPV4_PATTERN, "<IP>"),
+    (PHONE_PATTERN, "<PHONE>"),
+)
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts (pre-masking, on the raw text)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        "n_emails": F.regexp_count(c, F.lit(EMAIL_PATTERN)),
+        "n_ips": F.regexp_count(c, F.lit(IPV4_PATTERN)),
+        "n_phones": F.regexp_count(c, F.lit(PHONE_PATTERN)),
+    }
+
+
+def pii_mask(text: Column | str) -> Column:
+    """Redact PII in a fixed rule order -- the scrubbing pass a training-data
+    pipeline runs before anything is retained."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern, token in _PII_RULES:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
+def bigrams(text: Column | str) -> Column:
+    """Adjacent-token bigram array ('a b', 'b c', ...); empty below 2 tokens."""
+    toks = tokens(text)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def fingerprint(text: Column | str) -> Column:
     """Normalization fingerprint: lower-case, collapse whitespace, md5.
     The exact-dedup key used before any fuzzy stage."""

@@ -10,6 +10,7 @@ from sqldataintegrationfunctiontriggerapp_spark.plans.registry import ORACLES, Q
 from sqldataintegrationfunctiontriggerapp_spark.plans import (  # noqa: E402,F401
     advanced,
     cdc,
+    cleaning,
     dedup,
     multimodal,
     relational,

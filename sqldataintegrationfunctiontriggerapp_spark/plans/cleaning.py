@@ -1,0 +1,188 @@
+"""Training-data cleaning / curation queries over `documents`: PII
+scrubbing, intra-document repetition signals, benchmark-contamination
+checks, and per-document distinctive terms. These are the pipeline stages
+that sit between raw crawl and dedup in an LLM data pipeline; each is a
+pure column-expression / equi-join plan with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.functions import text as TX
+from sqldataintegrationfunctiontriggerapp_spark.operators.dedup import word_shingles
+from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+# The fixture text is synthetic prose with no PII, so the scrub query plants
+# deterministic PII derived from doc_id on BOTH sides (same expression in
+# Spark and the oracle) -- the machinery (patterns, masking order, counts)
+# is what's under test, and it is exercised with non-zero matches.
+_AUG_SQL = (
+    "text || ' contact u' || CAST(doc_id AS VARCHAR)"
+    " || '@example.com ip 10.0.' || CAST(doc_id % 250 AS VARCHAR)"
+    " || '.7 call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+
+def _aug_spark() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com ip 10.0."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".7 call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{TX.EMAIL_PATTERN}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{TX.IPV4_PATTERN}')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t, '{TX.PHONE_PATTERN}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{TX.EMAIL_PATTERN}', '<EMAIL>', 'g'),
+               '{TX.IPV4_PATTERN}', '<IP>', 'g'),
+               '{TX.PHONE_PATTERN}', '<PHONE>', 'g')) AS masked_md5
+    FROM aug
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count emails/IPv4s/phone numbers and mask them in a
+    fixed rule order (functions/text.py patterns are Java-regex/RE2
+    portable). Pure regexp column expressions -- codegen'd, scan-speed."""
+    d = _docs(spark, sf_dir).withColumn("t", _aug_spark())
+    counts = TX.pii_counts(F.col("t"))
+    return d.select(
+        "doc_id",
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+        F.md5(TX.pii_mask(F.col("t"))).alias("masked_md5"),
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    bg AS (
+        SELECT doc_id,
+               UNNEST([array_to_string(tk[i:i+1], ' ')
+                       for i in range(1, len(tk))]) AS bigram
+        FROM t WHERE len(tk) >= 2
+    ),
+    c AS (SELECT doc_id, bigram, COUNT(*) AS n FROM bg GROUP BY doc_id, bigram)
+    SELECT doc_id,
+           CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS top_bigram_frac,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS distinct_bigram_ratio
+    FROM c GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (Gopher-style quality signal): the most
+    frequent bigram's share of all bigrams, and the distinct-bigram ratio.
+    explode + two hash aggregations -- linear and distributed, never a
+    per-document quadratic expression."""
+    d = _docs(spark, sf_dir)
+    bg = d.select("doc_id", F.explode(TX.bigrams("text")).alias("bigram"))
+    counts = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    return counts.groupBy("doc_id").agg(
+        (F.max("n").cast("double") / F.sum("n").cast("double")).alias("top_bigram_frac"),
+        (F.count(F.lit(1)).cast("double") / F.sum("n").cast("double")).alias(
+            "distinct_bigram_ratio"
+        ),
+    )
+
+
+@register(
+    "contamination_check",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(list_distinct([array_to_string(tk[i:i+7], ' ')
+                                     for i in range(1, len(tk) - 6)])) AS shingle
+        FROM t WHERE len(tk) >= 8
+    ),
+    corp AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 10 <> 0),
+    bench AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 10 = 0),
+    p AS (SELECT DISTINCT c.doc_id, b.bench_id
+          FROM corp c JOIN bench b USING (shingle))
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_contaminated_sources
+    FROM p GROUP BY doc_id
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: flag training docs sharing any 8-token
+    shingle with a held-out benchmark set (here: doc_id % 10 == 0 stands in
+    for the eval corpus). The benchmark side is small by nature, so its
+    shingle postings broadcast: the training corpus is never shuffled, and
+    at 100 TB this stays a map-side join over the scan."""
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), n=8)
+    corp = sh.where(F.col("doc_id") % 10 != 0)
+    bench = sh.where(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("bench_id"), "shingle"
+    )
+    pairs = corp.join(F.broadcast(bench), "shingle").select("doc_id", "bench_id").distinct()
+    return pairs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_contaminated_sources")
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH terms AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+               CAST(d.df AS BIGINT) AS df,
+               CAST(t.tf AS DOUBLE) / CAST(d.df AS DOUBLE) AS score
+        FROM tf t JOIN df d USING (term)
+    )
+    SELECT doc_id, term, tf, df, score, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinctive terms per document by tf/df weighting (reciprocal
+    document frequency -- transcendental-free so Spark and DuckDB agree
+    bit-for-bit; the ranking is the same as classic tf-idf for a fixed
+    corpus size). Term df rides a broadcast back onto the tf table."""
+    d = _docs(spark, sf_dir)
+    terms = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.col("tf").cast("long").alias("tf"),
+        F.col("df").cast("long").alias("df"),
+        (F.col("tf").cast("double") / F.col("df").cast("double")).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )
