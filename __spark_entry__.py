@@ -35,7 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _SWEEP_PRIORITY = [
     # new this round (no correctness row can exist yet)
     "text_pii_scrub", "text_repetition", "contamination_check",
-    "tfidf_top_terms",
+    "tfidf_top_terms", "scd2_history", "corpus_shards",
     # no correctness row in CORRECTNESS_r01.json
     "join_full_outer", "theta_range_join", "set_union", "set_intersect",
     "set_except", "pivot_status", "range_batching", "scalar_string_funcs",

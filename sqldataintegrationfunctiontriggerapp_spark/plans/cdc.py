@@ -269,3 +269,41 @@ def changefeed_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp") > F.lit("2024-01-28").cast("timestamp")
     ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"),
              "event_type")
+
+
+@register(
+    "scd2_history",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           lead(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) AS valid_to,
+           CAST(lead(CAST(ts AS TIMESTAMP)) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+           ) IS NULL AS INT) AS is_current
+    FROM events
+    """,
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 (slowly-changing-dimension type 2) history materialization from
+    the change feed: each change event becomes a version row with a
+    [valid_from, valid_to) interval, closed by the key's next change
+    (lead over user_id ordered by event time); the open interval marks the
+    current state. This is the standard warehouse consumption of the CDC
+    stream the reference only forwards (README.md:5, 'current row state' --
+    here with full history retained). One shuffle on the key; at 100 TB
+    incremental runs close only the previously-open intervals of keys seen
+    in the new batch."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(ts, "event_id")
+    valid_to = F.lead(ts).over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts.alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().cast("int").alias("is_current"),
+    )

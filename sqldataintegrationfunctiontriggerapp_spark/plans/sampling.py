@@ -87,3 +87,40 @@ def quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 20)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "corpus_shards",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST((instr('0123456789abcdef',
+                           substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                    % 8 AS INT) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) AS pos
+    FROM s
+    """,
+)
+def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training: md5-derived shard id plus a
+    stable within-shard position -- the write layout for epoch shuffling
+    (readers stream shards in order, data arrives pre-shuffled). A true
+    global row_number would serialize on one task; per-shard numbering keeps
+    one independent sort per shard, so the 'shuffle' scales with shard
+    count, and the assignment is reproducible across engines and re-runs."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    nib = F.expr(
+        "instr('0123456789abcdef', substring(md5(cast(doc_id as string)), 1, 1)) - 1"
+    )
+    shard = (nib % 8).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .drop("h")
+    )
