@@ -159,8 +159,9 @@ def cosine_pairs_above_bucketed(
     k = len(pivots)
 
     def cos_to(vec: Column, n2: Column, i: int) -> Column:
-        p = F.array(*[F.lit(x) for x in pivots[i]])
-        return dot(vec, p) / F.sqrt(n2 * F.lit(pn2[i]))
+        # single array-literal node: F.lit(list) keeps the expression tree
+        # (and codegen compile time) 64x smaller than 64 F.lit leaves
+        return dot(vec, F.lit(pivots[i])) / F.sqrt(n2 * F.lit(pn2[i]))
 
     # nearest pivot by angle == argmax cosine; theta kept for the radius agg.
     # clamp cos into [-1, 1] before acos (fold roundoff can exceed by 1 ulp)
@@ -227,7 +228,7 @@ def cosine_pairs_above_bucketed(
     # the pair set -- each (a, b) pair still meets in exactly one
     # (cb, salt) bucket. Salt count scales with available cores, not data.
     n_salt = max(1, (vectors.sparkSession.sparkContext.defaultParallelism * 4) // max(k, 1))
-    salts = F.array(*[F.lit(s) for s in range(n_salt)])
+    salts = F.lit(list(range(n_salt)))
     pair_ok = (F.col("ca") < F.col("cb")) | (
         (F.col("ca") == F.col("cb")) & (F.col("id_a") < F.col("id_b"))
     )
@@ -272,7 +273,7 @@ def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Signed-random-projection bucket id: bit i = (vec . plane_i) >= 0."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        proj = dot(vec_col, F.array(*[F.lit(p) for p in plane]))
+        proj = dot(vec_col, F.lit(plane))
         bucket = bucket + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -317,8 +318,7 @@ def ivf_topk(
         """Squared distance to pivot i: |v|^2 + |p|^2 - 2 v.p (the |v|^2 term
         is shared, so argmin needs only the cheap cross terms -- kept for
         clarity; constant-folded by Catalyst)."""
-        p = F.array(*[F.lit(x) for x in pivots[i]])
-        return n2 + F.lit(pn2[i]) - 2 * dot(vec, p)
+        return n2 + F.lit(pn2[i]) - 2 * dot(vec, F.lit(pivots[i]))
 
     def nearest_list(vec: Column, n2: Column) -> Column:
         d2s = F.array(*[d2_to(vec, n2, i) for i in range(len(pivots))])

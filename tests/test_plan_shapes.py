@@ -84,6 +84,15 @@ def test_embedding_cosine_dedup_is_bucketed_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.parametrize("name", ["scd2_history", "corpus_shards"])
+def test_window_queries_never_single_partition(spark, sf_dir, name):
+    """SCD2 and shard numbering must window over their partition key -- a
+    global row_number/lead would serialize 100 TB through one task."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+
+
 @pytest.mark.parametrize("name", ["q3_shipping_priority", "cdc_latest_state"])
 def test_whole_stage_codegen_present(spark, sf_dir, name):
     # AQE shows codegen spans only in the final (post-execution) plan
