@@ -1,0 +1,66 @@
+"""Edge-case battery for the text column-function library: empty/whitespace/
+unicode/single-token inputs through every function in one Spark job, with
+expected values computed independently in Python."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.functions import text as TX
+
+ROWS = [
+    (1, ""),                              # empty
+    (2, "   \t  "),                       # whitespace only
+    (3, "word"),                          # single token (no bigram)
+    (4, "a b"),                           # exactly one bigram
+    (5, "the the the the"),               # maximal repetition
+    (6, "mail me@example.com or 10.1.2.3 at 555-1234"),  # all three PII kinds
+    (7, "汉字 text mixed"),                # CJK short-circuit
+    (8, "Tabs\tand\nnewlines   spaced"),  # mixed whitespace
+]
+
+
+def test_text_function_edge_cases(spark):
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            TX.token_count("text").alias("n"),
+            TX.bigrams("text").alias("bg"),
+            TX.fingerprint("text").alias("fp"),
+            TX.lang_id("text").alias("lang"),
+            TX.pii_mask("text").alias("masked"),
+            TX.pii_counts("text")["n_emails"].alias("n_emails"),
+        ).collect()
+    }
+    # token counts: empty and whitespace-only yield zero tokens
+    assert [got[i].n for i in (1, 2, 3, 4, 5)] == [0, 0, 1, 2, 4]
+    # bigrams: below 2 tokens -> empty array, never null
+    assert got[1].bg == [] and got[2].bg == [] and got[3].bg == []
+    assert got[4].bg == ["a b"]
+    assert got[5].bg == ["the the"] * 3
+    assert got[8].bg == ["Tabs and", "and newlines", "newlines spaced"]
+    # fingerprint: whitespace-insensitive normalization
+    assert got[8].fp == hashlib.md5(b"tabs and newlines spaced").hexdigest()
+    assert got[1].fp == hashlib.md5(b"").hexdigest()
+    # lang id: CJK short-circuit beats stopword votes
+    assert got[7].lang == "zh"
+    assert got[5].lang == "en"
+    # PII masking hits every rule; non-PII text is untouched
+    assert got[6].masked == "mail <EMAIL> or <IP> at <PHONE>"
+    assert got[6].n_emails == 1
+    assert got[5].masked == "the the the the"
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    row = d.select(
+        F.min(TX.quality_score("text")).alias("lo"),
+        F.max(TX.quality_score("text")).alias("hi"),
+    ).first()
+    assert 0.0 <= row.lo <= row.hi <= 1.0
