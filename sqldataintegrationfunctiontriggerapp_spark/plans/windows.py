@@ -238,3 +238,35 @@ def time_window_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
+
+
+@register(
+    "interval_join_events",
+    oracle="""
+    SELECT v.user_id,
+           CAST(v.ts AS TIMESTAMP) AS l_ts,
+           CAST(p.ts AS TIMESTAMP) AS r_ts
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join (views -> purchases within the next hour, per
+    user): the batch form of streaming/windows.py interval_join, which runs
+    the identical plan stream-stream with watermark-bounded state
+    (tests/test_streaming.py asserts batch/stream equality). The equi-key
+    keeps it a hash/sort-merge join; the time predicate is a post-join
+    filter, never a cartesian product."""
+    from sqldataintegrationfunctiontriggerapp_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("timestamp").alias("l_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("r_ts")
+    )
+    return interval_join(views, purchases)

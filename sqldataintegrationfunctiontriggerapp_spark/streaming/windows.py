@@ -51,6 +51,40 @@ def session_windows(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    upper: str = "1 hour",
+    watermark: str = DEFAULT_RETENTION,
+) -> DataFrame:
+    """Stream-stream event-time interval join: right events within
+    (left_ts, left_ts + upper] of a left event with the same key -- the
+    streaming form of the as-of/theta correlation the batch plans express
+    (e.g. purchases joined to the views that preceded them). Both sides are
+    watermarked, and the time-range predicate is what lets Spark bound the
+    join state: each side's buffered rows are dropped once the other side's
+    watermark passes their ts + upper. Works identically on batch frames
+    (watermarks no-op). Caller pre-aliases ts columns distinctly."""
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    lk, rk = f"l_{key}", f"r_{key}"
+    l = left.withColumnRenamed(key, lk)
+    r = right.withColumnRenamed(key, rk)
+    cond = (
+        (F.col(lk) == F.col(rk))
+        & (F.col(right_ts) > F.col(left_ts))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return l.join(r, cond).select(
+        F.col(lk).alias(key), left_ts, right_ts
+    )
+
+
 def dedup_within_watermark(
     events: DataFrame,
     keys: list[str],

@@ -11,9 +11,43 @@ from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.sources.changefeed import stream_changes
 from sqldataintegrationfunctiontriggerapp_spark.streaming.windows import (
     dedup_within_watermark,
+    interval_join,
     session_windows,
     windowed_counts,
 )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_stream_dir):
+    """Purchases joined to the same user's views in the preceding hour --
+    stream-stream with watermarks on both sides must equal the batch join."""
+    path, schema = events_stream_dir
+
+    def sides(df):
+        views = df.where(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("l_ts")
+        )
+        purchases = df.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("ts").alias("r_ts")
+        )
+        return views, purchases
+
+    lv, rp = sides(stream_changes(spark, path, schema).drop("operation"))
+    joined = interval_join(lv, rp, watermark="30 days")
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ij_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM ij_out").collect()
+        bv, bp = sides(spark.read.schema(schema).parquet(path))
+        expected = interval_join(bv, bp).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+        assert expected, "fixture slice should produce joined pairs"
+    finally:
+        q.stop()
 
 
 @pytest.fixture(scope="module")
