@@ -307,3 +307,71 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().cast("int").alias("is_current"),
     )
+
+
+@register(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH snapshot AS (
+        SELECT user_id, event_type, value, ts FROM (
+            SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-28')
+        WHERE rn = 1),
+    delta AS (
+        SELECT user_id, event_type, value, ts FROM (
+            SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS ts,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+            FROM events WHERE CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-28')
+        WHERE rn = 1)
+    SELECT COALESCE(d.user_id, s.user_id) AS user_id,
+           COALESCE(d.event_type, s.event_type) AS event_type,
+           COALESCE(d.value, s.value) AS value,
+           COALESCE(d.ts, s.ts) AS ts,
+           CASE WHEN d.user_id IS NULL THEN 'unchanged'
+                WHEN s.user_id IS NULL THEN 'inserted'
+                ELSE 'updated' END AS merge_action
+    FROM snapshot s FULL OUTER JOIN delta d USING (user_id)
+    """,
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics on DataFrames (B-family; EntityFunctions.cs-style
+    upsert generalized to a table): a pre-watermark per-key snapshot merged
+    with the post-watermark delta -- matched keys take the delta row
+    (WHEN MATCHED UPDATE), new keys insert, untouched keys carry forward.
+    Spark-first shape: both sides reduce to one row per key BEFORE the full
+    outer join, so the join carries |keys| rows, not |events|; on Delta/
+    Iceberg this plan IS what MERGE INTO compiles to. The state store's
+    partitioned upsert (state.py) is the keyed-point-write analog."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    cutoff = F.lit("2024-01-28").cast("timestamp")
+    cols = ["user_id", "event_type", "value"]
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc(ts), F.desc("event_id"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(*cols, ts.alias("ts"))
+        )
+
+    snapshot = latest(ev.where(ts < cutoff))
+    delta = latest(ev.where(ts >= cutoff))
+    s = snapshot.select([F.col(c).alias(f"s_{c}") for c in snapshot.columns])
+    d = delta.select([F.col(c).alias(f"d_{c}") for c in delta.columns])
+    joined = s.join(d, s["s_user_id"] == d["d_user_id"], "full_outer")
+    return joined.select(
+        F.coalesce("d_user_id", "s_user_id").alias("user_id"),
+        F.coalesce("d_event_type", "s_event_type").alias("event_type"),
+        F.coalesce("d_value", "s_value").alias("value"),
+        F.coalesce("d_ts", "s_ts").alias("ts"),
+        F.when(F.col("d_user_id").isNull(), F.lit("unchanged"))
+        .when(F.col("s_user_id").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("merge_action"),
+    )
