@@ -14,14 +14,7 @@ from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.functions import text as TX
 from sqldataintegrationfunctiontriggerapp_spark.operators.dedup import word_shingles
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
-
-
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
-
-
-_TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+from sqldataintegrationfunctiontriggerapp_spark.plans.text import _docs, _TOKS
 
 # The fixture text is synthetic prose with no PII, so the scrub query plants
 # deterministic PII derived from doc_id on BOTH sides (same expression in
