@@ -816,3 +816,67 @@ def monthly_order_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("o_totalprice", "total_price"),
         F.countDistinct("o_custkey").alias("n_customers"),
     )
+
+
+@register(
+    "argmax_per_group",
+    oracle="""
+    SELECT c_nationkey, c_name AS top_customer, c_acctbal AS top_balance
+    FROM (
+        SELECT c_nationkey, c_name, c_acctbal,
+               row_number() OVER (
+                   PARTITION BY c_nationkey
+                   ORDER BY c_acctbal DESC, c_name DESC) AS rn
+        FROM customer)
+    WHERE rn = 1
+    """,
+)
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax as a plain aggregate: max over (balance, name) structs -- one
+    partial/final hash aggregate, no window, no sort, no row expansion. The
+    struct's lexicographic ordering makes ties deterministic (name breaks
+    them), which is what lets the window-based oracle match exactly. At
+    100 TB this is the shape to prefer over row_number()=1: map-side combine
+    reduces each partition to one struct per group before the shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    best = F.max(F.struct("c_acctbal", "c_name")).alias("b")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(best)
+        .select(
+            "c_nationkey",
+            F.col("b.c_name").alias("top_customer"),
+            F.col("b.c_acctbal").alias("top_balance"),
+        )
+    )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (
+        SELECT NULLIF(event_type, 'click') AS k, COUNT(*) AS n_a
+        FROM events WHERE user_id % 2 = 0 GROUP BY NULLIF(event_type, 'click')
+    ),
+    b AS (
+        SELECT NULLIF(event_type, 'click') AS k, COUNT(*) AS n_b
+        FROM events WHERE user_id % 2 = 1 GROUP BY NULLIF(event_type, 'click')
+    )
+    SELECT a.k, n_a, n_b
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys match
+    each other instead of dropping out -- the semantics MERGE-style CDC joins
+    need when the business key is nullable. Still a hash-joinable equi-key
+    (Spark plans EqualNullSafe as a join key, not a filter)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("click")).alias("k")
+    a = ev.where(F.col("user_id") % 2 == 0).groupBy(k).agg(
+        F.count(F.lit(1)).alias("n_a"))
+    b = ev.where(F.col("user_id") % 2 == 1).groupBy(k).agg(
+        F.count(F.lit(1)).alias("n_b"))
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(
+        a["k"].alias("k"), "n_a", "n_b"
+    )
