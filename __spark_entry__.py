@@ -37,7 +37,7 @@ _SWEEP_PRIORITY = [
     "text_pii_scrub", "text_repetition", "contamination_check",
     "tfidf_top_terms", "scd2_history", "corpus_shards",
     "interval_join_events", "cdc_merge_upsert", "argmax_per_group",
-    "null_safe_join",
+    "null_safe_join", "window_time_range_avg", "funnel_analysis",
     # no correctness row in CORRECTNESS_r01.json
     "join_full_outer", "theta_range_join", "set_union", "set_intersect",
     "set_except", "pivot_status", "range_batching", "scalar_string_funcs",

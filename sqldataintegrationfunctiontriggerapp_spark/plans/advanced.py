@@ -513,3 +513,62 @@ def not_exists_anti_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal", "total_bal"),
         )
     )
+
+
+@register(
+    "funnel_analysis",
+    oracle="""
+    WITH tv AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS tv
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    tc AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS tc
+        FROM events e JOIN tv ON e.user_id = tv.user_id
+        WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > tv.tv
+        GROUP BY e.user_id
+    ),
+    tp AS (
+        SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS tp
+        FROM events e JOIN tc ON e.user_id = tc.user_id
+        WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > tc.tc
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(tv.tv) AS BIGINT) AS n_viewed,
+           CAST(COUNT(tc.tc) AS BIGINT) AS n_clicked,
+           CAST(COUNT(tp.tp) AS BIGINT) AS n_purchased
+    FROM tv LEFT JOIN tc ON tv.user_id = tc.user_id
+            LEFT JOIN tp ON tv.user_id = tp.user_id
+    """,
+)
+def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view -> click -> purchase): per user, the first view,
+    the first click strictly after it, the first purchase strictly after
+    that; counts of users surviving each stage. Each stage is one shuffle
+    on user_id reusing the same partitioning; the stage tables shrink
+    monotonically, so the later joins broadcast naturally under AQE."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+
+    def first_after(prev: DataFrame, prev_col: str, etype: str, out: str) -> DataFrame:
+        return (
+            ev.join(prev, "user_id")
+            .where((F.col("event_type") == etype) & (F.col("ts") > F.col(prev_col)))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    tv = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("tv"))
+    tc = first_after(tv, "tv", "click", "tc")
+    tp = first_after(tc, "tc", "purchase", "tp")
+    return (
+        tv.join(tc, "user_id", "left")
+        .join(tp, "user_id", "left")
+        .agg(
+            F.count("tv").cast("long").alias("n_viewed"),
+            F.count("tc").cast("long").alias("n_clicked"),
+            F.count("tp").cast("long").alias("n_purchased"),
+        )
+    )

@@ -270,3 +270,38 @@ def interval_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("timestamp").alias("r_ts")
     )
     return interval_join(views, purchases)
+
+
+@register(
+    "window_time_range_avg",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS hour_sum,
+           CAST(COUNT(value) OVER w AS BIGINT) AS hour_n
+    FROM (SELECT event_id, user_id, value,
+                 CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS sec
+          FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window over event time: each event's trailing-hour sum and
+    count for its user -- the moving-aggregate frame ROWS frames cannot
+    express (peers at the same ordering value are included, so the result is
+    deterministic in both engines). Ordering is integer epoch seconds; the
+    decimal accumulator keeps the windowed sum order-independent. One
+    shuffle on the partition key, state bounded by the frame."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("hour_sum"),
+        F.count("value").over(w).cast("long").alias("hour_n"),
+    )
