@@ -38,6 +38,7 @@ _SWEEP_PRIORITY = [
     "tfidf_top_terms", "scd2_history", "corpus_shards",
     "interval_join_events", "cdc_merge_upsert", "argmax_per_group",
     "null_safe_join", "window_time_range_avg", "funnel_analysis",
+    "map_agg_event_counts", "histogram_value_buckets", "profile_events_table",
     # no correctness row in CORRECTNESS_r01.json
     "join_full_outer", "theta_range_join", "set_union", "set_intersect",
     "set_except", "pivot_status", "range_batching", "scalar_string_funcs",

@@ -880,3 +880,95 @@ def null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.join(b, a["k"].eqNullSafe(b["k"])).select(
         a["k"].alias("k"), "n_a", "n_b"
     )
+
+
+@register(
+    "map_agg_event_counts",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY event_type) AS type_counts
+    FROM c GROUP BY user_id
+    """,
+)
+def map_agg_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-style aggregation: each user's event-type histogram collapsed to
+    one deterministic row (sorted key:count list). collect_list arrival
+    order is shuffle-dependent, so array_sort before join is what makes the
+    result reproducible -- the same pattern as string_agg_ordered, applied
+    to building map columns."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return c.groupBy("user_id").agg(
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat("event_type", F.lit(":"), F.col("n").cast("string"))
+                )
+            ),
+            ",",
+        ).alias("type_counts")
+    )
+
+
+@register(
+    "histogram_value_buckets",
+    oracle="""
+    SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS bucket_sum
+    FROM events
+    GROUP BY CAST(floor(value / 10) AS BIGINT)
+    """,
+)
+def histogram_value_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of a measure: bucket id by floor division, one
+    partial/final hash aggregate -- the binning shape behind every
+    distribution dashboard; cardinality is bounded by the bucket count, not
+    the row count."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10).cast("long")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("value", "bucket_sum"),
+    )
+
+
+@register(
+    "profile_events_table",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_props,
+           MIN(CAST(ts AS TIMESTAMP)) AS min_ts,
+           MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_negative_value
+    FROM events
+    """,
+)
+def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in one scan: row count, key cardinalities, null rate,
+    time range, and a domain-rule violation count -- the data-quality gate a
+    pipeline runs before promoting a batch (the analytics generalization of
+    the reference's per-batch validation logging, HttpPostAction.cs:44).
+    All aggregates fuse into a single partial/final pass."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).cast("long")
+        .alias("n_null_props"),
+        F.min(ts).alias("min_ts"),
+        F.max(ts).alias("max_ts"),
+        F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("long")
+        .alias("n_negative_value"),
+    )
