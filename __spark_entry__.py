@@ -27,18 +27,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Sweep priority: the driver checks queries in this dict's insertion order
 # and has a finite per-round budget (round 1 reached entry 50 of 83, leaving
-# 33 with no correctness signal -- VERDICT.md "What's missing" #1). Queries
-# with no signal yet come first, then the 9 that erred on the nanos bug
-# (fixed in catalog.load_table) so their flip to green is recorded, then the
-# already-hash-passed rest. Every entry is still registered regardless of
-# budget.
+# 33 with no correctness signal -- VERDICT.md "What's missing" #1). Order of
+# evidence value: first the 9 queries that erred on the round-1 nanos bug
+# (their flip to green is the headline fix), then the 33 with no round-1
+# signal, then this round's new queries, then the long-green rest. Every
+# entry is still registered regardless of budget.
 _SWEEP_PRIORITY = [
-    # new this round (no correctness row can exist yet)
-    "text_pii_scrub", "text_repetition", "contamination_check",
-    "tfidf_top_terms", "scd2_history", "corpus_shards",
-    "interval_join_events", "cdc_merge_upsert", "argmax_per_group",
-    "null_safe_join", "window_time_range_avg", "funnel_analysis",
-    "map_agg_event_counts", "histogram_value_buckets", "profile_events_table",
+    # erred in round 1 (events.parquet nanos, fixed in catalog.load_table):
+    # record the flip
+    "asof_join_prior_purchase", "asof_join_cogroup_pandas",
+    "from_json_roundtrip", "retry_classification", "retry_backoff",
+    "cdc_latest_state", "json_extract", "purge_retention",
+    "changefeed_watermark",
     # no correctness row in CORRECTNESS_r01.json
     "join_full_outer", "theta_range_join", "set_union", "set_intersect",
     "set_except", "pivot_status", "range_batching", "scalar_string_funcs",
@@ -50,11 +50,12 @@ _SWEEP_PRIORITY = [
     "text_lang_id", "text_fingerprint", "term_frequencies",
     "window_running_sum", "window_lag_lead", "window_rank", "topk_per_group",
     "sessionization", "time_window_tumbling", "time_window_sliding",
-    # erred in round 1 (events.parquet nanos, fixed): record the flip
-    "asof_join_prior_purchase", "asof_join_cogroup_pandas",
-    "from_json_roundtrip", "retry_classification", "retry_backoff",
-    "cdc_latest_state", "json_extract", "purge_retention",
-    "changefeed_watermark",
+    # new this round (no correctness row can exist yet)
+    "text_pii_scrub", "text_repetition", "contamination_check",
+    "tfidf_top_terms", "scd2_history", "corpus_shards",
+    "interval_join_events", "cdc_merge_upsert", "argmax_per_group",
+    "null_safe_join", "window_time_range_avg", "funnel_analysis",
+    "map_agg_event_counts", "histogram_value_buckets", "profile_events_table",
 ]
 
 
