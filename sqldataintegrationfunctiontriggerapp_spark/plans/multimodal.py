@@ -75,3 +75,49 @@ def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are unit-tested in tests/test_dedup_similarity.py."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media, decode_stub=True)
+
+
+@register(
+    "multimodal_chunk_energy",
+    oracle="""
+    WITH c AS (
+        SELECT doc_id AS media_id,
+               UNNEST(range(0, (length(text) + 63) // 64)) AS chunk_id,
+               text
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT media_id, CAST(chunk_id AS INT) AS chunk_id,
+           CAST(length(substring(text, chunk_id * 64 + 1, 64)) AS INT)
+               AS chunk_len,
+           CAST(list_sum(list_transform(
+                    string_split_regex(substring(text, chunk_id * 64 + 1, 64), ''),
+                    ch -> ascii(ch))) AS BIGINT) AS energy
+    FROM c
+    """,
+)
+def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunk 'energy' over the opaque payload (the audio
+    frame-energy shape: window the sample stream, aggregate per window).
+    Expressed as pure column math -- explode one row per 64-char chunk,
+    per-chunk sum of code points -- so the semantics are fully
+    oracle-checkable; at production scale the same windowing runs inside
+    the Arrow-batched mapInPandas decoder (operators/multimodal.py), where
+    a real codec would emit PCM frames instead of raw code points."""
+    d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
+    n_chunks = F.floor((F.length("text") + 63) / 64).cast("int")
+    chunked = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        "text",
+    )
+    chunk = F.expr("substring(text, chunk_id * 64 + 1, 64)")
+    energy = F.expr(
+        "aggregate(transform(split(substring(text, chunk_id * 64 + 1, 64), ''),"
+        " ch -> ascii(ch)), 0L, (acc, x) -> acc + x)"
+    )
+    return chunked.select(
+        "media_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        energy.alias("energy"),
+    )
