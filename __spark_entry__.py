@@ -56,7 +56,7 @@ _SWEEP_PRIORITY = [
     "interval_join_events", "cdc_merge_upsert", "argmax_per_group",
     "null_safe_join", "window_time_range_avg", "funnel_analysis",
     "map_agg_event_counts", "histogram_value_buckets", "profile_events_table",
-    "multimodal_chunk_energy",
+    "multimodal_chunk_energy", "interval_join_left_events",
 ]
 
 

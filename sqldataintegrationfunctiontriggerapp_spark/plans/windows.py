@@ -305,3 +305,34 @@ def window_time_range_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("hour_sum"),
         F.count("value").over(w).cast("long").alias("hour_n"),
     )
+
+
+@register(
+    "interval_join_left_events",
+    oracle="""
+    SELECT v.user_id,
+           CAST(v.ts AS TIMESTAMP) AS l_ts,
+           CAST(p.ts AS TIMESTAMP) AS r_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND CAST(p.ts AS TIMESTAMP) > CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+)
+def interval_join_left_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer interval join: every view, with the purchases that followed
+    within the hour or NULL if none did (conversion + non-conversion rows in
+    one pass). Stream-stream, the same plan emits the NULL rows only after
+    the watermark proves no match can arrive -- the batch form here is the
+    oracle-checkable semantics."""
+    from sqldataintegrationfunctiontriggerapp_spark.streaming.windows import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").cast("timestamp").alias("l_ts")
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").alias("r_ts")
+    )
+    return interval_join(views, purchases, how="left_outer")

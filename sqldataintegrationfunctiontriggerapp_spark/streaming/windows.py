@@ -59,6 +59,7 @@ def interval_join(
     right_ts: str = "r_ts",
     upper: str = "1 hour",
     watermark: str = DEFAULT_RETENTION,
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream event-time interval join: right events within
     (left_ts, left_ts + upper] of a left event with the same key -- the
@@ -67,7 +68,12 @@ def interval_join(
     watermarked, and the time-range predicate is what lets Spark bound the
     join state: each side's buffered rows are dropped once the other side's
     watermark passes their ts + upper. Works identically on batch frames
-    (watermarks no-op). Caller pre-aliases ts columns distinctly."""
+    (watermarks no-op). Caller pre-aliases ts columns distinctly.
+
+    how='left_outer' emits unmatched left rows with a NULL right_ts; in
+    streaming that emission happens only once the watermark proves no match
+    can still arrive (left row older than watermark - upper), which is why
+    the watermark is mandatory there -- batch emits them immediately."""
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
@@ -80,7 +86,7 @@ def interval_join(
         & (F.col(right_ts) > F.col(left_ts))
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
     )
-    return l.join(r, cond).select(
+    return l.join(r, cond, how).select(
         F.col(lk).alias(key), left_ts, right_ts
     )
 
