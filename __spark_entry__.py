@@ -57,6 +57,7 @@ _SWEEP_PRIORITY = [
     "null_safe_join", "window_time_range_avg", "funnel_analysis",
     "map_agg_event_counts", "histogram_value_buckets", "profile_events_table",
     "multimodal_chunk_energy", "interval_join_left_events",
+    "event_transition_matrix", "retention_cohorts",
 ]
 
 

@@ -336,3 +336,79 @@ def interval_join_left_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.col("ts").cast("timestamp").alias("r_ts")
     )
     return interval_join(views, purchases, how="left_outer")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition counts between consecutive events per user (the
+    Markov matrix behind behavior modeling): one lead window on the user
+    partition, one hash aggregate over (from, to) -- output cardinality is
+    |types|^2 regardless of row count."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").cast("timestamp"), "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.where(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS DATE)
+                   AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS active_week
+        FROM events
+    )
+    SELECT f.cohort_week, a.active_week,
+           CAST(COUNT(*) AS BIGINT) AS n_active_users
+    FROM first_seen f JOIN activity a USING (user_id)
+    GROUP BY f.cohort_week, a.active_week
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-seen week, counted in
+    every week they were active -- the standard retention triangle. Two
+    aggregates and a join, all shuffling on user_id; the output is
+    |weeks|^2, so the result stays tiny at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min(ts)).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", ts).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
+    )
