@@ -26,38 +26,43 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sweep priority: the driver checks queries in this dict's insertion order
-# and has a finite per-round budget (round 1 reached entry 50 of 83, leaving
-# 33 with no correctness signal -- VERDICT.md "What's missing" #1). Order of
-# evidence value: first the 9 queries that erred on the round-1 nanos bug
-# (their flip to green is the headline fix), then the 33 with no round-1
-# signal, then this round's new queries, then the long-green rest. Every
+# and has a finite per-round budget (~50/round). Order of evidence value for
+# round 3 (VERDICT r02 "Next round" #1/#4): first the 11 queries with no
+# correctness row in EITHER round plus embedding_centroids (red in r02 on
+# the canonicalizer, reshaped this round), then queries whose code changed
+# this round, then new round-3 queries, then rotation re-verification of
+# everything green only on round-1 evidence, oldest-value first. Every
 # entry is still registered regardless of budget.
 _SWEEP_PRIORITY = [
-    # erred in round 1 (events.parquet nanos, fixed in catalog.load_table):
-    # record the flip
-    "asof_join_prior_purchase", "asof_join_cogroup_pandas",
-    "from_json_roundtrip", "retry_classification", "retry_backoff",
-    "cdc_latest_state", "json_extract", "purge_retention",
-    "changefeed_watermark",
-    # no correctness row in CORRECTNESS_r01.json
-    "join_full_outer", "theta_range_join", "set_union", "set_intersect",
-    "set_except", "pivot_status", "range_batching", "scalar_string_funcs",
-    "timestamp_arithmetic", "q5_local_supplier_volume",
-    "q7_nation_volume_shipping", "q10_returned_items", "monthly_order_trend",
-    "train_val_split", "quota_per_source", "ann_cosine_topk", "ann_lsh_topk",
-    "ann_ivf_topk", "embedding_norms", "embedding_centroids",
-    "text_token_stats", "text_bpe_token_count", "text_quality_score",
-    "text_lang_id", "text_fingerprint", "term_frequencies",
-    "window_running_sum", "window_lag_lead", "window_rank", "topk_per_group",
-    "sessionization", "time_window_tumbling", "time_window_sliding",
-    # new this round (no correctness row can exist yet)
-    "text_pii_scrub", "text_repetition", "contamination_check",
-    "tfidf_top_terms", "scd2_history", "corpus_shards",
-    "interval_join_events", "cdc_merge_upsert", "argmax_per_group",
-    "null_safe_join", "window_time_range_avg", "funnel_analysis",
-    "map_agg_event_counts", "histogram_value_buckets", "profile_events_table",
-    "multimodal_chunk_energy", "interval_join_left_events",
-    "event_transition_matrix", "retention_cohorts",
+    # never swept (r01 budget cut + r02 budget cut): no evidence yet
+    "argmax_per_group", "null_safe_join", "window_time_range_avg",
+    "funnel_analysis", "map_agg_event_counts", "histogram_value_buckets",
+    "profile_events_table", "multimodal_chunk_energy",
+    "interval_join_left_events", "event_transition_matrix",
+    "retention_cohorts",
+    # red in r02 (driver canonicalizer TypeError) -- flattened this round
+    "embedding_centroids",
+    # code changed this round: re-verify before anything long-green
+    "dedup_embedding_cosine",
+    # new round-3 queries go here (no correctness row can exist yet)
+    "dedup_duplicate_rate", "doc_length_histogram", "minhash_jaccard_estimate",
+    "ann_ivf_recall_sweep", "quantile_bands_per_type", "event_value_ntiles",
+    "orders_pareto_share", "as_of_latest_price", "sliding_dedup_window",
+    "bursty_users", "daily_active_users", "stale_state_sweep",
+    # rotation re-verification: green only on round-1 evidence
+    # (CORRECTNESS_r01.json), heaviest/most-load-bearing families first
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_components",
+    "dedup_simhash", "dedup_exact", "q1_pricing_summary",
+    "q3_shipping_priority", "join_broadcast_star", "join_left_outer",
+    "join_semi", "join_anti", "agg_rollup", "agg_cube", "agg_grouping_sets",
+    "count_distinct", "between_filter", "top_limit", "cte_update_join",
+    "minmax_agg", "percentiles", "percentile_approx", "q13_order_distribution",
+    "correlated_subquery", "exists_semi_subquery", "in_subquery_large_orders",
+    "not_exists_anti_subquery", "string_agg_ordered", "unpivot_part_metrics",
+    "posexplode_terms", "fuzzy_levenshtein_pairs", "pandas_udf_quality",
+    "grouped_applyinpandas_scale", "allowlist_projection",
+    "identifier_normalization", "json_envelope", "error_truncation",
+    "multimodal_media_metadata", "multimodal_frame_sample",
 ]
 
 

@@ -64,15 +64,23 @@ def main() -> None:
         # doesn't fill with dead caches as the suite progresses
         spark.catalog.clearCache()
 
-    line = json.dumps(
-        {
-            "metric": "suite_wall_sec",
-            "value": round(total, 3),
-            "unit": "sec",
-            "queries": timings,
-            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        }
-    )
+    payload = {
+        "metric": "suite_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    line = json.dumps(payload)
+    # The driver's BENCH_r{N}.json keeps only a ~2 KB tail of stdout, which
+    # truncates a 100-query timings dict mid-stream (r01/r02 both lost ~30
+    # queries from round-over-round comparison -- VERDICT r02 #8). Persist
+    # the complete JSON next to the repo so the full suite is always
+    # readable regardless of the driver's capture window.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
     os.write(real_stdout_fd, (line + "\n").encode())
     os.close(real_stdout_fd)
 

@@ -102,7 +102,14 @@ def multimodal_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-chunk sum of code points -- so the semantics are fully
     oracle-checkable; at production scale the same windowing runs inside
     the Arrow-batched mapInPandas decoder (operators/multimodal.py), where
-    a real codec would emit PCM frames instead of raw code points."""
+    a real codec would emit PCM frames instead of raw code points.
+
+    ASCII assumption (ADVICE r02): Spark's ascii() yields the first UTF-8
+    BYTE of a char (negative for multibyte) while DuckDB's yields the
+    CODEPOINT; the two agree only on pure-ASCII text. The documents
+    fixture is pure ASCII (max codepoint 121, verified), and a real media
+    payload is bytes -- where the two definitions coincide -- so the
+    byte-level semantics here are the intended ones, not an accident."""
     d = load_table(spark, sf_dir, "documents").where(F.length("text") > 0)
     n_chunks = F.floor((F.length("text") + 63) / 64).cast("int")
     chunked = d.select(

@@ -900,15 +900,19 @@ def map_agg_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     one deterministic row (sorted key:count list). collect_list arrival
     order is shuffle-dependent, so array_sort before join is what makes the
     result reproducible -- the same pattern as string_agg_ordered, applied
-    to building map columns."""
+    to building map columns. Sorting STRUCTS of (event_type, n) and only
+    then rendering 'type:count' matches the oracle's ORDER BY event_type
+    for ANY type names; sorting the concatenated strings would diverge when
+    one type is a prefix of another followed by a char < ':' (ADVICE r02)."""
     ev = load_table(spark, sf_dir, "events")
     c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
     return c.groupBy("user_id").agg(
         F.array_join(
-            F.array_sort(
-                F.collect_list(
-                    F.concat("event_type", F.lit(":"), F.col("n").cast("string"))
-                )
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_type", "n"))),
+                lambda x: F.concat(
+                    x["event_type"], F.lit(":"), x["n"].cast("string")
+                ),
             ),
             ",",
         ).alias("type_counts")

@@ -74,14 +74,76 @@ def test_lsh_candidates_avoid_cross_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_embedding_cosine_dedup_is_bucketed_equi_join(spark, sf_dir):
-    """VERDICT.md What's wrong #2: the registered embedding near-dup query
-    must not be the O(n^2) crossJoin-with-full-corpus-broadcast shape. The
-    pivot-partitioned angular join is all equi-joins; the only broadcast is
-    the K^2 cluster-admissibility grid (metadata, not the corpus)."""
+def test_embedding_cosine_dedup_never_cartesian(spark, sf_dir):
+    """VERDICT r02 #7: the registered embedding near-dup query must never
+    plan a CartesianProduct. At fixture scale the auto dispatcher correctly
+    picks the broadcast pair join (a BroadcastNestedLoopJoin over a corpus
+    that fits in one broadcast -- the fast small-side strategy, same logic
+    as Spark's own broadcast threshold), so only Cartesian is banned here;
+    the large-corpus branch is pinned by the test below."""
     plan = plan_of(spark, sf_dir, "dedup_embedding_cosine")
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_cosine_scale_path_is_bucketed_equi_join(spark, sf_dir):
+    """The large-corpus branch (forced) must stay the pivot-partitioned
+    angular EQUI-join: no CartesianProduct, no full-corpus broadcast. The
+    only broadcast allowed is the K^2 cluster-admissibility grid (metadata,
+    not data) -- so future constant tuning can't silently reintroduce the
+    O(n^2) path."""
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    df = S.cosine_pairs_above_bucketed(e, 0.4)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivf_probes_at_most_n_probe_lists(spark, sf_dir):
+    """ann_ivf_topk must touch only n_probe inverted lists per query: every
+    returned neighbor's list must be one of the query's n_probe nearest
+    lists, recomputed independently here from the same deterministic
+    md5-ordered pivot rule -- the contract that makes IVF a scan reduction,
+    not a rename of brute force (VERDICT r02 #7)."""
+    import hashlib
+
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+    from pyspark.sql import functions as F
+
+    n_lists, n_probe = 16, 4
+    e = load_table(spark, sf_dir, "embeddings")
+    out = S.ivf_topk(e, e.where(F.col("vec_id") < 5), k=5,
+                     n_lists=n_lists, n_probe=n_probe)
+
+    rows = e.select("vec_id", "embedding").collect()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
+    pivot_ids = sorted(
+        vecs, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+    )[:n_lists]
+    pivots = [vecs[i] for i in pivot_ids]
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    def nearest_lists(v, n):
+        return [
+            i for _, i in sorted((d2(v, p), i) for i, p in enumerate(pivots))
+        ][:n]
+
+    corpus_list = {vid: nearest_lists(v, 1)[0] for vid, v in vecs.items()}
+    for r in out.collect():
+        probed = set(nearest_lists(vecs[int(r.query_id)], n_probe))
+        assert corpus_list[int(r.neighbor_id)] in probed, (
+            f"query {r.query_id} returned neighbor {r.neighbor_id} from an"
+            f" unprobed list"
+        )
 
 
 @pytest.mark.parametrize("name", ["scd2_history", "corpus_shards"])
