@@ -976,3 +976,74 @@ def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("long")
         .alias("n_negative_value"),
     )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+                AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped forecast revenue: pure filter + single global
+    aggregate. The whole predicate (date range, discount band, quantity
+    cap) sits directly on the parquet scan so every conjunct pushes into
+    the reader; the aggregate is one partial/final pair with a decimal
+    accumulator -- at 100 TB this is a scan-bound query and nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    f = (
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & F.col("l_discount").between(0.03, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.where(f).agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(100.0 * SUM(CAST(CASE WHEN p_type = 'PROMO'
+                     THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                AS DECIMAL(18,6))) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct,
+           CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                    THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo share: fact scan with a pushed date filter,
+    BROADCAST join to the part dimension (small side, no fact shuffle),
+    conditional aggregation into one partial/final pass. The classic
+    star-join probe pattern at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    promo = F.when(
+        F.col("p_type") == "PROMO", revenue_expr()
+    ).otherwise(F.lit(0.0))
+    j = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    return j.agg(
+        (
+            F.lit(100.0) * F.sum(promo.cast(DEC)).cast("double")
+            / F.sum(revenue_expr().cast(DEC)).cast("double")
+        ).alias("promo_revenue_pct"),
+        dsum(promo, "promo_revenue"),
+    )
