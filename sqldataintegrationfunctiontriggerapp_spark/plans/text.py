@@ -197,3 +197,40 @@ def term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(20)
     )
+
+
+@register(
+    "doc_length_histogram",
+    oracle="""
+    WITH h AS (
+        SELECT lang, CAST(n_chars // 100 AS BIGINT) AS bucket, COUNT(*) AS n
+        FROM documents GROUP BY lang, bucket
+    ),
+    t AS (SELECT lang, SUM(n) AS lang_n FROM h GROUP BY lang)
+    SELECT h.lang, h.bucket, CAST(h.n AS BIGINT) AS n_docs,
+           CAST(h.n AS DOUBLE) / CAST(t.lang_n AS DOUBLE) AS share
+    FROM h JOIN t ON t.lang = h.lang
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition: per-language document-length histogram (100-char
+    buckets) with within-language share -- the length-distribution check
+    that precedes any truncation/packing decision in a training pipeline.
+    Two stacked aggregates + a broadcast join against the per-language
+    totals (O(langs) rows); exact integer ratios keep the shares
+    engine-identical."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.groupBy(
+        "lang", (F.col("n_chars") / 100).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = h.groupBy("lang").agg(F.sum("n").alias("lang_n"))
+    return (
+        h.join(F.broadcast(t), "lang")
+        .select(
+            "lang",
+            "bucket",
+            F.col("n").cast("long").alias("n_docs"),
+            (F.col("n").cast("double") / F.col("lang_n").cast("double"))
+            .alias("share"),
+        )
+    )

@@ -146,10 +146,15 @@ def test_ivf_probes_at_most_n_probe_lists(spark, sf_dir):
         )
 
 
-@pytest.mark.parametrize("name", ["scd2_history", "corpus_shards"])
+@pytest.mark.parametrize("name", [
+    "scd2_history", "corpus_shards", "stratified_sample",
+    "pack_documents_greedy", "event_value_ntiles", "orders_pareto_share",
+    "sliding_dedup_window",
+])
 def test_window_queries_never_single_partition(spark, sf_dir, name):
-    """SCD2 and shard numbering must window over their partition key -- a
-    global row_number/lead would serialize 100 TB through one task."""
+    """Every windowed query must window over a real partition key -- a
+    global row_number/lead/running-sum would serialize 100 TB through one
+    task."""
     plan = plan_of(spark, sf_dir, name)
     assert "Window" in plan
     assert "SinglePartition" not in plan

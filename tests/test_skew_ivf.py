@@ -81,3 +81,19 @@ def test_ivf_partial_probe_recall(spark, sf_dir):
     for r in approx:
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert all(v == 5 for v in per_q.values())
+
+
+def test_ivf_recall_sweep_monotone_and_exact_at_full_probe(spark, sf_dir):
+    """The registered recall-sweep eval must be monotone non-decreasing in
+    probing depth and exactly 1.0 at n_probe == n_lists (where IVF IS brute
+    force) -- the contract that makes the sweep a trustworthy tuning tool."""
+    from sqldataintegrationfunctiontriggerapp_spark import plans
+
+    rows = sorted(
+        plans.QUERIES["ann_ivf_recall_sweep"](spark, sf_dir).collect(),
+        key=lambda r: r.n_probe,
+    )
+    recalls = [r.recall_at_5 for r in rows]
+    assert [r.n_probe for r in rows] == [1, 2, 4, 8, 16]
+    assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
+    assert recalls[-1] == 1.0
