@@ -49,10 +49,23 @@ def main() -> None:
     warm_udf = F.pandas_udf(_warm_fn, "long")  # needs the active session
     spark.range(10_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(warm_udf("id")).write.mode("overwrite").format("noop").save()
+    # SQL-path warmup at the smallest SF: parquet reader, scan codegen,
+    # broadcast/shuffle machinery -- so the first measured query isn't
+    # charged the JVM's one-time initialization.
+    import __spark_entry__ as _e
+    _e.entry(spark).write.mode("overwrite").format("noop").save()
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     total = 0.0
-    for name, fn in entrymod.queries().items():
+    # Measure in registry-natural (module) order, NOT the driver's
+    # correctness-sweep priority order: the sweep priority is reshuffled
+    # every round toward queries with stale evidence, and whichever query
+    # runs first pays the JVM's one-time warmup (codegen infra, broadcast
+    # pools, AQE init) -- measured ~10x on a sub-second query. A stable
+    # order keeps per-query times comparable round over round.
+    from sqldataintegrationfunctiontriggerapp_spark import plans
+    for name, fn in plans.QUERIES.items():
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = time.time() - t0

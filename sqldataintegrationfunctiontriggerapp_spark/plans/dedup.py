@@ -325,8 +325,12 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     shingled = D.word_shingles(d, n=3).persist()
     try:
-        sigs = D.minhash_signatures(shingled, n_bands=8)
-        cands = D.lsh_candidate_pairs(sigs)
+        # sigs (docs x n_bands rows) and cands (near-dup pairs) feed TWO
+        # consumers each (band-agreement + candidate gen, agree + verify);
+        # localCheckpoint materializes them once instead of replaying the
+        # signature aggregation per branch (~3s at sf0.1)
+        sigs = D.minhash_signatures(shingled, n_bands=8).localCheckpoint()
+        cands = D.lsh_candidate_pairs(sigs).localCheckpoint()
         sa = sigs.select(F.col("doc_id").alias("doc_a"), "band",
                          F.col("sig").alias("sig_a"))
         sb = sigs.select(F.col("doc_id").alias("doc_b"), "band",
