@@ -33,11 +33,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes projection + predicates into it.
 
-    events.ts is physically TIMESTAMP(NANOS): with
-    spark.sql.legacy.parquet.nanosAsLong=true it scans as int64 nanoseconds,
-    converted here to a microsecond timestamp by floor division -- the same
-    truncation DuckDB applies when coercing ns to its us TIMESTAMP, keeping
-    oracle comparisons exact.
+    events.ts is physically TIMESTAMP(NANOS). pyspark 4.1.2 reads it natively
+    as TIMESTAMP_NTZ truncated to microseconds -- the same truncation DuckDB
+    applies coercing ns to its us TIMESTAMP, so oracle comparisons stay
+    exact. Older runtimes honor spark.sql.legacy.parquet.nanosAsLong=true and
+    scan int64 nanoseconds instead; the branch below converts those by the
+    same floor division. Streaming plans that need an event-time watermark
+    cast NTZ to the session-UTC TIMESTAMP at the watermark site
+    (streaming/windows.py _ltz).
 
     The conf is set here (not only in session.get_session) because callers --
     the correctness driver, notebooks -- hand us their own bare SparkSession;

@@ -8,10 +8,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sqldataintegrationfunctiontriggerapp_spark.plans._util import dsum
 
 DEFAULT_RETENTION = "7 days"  # B12: CHANGE_RETENTION 7 days (sql.txt:89)
+
+
+def _ltz(df: DataFrame, ts_col: str) -> DataFrame:
+    """Event-time columns must be TIMESTAMP (with local tz): Spark rejects
+    watermarks on TIMESTAMP_NTZ, and pyspark 4.1.2 reads the fixtures'
+    parquet TIMESTAMP(NANOS) as NTZ natively (the legacy nanosAsLong conf no
+    longer applies). The session timezone is pinned UTC, so the cast is
+    value-preserving; applying it on batch frames too keeps the
+    batch-vs-stream outputs of these helpers comparable tuple-for-tuple."""
+    if isinstance(df.schema[ts_col].dataType, T.TimestampNTZType):
+        return df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
 
 
 def windowed_counts(
@@ -24,6 +37,7 @@ def windowed_counts(
 ) -> DataFrame:
     """Tumbling/sliding event-time aggregate with late-data bound. Works on
     both batch and streaming frames (watermark is a no-op in batch)."""
+    events = _ltz(events, ts_col)
     df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     win = F.window(F.col(ts_col), window, slide) if slide else F.window(F.col(ts_col), window)
     return (
@@ -42,6 +56,7 @@ def session_windows(
     key_col: str = "user_id",
 ) -> DataFrame:
     """Native session_window aggregation (gap-close semantics)."""
+    events = _ltz(events, ts_col)
     df = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     return (
         df.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), key_col)
@@ -74,6 +89,8 @@ def interval_join(
     streaming that emission happens only once the watermark proves no match
     can still arrive (left row older than watermark - upper), which is why
     the watermark is mandatory there -- batch emits them immediately."""
+    left = _ltz(left, left_ts)
+    right = _ltz(right, right_ts)
     if left.isStreaming:
         left = left.withWatermark(left_ts, watermark)
     if right.isStreaming:
@@ -101,6 +118,7 @@ def dedup_within_watermark(
     A22 suppress-repeats analog. State per key is dropped once the watermark
     passes -- the knob that keeps 100 TB/day streams from accumulating
     unbounded dedup state."""
+    events = _ltz(events, ts_col)
     if events.isStreaming:
         return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
     return events.dropDuplicates(keys)
