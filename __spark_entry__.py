@@ -51,6 +51,11 @@ _SWEEP_PRIORITY = [
     "gap_fill_daily_counts", "sliding_dedup_window", "bursty_users",
     "daily_active_users", "stratified_sample", "pack_documents_greedy",
     "embedding_quantize_error", "ann_ivf_recall_sweep",
+    "q4_order_priority", "q8_market_share", "q9_product_profit",
+    "q15_top_supplier", "q16_part_supplier_variety",
+    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
+    "q22_idle_customers", "span_dedup_rate", "mixture_sampling_weights",
+    "doc_chunk_spans", "robust_outliers_mad",
     # rotation re-verification: green only on round-1 evidence
     # (CORRECTNESS_r01.json), heaviest/most-load-bearing families first
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_components",

@@ -18,6 +18,7 @@ from sqldataintegrationfunctiontriggerapp_spark.plans import (  # noqa: E402,F40
     sampling,
     similarity,
     text,
+    tpch,
     windows,
 )
 

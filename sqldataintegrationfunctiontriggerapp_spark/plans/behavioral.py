@@ -366,3 +366,65 @@ def daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("stickiness"),
         )
     )
+
+
+@register(
+    "robust_outliers_mad",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS med
+        FROM events GROUP BY event_type
+    ),
+    dev AS (
+        SELECT e.event_type, m.med, abs(e.value - m.med) AS d
+        FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+        SELECT event_type, ROUND(quantile_cont(d, 0.5), 4) AS mad
+        FROM dev GROUP BY event_type
+    )
+    SELECT dev.event_type,
+           MIN(dev.med) AS med,
+           MIN(mad.mad) AS mad,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN dev.d > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_outliers
+    FROM dev JOIN mad USING (event_type)
+    GROUP BY dev.event_type
+    """,
+)
+def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier counting via median absolute deviation: per event
+    type, the median, the MAD, and how many events sit more than 3 MADs
+    from the median -- the quality gate that survives heavy-tailed value
+    distributions where mean/stddev z-scores drown. Median and MAD are
+    rounded to 4 decimals on both engines (same convention as the
+    percentiles query) so the interpolated quantile agrees bit-for-bit
+    before it feeds the comparison.
+
+    Plan: two grouped exact-percentile passes (each a shuffle on
+    event_type) with the tiny per-type medians BROADCAST back onto the
+    scan between them, then one final aggregate. At 100 TB the exact
+    median would move to percentile_approx; the plan shape -- aggregate,
+    broadcast join, aggregate -- is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "med", F.abs(F.col("value") - F.col("med")).alias("d")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(d, 0.5)"), 4).alias("mad")
+    )
+    out = F.when(F.col("d") > F.lit(3) * F.col("mad"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(out).cast("long").alias("n_outliers"),
+        )
+    )

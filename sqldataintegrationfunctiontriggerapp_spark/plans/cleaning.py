@@ -179,3 +179,51 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "span_dedup_rate",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(list_distinct([array_to_string(tk[i:i+4], ' ')
+                                     for i in range(1, len(tk) - 3)])) AS shingle
+        FROM t WHERE len(tk) >= 5
+    ),
+    c AS (SELECT shingle, COUNT(*) AS nd FROM sh GROUP BY shingle)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+           CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS dup_rate
+    FROM sh JOIN c USING (shingle)
+    GROUP BY doc_id
+    """,
+)
+def span_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication rate: the fraction of a document's distinct
+    5-token spans that occur in at least one OTHER document (or twice here)
+    -- the per-document signal behind substring-level dedup ("Deduplicating
+    Training Data Makes Language Models Better"-style), where documents
+    above a duplication threshold are dropped or trimmed rather than
+    cluster-deduped whole.
+
+    Plan shape: one shingle explode (already repartitioned by doc in
+    word_shingles), one hash aggregate building the span postings counts,
+    one equi-join back on the span hash, one per-doc aggregate. The
+    postings side is fact-derived so it shuffles on the span key -- the
+    standard inverted-index shape that survives 100 TB; nothing is ever
+    pairwise."""
+    sh = word_shingles(load_table(spark, sf_dir, "documents"), n=5)
+    c = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0))
+    return (
+        sh.join(c, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(dup).alias("dup_spans"),
+            (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
+        )
+    )

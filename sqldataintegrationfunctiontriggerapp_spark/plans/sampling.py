@@ -209,3 +209,43 @@ def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (offset % 512).cast("long").alias("bin_offset"),
         )
     )
+
+
+@register(
+    "mixture_sampling_weights",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(CAST(sqrt(n_docs) AS DECIMAL(18,6))) AS DOUBLE) AS z,
+                 CAST(SUM(n_docs) AS BIGINT) AS total
+          FROM s)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(sqrt(n_docs) AS DOUBLE) / z AS sample_p,
+           CAST(sqrt(n_docs) AS DOUBLE) / z * total AS expected_docs
+    FROM s, t
+    """,
+)
+def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted mixture sampling over sources: each source's
+    per-epoch sampling probability proportional to n_docs^0.5 (temperature
+    tau=2 in the n^(1/tau) convention multilingual/pretraining mixtures
+    use), plus the expected document count it implies. Upweights the tail
+    sources without letting a giant crawl dominate.
+
+    Plan: one hash aggregate to per-source counts (tiny: one row per
+    source), one 1-row global aggregate for the normalizer, broadcast back.
+    The fact table is scanned ONCE regardless of corpus size; sqrt is
+    IEEE-correctly-rounded so both engines agree bit-for-bit, and the
+    normalizer sum runs through the decimal accumulator like every other
+    order-sensitive double sum in the registry."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = s.agg(
+        F.sum(F.sqrt("n_docs").cast("decimal(18,6)")).cast("double").alias("z"),
+        F.sum("n_docs").alias("total"),
+    )
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        (F.sqrt("n_docs") / F.col("z")).alias("sample_p"),
+        (F.sqrt("n_docs") / F.col("z") * F.col("total")).alias("expected_docs"),
+    )

@@ -148,44 +148,44 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible, so the driver records the rows-only check.
 
     Cost shape: ONE corpus scoring pass at n_probe = n_lists (ivf_scored
-    keeps each neighbor's probe_rank), then every probing depth is a
-    filter + window over that small scored stream -- not one IVF run per
-    depth."""
+    keeps each neighbor's probe_rank), then ALL probing depths are
+    evaluated in one plan: each scored row explodes to the depths that
+    would have seen it, one window ranks every (depth, query) slice, one
+    broadcast left join against the exact top-5 marks hits, one aggregate
+    emits the sweep -- not one IVF run (or even one job) per depth."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
     # both sides are tiny (|queries| x k and |queries| x corpus-slice rows);
-    # localCheckpoint materializes them once so the five depth evaluations
-    # below don't each replay the corpus pass through their lazy lineage
+    # localCheckpoint materializes them once so the depth evaluation doesn't
+    # replay the corpus pass through its lazy lineage
     exact = (
         S.brute_force_topk(e, q, k=5)
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
     n_exact = exact.count()
-    scored = S.ivf_scored(e, q, n_lists=16, n_probe=16).localCheckpoint()
-    parts = []
-    for n_probe in (1, 2, 4, 8, 16):
-        w = Window.partitionBy("query_id").orderBy(
-            F.desc("cos"), "neighbor_id"
-        )
-        approx = (
-            scored.where(F.col("probe_rank") <= n_probe)
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 5)
-            .select("query_id", "neighbor_id")
-        )
-        hits = approx.join(exact, ["query_id", "neighbor_id"], "semi")
-        parts.append(
-            hits.agg(
-                F.lit(n_probe).cast("int").alias("n_probe"),
-                (F.count(F.lit(1)).cast("double") / F.lit(float(n_exact)))
-                .alias("recall_at_5"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    depths = F.array([F.lit(d) for d in (1, 2, 4, 8, 16)])
+    expanded = S.ivf_scored(e, q, n_lists=16, n_probe=16).withColumn(
+        "n_probe",
+        F.explode(F.filter(depths, lambda d: F.col("probe_rank") <= d)),
+    )
+    w = Window.partitionBy("n_probe", "query_id").orderBy(F.desc("cos"), "neighbor_id")
+    approx = (
+        expanded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("n_probe", "query_id", "neighbor_id")
+    )
+    hits = approx.join(
+        F.broadcast(exact.withColumn("_hit", F.lit(1))),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return hits.groupBy(F.col("n_probe").cast("int").alias("n_probe")).agg(
+        (
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.lit(float(n_exact))
+        ).alias("recall_at_5")
+    )
 
 
 @register(

@@ -234,3 +234,41 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share"),
         )
     )
+
+
+@register(
+    "doc_chunk_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, len({_TOKS}) AS n_tokens FROM documents),
+    u AS (
+        SELECT doc_id, n_tokens,
+               UNNEST([i for i in range(0, (n_tokens - 1) // 64 + 1)]) AS gs
+        FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id,
+           CAST(gs AS BIGINT) AS chunk_idx,
+           CAST(LEAST(64, n_tokens - gs * 64) AS BIGINT) AS chunk_tokens
+    FROM u
+    """,
+)
+def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size chunking layout: each document split into 64-token chunks
+    (last chunk ragged) -- the row-expansion that feeds context-window
+    packing, embedding indexing, and chunked retrieval corpora. The chunk
+    spans are COMPUTED (sequence + explode over the token count), not
+    produced by re-splitting the text n times, so the scan reads each
+    document once and the fan-out is pure expression work that scales
+    linearly with output rows."""
+    d = _docs(spark, sf_dir)
+    n = F.size(TX.tokens("text")).alias("n_tokens")
+    t = d.select("doc_id", n).where(F.col("n_tokens") > 0)
+    idx = F.explode(
+        F.sequence(F.lit(0).cast("long"), ((F.col("n_tokens") - 1) / F.lit(64)).cast("long"))
+    ).alias("chunk_idx")
+    return t.select("doc_id", idx, "n_tokens").select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.lit(64).cast("long"), F.col("n_tokens") - F.col("chunk_idx") * 64)
+        .cast("long")
+        .alias("chunk_tokens"),
+    )
