@@ -194,3 +194,40 @@ def test_q5_broadcasts_dimension_chain(spark, sf_dir):
     # region->nation->supplier chain rides broadcasts; the only shuffle
     # joins are the order/customer/lineitem fact joins
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_q4_exists_is_semi_join_with_pushed_quarter(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the quarter predicate must reach the orders scan below the semi join
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q8_single_fact_shuffle_all_dims_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    # lineitem-orders is the one shuffle join; customer/nation/region/
+    # supplier all ride broadcasts
+    assert plan.count("BroadcastHashJoin") >= 3
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_shuffle_joins <= 1, plan
+
+
+def test_q19_disjunction_joins_broadcast_not_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_anti_join_with_prefiltered_build(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q22_idle_customers")
+    assert "LeftAnti" in plan
+    # the recent-orders date filter sits on the orders scan under the anti
+    # join, not above it
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_span_dedup_is_postings_join_not_pairwise(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "span_dedup_rate")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
