@@ -30,7 +30,9 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
     """Columnar parquet scan; Catalyst pushes projection + predicates into it.
 
     events.ts is physically TIMESTAMP(NANOS). pyspark 4.1.2 reads it natively
@@ -53,6 +55,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if spread:
+        # The local fixtures are single-row-group files, so the scan -- and
+        # everything fused into its stage (filters, projections, the PARTIAL
+        # side of aggregates) -- runs as ONE task. Callers whose heavy work
+        # happens before the first exchange opt in here: a round-robin
+        # repartition spreads that work across cores. Conditional on input
+        # bytes vs the split size (a filesystem stat, no plan analysis): a
+        # table big enough to produce >= 2 splits per core already
+        # parallelizes in the scan, so on a cluster -- or any properly
+        # split input -- this is a no-op and no shuffle is added. The
+        # condition IS the 100 TB safety.
+        split_bytes = int(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        )
+        if os.path.isdir(path):
+            n_bytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if os.path.isfile(os.path.join(path, f))
+            )
+        else:
+            n_bytes = os.path.getsize(path)
+        target = spark.sparkContext.defaultParallelism
+        # approx scan splits = n_bytes / split_bytes; spread only when that
+        # undershoots half the cores
+        if n_bytes < split_bytes * max(1, target // 2):
+            df = df.repartition(target)
     return df
 
 

@@ -145,7 +145,7 @@ def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (the at-scale variant is
     percentile_approx below -- single-pass mergeable sketch)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     return li.groupBy("l_returnflag").agg(
         F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("p50_qty"),
         F.round(F.expr("percentile(l_quantity, 0.9)"), 4).alias("p90_qty"),
@@ -213,7 +213,7 @@ def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     with a join-condition filter (not a WHERE -- customers with zero
     qualifying orders must survive)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders").where(
+    o = load_table(spark, sf_dir, "orders", spread=True).where(
         F.col("o_orderpriority") != "1-URGENT"
     )
     per_cust = (

@@ -58,7 +58,7 @@ from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q1-shaped pricing summary: 8 aggregates over two group keys."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     charge = revenue_expr() * (F.lit(1.0) + F.col("l_tax"))
     return (
         li.where(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
@@ -159,7 +159,7 @@ def minmax_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     return li.rollup("l_returnflag", "l_linestatus").agg(
         dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
     )
@@ -176,7 +176,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     return li.cube("l_returnflag", "l_linestatus").agg(
         dsum("l_extendedprice", "sum_price"), F.count(F.lit(1)).alias("n")
     )
@@ -1031,7 +1031,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     BROADCAST join to the part dimension (small side, no fact shuffle),
     conditional aggregation into one partial/final pass. The classic
     star-join probe pattern at any scale."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem", spread=True)
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     promo = F.when(
         F.col("p_type") == "PROMO", revenue_expr()
