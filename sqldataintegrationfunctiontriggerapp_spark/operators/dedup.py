@@ -252,7 +252,7 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "v"), "v")
             .groupBy("u")
@@ -261,25 +261,31 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
         )
         stepped = labels.join(nbr_min, "node", "left").select(
             "node",
+            F.col("comp").alias("prev"),
             F.least(
                 F.col("comp"), F.coalesce("nbr_comp", "comp")
             ).alias("comp"),
         )
-        # pointer jump: comp <- comp(comp); labels always point at real nodes
-        jump = labels.select(
-            F.col("node").alias("comp"), F.col("comp").alias("jumped")
-        )
-        new_labels = stepped.join(jump, "comp", "left").select(
-            "node",
-            F.least(F.col("comp"), F.coalesce("jumped", "comp")).alias("comp"),
-        ).localCheckpoint()
-        changed = (
-            new_labels.withColumnRenamed("comp", "new_comp")
-            .join(labels, "node")
-            .where(F.col("new_comp") != F.col("comp"))
-            .count()
-        )
-        labels = new_labels
+        if it == 0:
+            # first-round labels are the identity (comp == node), so the
+            # pointer jump comp <- comp(comp) is a no-op join: skip it
+            new_labels = stepped.localCheckpoint()
+        else:
+            # pointer jump: comp <- comp(comp); labels always point at real
+            # nodes
+            jump = labels.select(
+                F.col("node").alias("comp"), F.col("comp").alias("jumped")
+            )
+            new_labels = stepped.join(jump, "comp", "left").select(
+                "node",
+                "prev",
+                F.least(F.col("comp"), F.coalesce("jumped", "comp")).alias("comp"),
+            ).localCheckpoint()
+        # convergence reads the ALREADY-materialized checkpoint (the prior
+        # label rode along through the round as `prev`), so it costs a
+        # count over it -- not a new-vs-old labels join
+        changed = new_labels.where(F.col("comp") != F.col("prev")).count()
+        labels = new_labels.drop("prev")
         if changed == 0:
             break
     sym.unpersist()
