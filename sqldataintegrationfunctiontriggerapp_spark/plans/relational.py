@@ -503,19 +503,24 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "set_except",
     oracle="""
-    SELECT c_nationkey AS nationkey FROM customer
+    SELECT c_custkey AS custkey FROM customer
     EXCEPT
-    SELECT s_nationkey AS nationkey FROM supplier
+    SELECT o_custkey AS custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01'
     """,
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT with a non-empty result by construction (customers who placed
+    no order since 1999 -- round-2 sweeps showed the old
+    customer-vs-supplier nation EXCEPT was structurally empty, a 0-row
+    oracle row that verified nothing)."""
     c = load_table(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").alias("nationkey")
+        F.col("c_custkey").alias("custkey")
     )
-    s = load_table(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").alias("nationkey")
-    )
-    return c.subtract(s)
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("custkey"))
+    return c.subtract(o)
 
 
 # --------------------------------------------------------------------------
