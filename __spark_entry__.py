@@ -43,7 +43,7 @@ _SWEEP_PRIORITY = [
     # red in r02 (driver canonicalizer TypeError) -- flattened this round
     "embedding_centroids",
     # code changed this round: re-verify before anything long-green
-    "dedup_embedding_cosine", "set_except", "dedup_components",
+    "dedup_embedding_cosine", "set_except", "join_anti", "dedup_components",
     # new round-3 queries go here (no correctness row can exist yet)
     "q6_forecast_revenue", "q14_promo_revenue", "dedup_duplicate_rate",
     "minhash_jaccard_estimate", "doc_length_histogram",

@@ -386,13 +386,18 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name
     FROM customer c
-    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
     """,
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NOT EXISTS == left-anti join."""
+    """NOT EXISTS == left-anti join. The build side is filtered to
+    high-value orders (the join_semi mirror) so the result is non-empty by
+    construction -- the unfiltered variant matched every customer and its
+    0-row oracle check verified nothing (r01 sweep)."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
     return c.join(o, o.o_custkey == c.c_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
