@@ -412,3 +412,32 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "active_week")
         .agg(F.count(F.lit(1)).cast("long").alias("n_active_users"))
     )
+
+
+@register(
+    "window_percent_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           ROUND(percent_rank() OVER w, 6) AS bal_pct_rank,
+           ROUND(cume_dist() OVER w, 6) AS bal_cume_dist
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-standing window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rows <= current / n) per nation by balance -- the
+    distribution-position primitives behind percentile banding and outlier
+    capping. Rank-based rationals, so both engines agree given the same
+    total order (custkey breaks balance ties); rounded to 6 decimals since
+    the engines may associate the rational's division differently. One
+    shuffle on the partition key, sort within partitions -- the standard
+    window shape."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_nationkey",
+        F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+    )
