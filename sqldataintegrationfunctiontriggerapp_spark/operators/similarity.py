@@ -177,6 +177,14 @@ def cosine_pairs_above_bucketed(
     pivots = [[float(x) for x in r.v] for r in pivot_rows]
     pn2 = [sum(x * x for x in p) for p in pivots]
     k = len(pivots)
+    if k == 0:
+        # empty (or all-zero-norm) input: no pivots exist, and an empty
+        # pivot literal would not even analyze -- return a typed empty frame
+        return base.select(
+            F.col("vid").alias("id_a"),
+            F.col("vid").alias("id_b"),
+            F.lit(0.0).alias("cos"),
+        ).where(F.lit(False))
 
     # nearest pivot by angle == argmax cosine; theta kept for the radius agg.
     # clamp cos into [-1, 1] before acos (fold roundoff can exceed by 1 ulp).
@@ -397,6 +405,16 @@ def ivf_scored(
     )
     pivots = [[float(x) for x in r.v] for r in pivot_rows]
     pn2 = [sum(x * x for x in p) for p in pivots]
+    if not pivots:
+        # empty corpus: no inverted lists; a typed empty probe stream keeps
+        # downstream windows/joins analyzable instead of failing on an
+        # empty pivot literal
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(0.0).alias("cos"),
+            F.lit(1).cast("int").alias("probe_rank"),
+        ).where(F.lit(False))
 
     def d2s_to_pivots(vec: Column, n2: Column) -> Column:
         """Array of squared distances to every pivot: |v|^2 + |p_i|^2 -

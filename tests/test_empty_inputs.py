@@ -1,0 +1,62 @@
+"""Empty/degenerate-input behavior of the operator APIs: a 100 TB pipeline
+routinely produces empty partitions, empty change batches, and filters that
+match nothing -- operators must return empty results, not crash."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.operators import dedup as D
+from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    out = D.connected_components(edges)
+    assert out.columns == ["doc_id", "component_id"]
+    assert out.count() == 0
+
+
+def test_word_shingles_drops_short_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a b c d e f")], "doc_id bigint, text string"
+    )
+    sh = D.word_shingles(docs, n=5)
+    assert sh.where(F.col("doc_id") == 1).count() == 0
+    assert sh.where(F.col("doc_id") == 2).count() == 2
+
+
+def test_exact_dedup_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    assert D.exact_dedup_groups(df).count() == 0
+
+
+def test_brute_force_topk_k_exceeds_corpus(spark):
+    rows = [(i, [float(i) + 1.0, 1.0]) for i in range(3)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = S.brute_force_topk(e, e.where(F.col("vec_id") == 0), k=10)
+    # corpus minus the query itself
+    assert out.count() == 2
+
+
+def test_ivf_topk_single_query_small_corpus(spark):
+    rows = [(i, [float(i % 3) + 1.0, float(i % 5) + 1.0]) for i in range(8)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = S.ivf_topk(e, e.where(F.col("vec_id") == 0), k=3, n_lists=4, n_probe=4)
+    assert 0 < out.count() <= 3
+
+
+def test_ivf_topk_empty_corpus(spark):
+    e = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    q = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id bigint, embedding array<float>"
+    )
+    assert S.ivf_topk(e, q, k=3, n_lists=4, n_probe=2).count() == 0
+
+
+def test_cosine_pairs_bucketed_all_zero_norm(spark):
+    rows = [(i, [0.0, 0.0]) for i in range(4)]
+    e = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    # zero-norm vectors have undefined cosine; they are filtered, never crash
+    out = S.cosine_pairs_above_bucketed(e, threshold=0.5, n_pivots=2)
+    assert out.count() == 0
