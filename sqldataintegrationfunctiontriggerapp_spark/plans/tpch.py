@@ -392,3 +392,110 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return idle.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_custs"), dsum("c_acctbal", "total_bal")
     )
+
+
+@register(
+    "q12_priority_lines",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_shipdate > o_orderdate + INTERVAL 14 DAY
+    GROUP BY l_linestatus
+    """,
+)
+def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped priority split: for lines shipped well after
+    ordering in one year (the fixture's stand-in for the spec's
+    shipmode/receipt-date class), how many belong to urgent orders vs the
+    rest. One fact-fact shuffle join on orderkey; the two-way conditional
+    count folds into a single partial/final aggregate pass -- the classic
+    'pivot two classes without a pivot' shape."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).where(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy("l_linestatus").agg(
+        F.sum(F.when(urgent, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(~urgent, 1).otherwise(0)).cast("long").alias("low_line_count"),
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    oracle="""
+    WITH w AS (
+        SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+        FROM lineitem l1, orders
+        WHERE o_orderkey = l1.l_orderkey
+          AND o_orderstatus = 'F'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM w JOIN supplier ON s_suppkey = w.l_suppkey
+    GROUP BY s_name
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped waiting-supplier count: suppliers who were the SOLE
+    late shipper on a finished multi-supplier order (late = shipped >60
+    days after ordering, the fixture's receipt-vs-commit stand-in). numwait
+    counts distinct (order, supplier) wait events -- one per order, however
+    many of the supplier's lines were late -- pinned on both sides.
+
+    The spec writes this as EXISTS + correlated NOT EXISTS; the engine form
+    decorrelates both into ONE aggregate over the joined fact: per
+    (order, supplier), count the order's distinct suppliers and its
+    distinct LATE suppliers (conditional count_distinct in the same pass),
+    keep rows where the supplier is late, the order has >= 2 suppliers,
+    and exactly 1 late supplier. Two fact shuffles total (orderkey join,
+    orderkey aggregate) -- no correlated re-scans, which is exactly what an
+    optimizer must do to survive this query at scale."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    # the supplier's own late lines, one row per (order, supplier)
+    late_pairs = (
+        j.where(late).select("l_orderkey", "l_suppkey").distinct()
+    )
+    waiting = late_pairs.join(
+        per_order.where(
+            (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
+        ),
+        "l_orderkey",
+        "left_semi",
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
