@@ -56,7 +56,7 @@ _SWEEP_PRIORITY = [
     "q17_small_quantity_revenue", "q19_disjunctive_revenue",
     "q22_idle_customers", "span_dedup_rate", "mixture_sampling_weights",
     "doc_chunk_spans", "robust_outliers_mad", "window_percent_rank",
-    "q12_priority_lines", "q21_waiting_supplier",
+    "q12_priority_lines", "q21_waiting_supplier", "source_overlap_matrix",
     # rotation re-verification: green only on round-1 evidence
     # (CORRECTNESS_r01.json), heaviest/most-load-bearing families first
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_components",

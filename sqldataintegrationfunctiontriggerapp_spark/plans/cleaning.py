@@ -227,3 +227,50 @@ def span_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(dup).cast("double") / F.count(F.lit(1))).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS tk FROM documents),
+    sh AS (
+        SELECT DISTINCT source,
+               UNNEST(list_distinct([array_to_string(tk[i:i+4], ' ')
+                                     for i in range(1, len(tk) - 3)])) AS shingle
+        FROM t WHERE len(tk) >= 5
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_shingles
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication diagnostic: for every source pair, how many
+    distinct 5-token spans they share -- the curation query that reveals
+    which crawls/mirrors duplicate each other before a mixture is weighted
+    (two sources with heavy span overlap should not both be upsampled).
+
+    Plan: explode to (source, shingle), distinct, self-equi-join on the
+    shingle hash, one aggregate on the source pair. The self-join is an
+    inverted-index join -- shuffle volume O(distinct spans x sources
+    carrying them), never all-pairs of documents -- and the output is tiny
+    (sources x sources), so at 100 TB the only real cost is the one
+    distinct over spans."""
+    sh = (
+        word_shingles(load_table(spark, sf_dir, "documents"), n=5)
+        .join(
+            load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+            "doc_id",
+        )
+        .select("source", "shingle")
+        .distinct()
+    )
+    a = sh.select(F.col("source").alias("source_a"), "shingle")
+    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    return (
+        a.join(b, "shingle")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
