@@ -231,3 +231,25 @@ def test_span_dedup_is_postings_join_not_pairwise(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "span_dedup_rate")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q21_decorrelated_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q21_waiting_supplier")
+    # the double-EXISTS must decorrelate to equi-joins + aggregate,
+    # never a correlated re-scan or cartesian fallback
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+
+
+def test_q12_single_fact_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q12_priority_lines")
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    n_joins = n_shuffle_joins + plan.count("BroadcastHashJoin")
+    assert n_joins == 1, plan
+
+
+def test_source_overlap_is_postings_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
