@@ -29,6 +29,38 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+_BYTE_SUFFIXES = {
+    "": 1,
+    "b": 1,
+    "k": 1 << 10,
+    "kb": 1 << 10,
+    "m": 1 << 20,
+    "mb": 1 << 20,
+    "g": 1 << 30,
+    "gb": 1 << 30,
+    "t": 1 << 40,
+    "tb": 1 << 40,
+    "p": 1 << 50,
+    "pb": 1 << 50,
+}
+
+
+def _parse_byte_conf(value: str, default: int = 134217728) -> int:
+    """Parse a Spark byte conf ("134217728", "128m", "128MB") to bytes.
+
+    Mirrors JavaUtils.byteStringAsBytes' suffix table (b/k/m/g/t/p with
+    optional trailing 'b'). Unparseable input falls back to the default
+    rather than raising -- this value only tunes a local-mode heuristic.
+    """
+    s = str(value).strip().lower()
+    i = len(s)
+    while i > 0 and not s[: i].isdigit():
+        i -= 1
+    num, suffix = s[:i], s[i:].strip()
+    if not num or suffix not in _BYTE_SUFFIXES:
+        return default
+    return int(num) * _BYTE_SUFFIXES[suffix]
+
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
@@ -50,7 +82,8 @@ def load_table(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if not os.path.exists(path):
+    is_local = "://" not in sf_dir
+    if is_local and not os.path.exists(path):
         raise FileNotFoundError(f"fixture table {name!r} not found at {path}")
     df = spark.read.parquet(path)
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
@@ -66,17 +99,25 @@ def load_table(
         # parallelizes in the scan, so on a cluster -- or any properly
         # split input -- this is a no-op and no shuffle is added. The
         # condition IS the 100 TB safety.
-        split_bytes = int(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728").rstrip("b")
+        split_bytes = _parse_byte_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
-        if os.path.isdir(path):
-            n_bytes = sum(
-                os.path.getsize(os.path.join(path, f))
-                for f in os.listdir(path)
-                if os.path.isfile(os.path.join(path, f))
-            )
-        else:
-            n_bytes = os.path.getsize(path)
+        if not is_local:
+            return df
+        try:
+            if os.path.isdir(path):
+                n_bytes = sum(
+                    os.path.getsize(os.path.join(path, f))
+                    for f in os.listdir(path)
+                    if os.path.isfile(os.path.join(path, f))
+                )
+            else:
+                n_bytes = os.path.getsize(path)
+        except OSError:
+            # Non-locally-statable path (s3://, hdfs://): the input is a real
+            # multi-split dataset on a cluster, so spreading is already a
+            # no-op -- skip it rather than crash on the stat.
+            return df
         target = spark.sparkContext.defaultParallelism
         # approx scan splits = n_bytes / split_bytes; spread only when that
         # undershoots half the cores

@@ -137,15 +137,103 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_ivf_recall_sweep")  # eval harness over an approximate op: rows-only
+@register(
+    "ann_ivf_recall_sweep",
+    oracle="""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pivots AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   - 1 AS pidx,
+               v AS pv, list_dot_product(v, v) AS pn2
+        FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ),
+    cvec AS (
+        SELECT vec_id AS neighbor_id, v AS cv, list_dot_product(v, v) AS cn2
+        FROM corpus
+    ),
+    qvec AS (
+        SELECT vec_id AS query_id, v AS qv, list_dot_product(v, v) AS qn2
+        FROM corpus WHERE vec_id < 5
+    ),
+    assigned AS (
+        SELECT neighbor_id, cv, cn2, pidx AS list_id
+        FROM (
+            SELECT c.*, p.pidx,
+                   row_number() OVER (
+                       PARTITION BY c.neighbor_id
+                       ORDER BY c.cn2 + p.pn2 - 2 * list_dot_product(c.cv, p.pv),
+                                p.pidx) AS rn
+            FROM cvec c CROSS JOIN pivots p
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, qn2, pidx AS list_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY qn2 + pn2 - 2 * list_dot_product(qv, pv),
+                            pidx) AS INTEGER) AS probe_rank
+        FROM qvec CROSS JOIN pivots
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               list_dot_product(p.qv, a.cv) / sqrt(p.qn2 * a.cn2) AS cos,
+               p.probe_rank
+        FROM assigned a JOIN probes p USING (list_id)
+        WHERE a.neighbor_id <> p.query_id
+    ),
+    depths AS (SELECT * FROM (VALUES (1),(2),(4),(8),(16)) AS t(n_probe)),
+    approx AS (
+        SELECT n_probe, query_id, neighbor_id
+        FROM (
+            SELECT d.n_probe, s.query_id, s.neighbor_id,
+                   row_number() OVER (PARTITION BY d.n_probe, s.query_id
+                                      ORDER BY s.cos DESC, s.neighbor_id) AS rnk
+            FROM scored s JOIN depths d ON s.probe_rank <= d.n_probe
+        ) WHERE rnk <= 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id
+        FROM (
+            SELECT q.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.qv, c.cv)
+                                / sqrt(q.qn2 * c.cn2) DESC,
+                                c.neighbor_id) AS rnk
+            FROM cvec c CROSS JOIN qvec q
+            WHERE c.neighbor_id <> q.query_id
+        ) WHERE rnk <= 5
+    ),
+    agg AS (
+        SELECT a.n_probe,
+               CAST(SUM(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+               / GREATEST((SELECT COUNT(*) FROM exact), 1) AS recall_at_5
+        FROM approx a
+        LEFT JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY a.n_probe
+    )
+    SELECT d.n_probe, COALESCE(a.recall_at_5, 0.0) AS recall_at_5
+    FROM depths d LEFT JOIN agg a USING (n_probe)
+    """,
+)
 def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 of the IVF index vs the exact scan, swept over probing
     depth -- the query an engineer runs to choose n_probe before a 100 TB
     ANN deployment. For each n_probe the IVF result joins the exact top-5
     (semi join on (query, neighbor)) and recall = |hits| / |exact|;
     n_probe = n_lists must read exactly 1.0, which the unit test asserts.
-    Deterministic (md5 pivots) but the IVF algorithm itself is not
-    SQL-expressible, so the driver records the rows-only check.
+    Fully deterministic (md5-ordered pivot sample, argmin-distance
+    assignment, lexicographic tie-breaks), so the whole sweep IS
+    SQL-expressible and carries a DuckDB oracle mirroring every stage --
+    pivot selection, list assignment, probe ranking, per-depth window,
+    exact-join recall. Every depth always emits a row (right join against
+    the literal depth set) and an empty exact set divides by 1, not 0.
 
     Cost shape: ONE corpus scoring pass at n_probe = n_lists (ivf_scored
     keeps each neighbor's probe_rank), then ALL probing depths are
@@ -180,11 +268,17 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id", "neighbor_id"],
         "left",
     )
-    return hits.groupBy(F.col("n_probe").cast("int").alias("n_probe")).agg(
+    agg = hits.groupBy(F.col("n_probe").cast("int").alias("n_probe")).agg(
         (
             F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
-            / F.lit(float(n_exact))
+            / F.lit(float(max(n_exact, 1)))  # empty exact set: 0/1, not NaN
         ).alias("recall_at_5")
+    )
+    # 5-rows-always contract: a depth with zero scored rows (degenerate
+    # corpus) still emits recall 0.0 instead of vanishing from the sweep
+    depths_df = spark.createDataFrame([(d,) for d in (1, 2, 4, 8, 16)], "n_probe int")
+    return depths_df.join(F.broadcast(agg), "n_probe", "left").select(
+        "n_probe", F.coalesce("recall_at_5", F.lit(0.0)).alias("recall_at_5")
     )
 
 

@@ -186,15 +186,19 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q15_top_supplier",
     oracle=f"""
     WITH rev AS (
-        SELECT l_suppkey, {sql_revenue('total_revenue')}
+        SELECT l_suppkey,
+               SUM(CAST(({SQL_REVENUE_EXPR}) AS DECIMAL(18,6))) AS dec_rev
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate < TIMESTAMP '1996-04-01'
         GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, total_revenue
+    -- compare on the DECIMAL like the Spark plan; cast to double only in
+    -- the projection, so a revenue tie that rounds to the same double
+    -- cannot admit an extra row on one side only
+    SELECT s_suppkey, s_name, CAST(dec_rev AS DOUBLE) AS total_revenue
     FROM rev JOIN supplier ON s_suppkey = l_suppkey
-    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    WHERE dec_rev = (SELECT MAX(dec_rev) FROM rev)
     """,
 )
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,32 @@
+"""Catalog helpers: byte-conf parsing for the spread heuristic (ADVICE r03).
+
+No SparkSession needed -- pure parsing. The spread gate itself is covered
+indirectly by every sweep query via load_table(spread=True) callers.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import _parse_byte_conf
+
+
+@pytest.mark.parametrize(
+    ("raw", "expect"),
+    [
+        ("134217728", 134217728),      # plain int (Spark's default form)
+        ("134217728b", 134217728),     # explicit bytes suffix
+        ("128m", 128 << 20),           # JavaUtils short suffix
+        ("128MB", 128 << 20),          # human-readable, any case
+        (" 1g ", 1 << 30),             # whitespace tolerated
+        ("2t", 2 << 40),
+    ],
+)
+def test_parse_byte_conf_suffixes(raw, expect):
+    assert _parse_byte_conf(raw) == expect
+
+
+@pytest.mark.parametrize("raw", ["", "mb", "garbage", "12.5m", "-1m"])
+def test_parse_byte_conf_falls_back_on_unparseable(raw):
+    # the value only tunes a local heuristic: never raise, use the default
+    assert _parse_byte_conf(raw) == 134217728

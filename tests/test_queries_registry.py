@@ -34,6 +34,4 @@ def test_declared_rows_only_set_is_intentional():
         "ann_ivf_topk",               # approximate by design
         "percentile_approx",          # KLL-style sketch differs from DuckDB's
         "multimodal_feature_extract", # stub decoder reads raw bytes; not SQL
-        "ann_ivf_recall_sweep",       # eval over the approximate IVF op;
-                                      # contract pinned in test_skew_ivf.py
     }
