@@ -397,14 +397,7 @@ def ivf_scored(
     ``ivf_topk`` windows this down to top-k; the recall-sweep eval reuses
     one n_probe=n_lists stream and filters probe_rank <= p to evaluate
     every smaller probing depth from a single corpus pass."""
-    pivot_rows = (
-        corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
-        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
-        .limit(n_lists)
-        .collect()
-    )
-    pivots = [[float(x) for x in r.v] for r in pivot_rows]
-    pn2 = [sum(x * x for x in p) for p in pivots]
+    pivots = ivf_pivots(corpus, n_lists, id_col, vec_col)
     if not pivots:
         # empty corpus: no inverted lists; a typed empty probe stream keeps
         # downstream windows/joins analyzable instead of failing on an
@@ -415,36 +408,85 @@ def ivf_scored(
             F.lit(0.0).alias("cos"),
             F.lit(1).cast("int").alias("probe_rank"),
         ).where(F.lit(False))
+    assigned = ivf_assign(corpus, pivots, id_col, vec_col)
+    return ivf_probe(assigned, queries, pivots, n_probe, id_col, vec_col)
 
-    def d2s_to_pivots(vec: Column, n2: Column) -> Column:
-        """Array of squared distances to every pivot: |v|^2 + |p_i|^2 -
-        2 v.p_i, computed as ONE zip_with over a single array-of-arrays
-        pivot literal. vs unrolling len(pivots) fold expressions: the
-        expression tree (and its codegen compile time) stays O(1) in the
-        pivot count -- measured ~4x faster end-to-end at n_lists=16,
-        identical values (same per-element double ops in the same order)."""
-        return F.zip_with(
-            F.lit(pivots),
-            F.lit(pn2),
-            lambda p, pn: n2 + pn - 2 * dot(vec, p),
-        )
+
+def ivf_pivots(
+    corpus: DataFrame,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The coarse quantizer: n_lists corpus vectors picked by md5 order (a
+    deterministic uniform sample). One TakeOrdered job collects them; at
+    100 TB these n_lists * dim doubles are the only driver-side state and
+    broadcast as plan literals to assignment + probing."""
+    pivot_rows = (
+        corpus.select(F.col(id_col), _as_double(vec_col).alias("v"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+        .limit(n_lists)
+        .collect()
+    )
+    return [[float(x) for x in r.v] for r in pivot_rows]
+
+
+def _d2s_to_pivots(pivots: list[list[float]], vec: Column, n2: Column) -> Column:
+    """Array of squared distances to every pivot: |v|^2 + |p_i|^2 -
+    2 v.p_i, computed as ONE zip_with over a single array-of-arrays
+    pivot literal. vs unrolling len(pivots) fold expressions: the
+    expression tree (and its codegen compile time) stays O(1) in the
+    pivot count -- measured ~4x faster end-to-end at n_lists=16,
+    identical values (same per-element double ops in the same order)."""
+    pn2 = [sum(x * x for x in p) for p in pivots]
+    return F.zip_with(
+        F.lit(pivots),
+        F.lit(pn2),
+        lambda p, pn: n2 + pn - 2 * dot(vec, p),
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame,
+    pivots: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest inverted list: a pure map
+    (argmin distance against broadcast pivot literals) -- no shuffle, no
+    iterative fit. The returned (neighbor_id, cv, cn2, list_id) frame is
+    the persistable index: written bucketed by list_id (sinks/table_sink
+    write_bucketed) it is re-queried by ivf_probe without re-assignment."""
 
     def nearest_list(vec: Column, n2: Column) -> Column:
-        d2s = d2s_to_pivots(vec, n2)
+        d2s = _d2s_to_pivots(pivots, vec, n2)
         return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
     ).withColumn("cn2", dot(F.col("cv"), F.col("cv")))
-    assigned = c.withColumn("list_id", nearest_list(F.col("cv"), F.col("cn2")))
+    return c.withColumn("list_id", nearest_list(F.col("cv"), F.col("cn2")))
 
+
+def ivf_probe(
+    assigned: DataFrame,
+    queries: DataFrame,
+    pivots: list[list[float]],
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score a query batch against an already-assigned corpus (the output of
+    ivf_assign, fresh or re-read from a bucketed table): each query probes
+    its n_probe nearest lists via a broadcast equi-join on list_id -- the
+    corpus side is never shuffled or re-assigned."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).withColumn("qn2", dot(F.col("qv"), F.col("qv")))
     # n_probe nearest lists per query: sort an array of (d2, list_id)
     # structs, slice, explode -- still a pure map over the (small) query set
     probe_structs = F.transform(
-        d2s_to_pivots(F.col("qv"), F.col("qn2")),
+        _d2s_to_pivots(pivots, F.col("qv"), F.col("qn2")),
         lambda d, i: F.struct(
             d.alias("d2"), i.cast("int").alias("list_id")
         ),

@@ -111,3 +111,36 @@ def test_compact_partition_reduces_files(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).where(
         F.col("event_type") == some_type
     ).count() == n_rows
+
+
+def test_ivf_bucketed_layout_requeried_without_reassignment(spark, sf_dir, tmp_path):
+    """VERDICT r03 #6: ivf_assign's output written bucketed by list_id is a
+    persistable ANN index -- a later query batch probes it with a broadcast
+    equi-join on list_id, with NO re-assignment of the corpus (the argmin
+    map never reappears) and NO shuffle of the corpus side. Results must
+    equal the fresh in-memory index exactly (doubles round-trip parquet)."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    pivots = S.ivf_pivots(e, n_lists=16)
+    assigned = S.ivf_assign(e, pivots)
+    write_bucketed(
+        assigned, "t_ivf_idx", "list_id", 8,
+        path=os.path.join(str(tmp_path), "ivf_idx"),
+    )
+    try:
+        idx = spark.table("t_ivf_idx")
+        from_table = S.ivf_probe(idx, q, pivots, n_probe=4)
+        plan = from_table._jdf.queryExecution().executedPlan().toString()
+        # corpus side: scanned with list_id from the layout, never re-assigned
+        assert "array_min" not in plan            # the argmin assignment map
+        assert "BroadcastHashJoin" in plan        # probe join stays broadcast
+        assert "Exchange hashpartitioning" not in plan  # corpus never shuffled
+        direct = S.ivf_scored(e, q, n_lists=16, n_probe=4)
+        key = lambda r: (r.query_id, r.neighbor_id)
+        got = {key(r): (r.probe_rank, r.cos) for r in from_table.collect()}
+        want = {key(r): (r.probe_rank, r.cos) for r in direct.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_ivf_idx")
