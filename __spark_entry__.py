@@ -26,51 +26,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sweep priority: the driver checks queries in this dict's insertion order
-# and has a finite per-round budget (~50/round). Order of evidence value for
-# round 3 (VERDICT r02 "Next round" #1/#4): first the 11 queries with no
-# correctness row in EITHER round plus embedding_centroids (red in r02 on
-# the canonicalizer, reshaped this round), then queries whose code changed
-# this round, then new round-3 queries, then rotation re-verification of
-# everything green only on round-1 evidence, oldest-value first. Every
-# entry is still registered regardless of budget.
+# and has a finite per-round budget (~50/round). Round-4 order (VERDICT r03
+# "Next round" #1): first the queries that are new or whose code/oracle
+# changed this round (no valid prior evidence), then the 33 queries whose
+# only green row is round 1 (the stale-evidence rotation the judge asked
+# for), then the round-2-only tail, freshest last. Every entry is still
+# registered regardless of budget.
 _SWEEP_PRIORITY = [
-    # never swept (r01 budget cut + r02 budget cut): no evidence yet
-    "argmax_per_group", "null_safe_join", "window_time_range_avg",
-    "funnel_analysis", "map_agg_event_counts", "histogram_value_buckets",
-    "profile_events_table", "multimodal_chunk_energy",
-    "interval_join_left_events", "event_transition_matrix",
-    "retention_cohorts",
-    # red in r02 (driver canonicalizer TypeError) -- flattened this round
-    "embedding_centroids",
-    # code changed this round: re-verify before anything long-green
-    "dedup_embedding_cosine", "set_except", "join_anti", "dedup_components",
-    # new round-3 queries go here (no correctness row can exist yet)
-    "q6_forecast_revenue", "q14_promo_revenue", "dedup_duplicate_rate",
-    "minhash_jaccard_estimate", "doc_length_histogram",
-    "quantile_bands_per_type", "event_value_ntiles", "orders_pareto_share",
-    "gap_fill_daily_counts", "sliding_dedup_window", "bursty_users",
-    "daily_active_users", "stratified_sample", "pack_documents_greedy",
-    "embedding_quantize_error", "ann_ivf_recall_sweep",
-    "q4_order_priority", "q8_market_share", "q9_product_profit",
-    "q15_top_supplier", "q16_part_supplier_variety",
-    "q17_small_quantity_revenue", "q19_disjunctive_revenue",
-    "q22_idle_customers", "span_dedup_rate", "mixture_sampling_weights",
-    "doc_chunk_spans", "robust_outliers_mad", "window_percent_rank",
-    "q12_priority_lines", "q21_waiting_supplier", "source_overlap_matrix",
-    # rotation re-verification: green only on round-1 evidence
-    # (CORRECTNESS_r01.json), heaviest/most-load-bearing families first
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_components",
+    # new round-4 queries (completing the TPC-H suite; no evidence yet)
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q18_large_volume_customer", "q20_potential_promotion",
+    # newly oracle-checked (was rows-only) + changed-this-round re-verify:
+    # the shared dedup stage rebuild, the q15 decimal-compare oracle, and
+    # the IVF assign/probe split
+    "ann_ivf_recall_sweep", "dedup_minhash_lsh", "minhash_jaccard_estimate",
+    "dedup_ngram_jaccard", "dedup_components", "q15_top_supplier",
+    "ann_cosine_topk",
+    # rotation re-verification: the 33 queries green only on round-1
+    # evidence (CORRECTNESS_r01.json), heaviest families first
     "dedup_simhash", "dedup_exact", "q1_pricing_summary",
-    "q3_shipping_priority", "join_broadcast_star", "join_left_outer",
-    "join_semi", "join_anti", "agg_rollup", "agg_cube", "agg_grouping_sets",
-    "count_distinct", "between_filter", "top_limit", "cte_update_join",
-    "minmax_agg", "percentiles", "percentile_approx", "q13_order_distribution",
+    "q3_shipping_priority", "percentiles", "q13_order_distribution",
+    "agg_rollup", "agg_cube", "agg_grouping_sets", "count_distinct",
+    "join_broadcast_star", "join_left_outer", "join_semi",
+    "between_filter", "top_limit", "cte_update_join", "minmax_agg",
     "correlated_subquery", "exists_semi_subquery", "in_subquery_large_orders",
     "not_exists_anti_subquery", "string_agg_ordered", "unpivot_part_metrics",
     "posexplode_terms", "fuzzy_levenshtein_pairs", "pandas_udf_quality",
     "grouped_applyinpandas_scale", "allowlist_projection",
     "identifier_normalization", "json_envelope", "error_truncation",
     "multimodal_media_metadata", "multimodal_frame_sample",
+    # round-2-only tail (budget permitting), heaviest first
+    "tfidf_top_terms", "contamination_check", "text_repetition",
+    "sessionization", "q5_local_supplier_volume",
+    "q7_nation_volume_shipping", "q10_returned_items", "scd2_history",
+    "cdc_merge_upsert", "changefeed_watermark", "asof_join_prior_purchase",
+    "asof_join_cogroup_pandas", "theta_range_join", "text_bpe_token_count",
+    "text_quality_score", "text_lang_id", "text_fingerprint",
+    "term_frequencies", "text_pii_scrub", "text_token_stats",
+    "json_extract", "from_json_roundtrip", "retry_classification",
+    "retry_backoff", "cdc_latest_state", "purge_retention",
+    "join_full_outer", "set_union", "set_intersect", "pivot_status",
+    "range_batching", "scalar_string_funcs", "timestamp_arithmetic",
+    "monthly_order_trend", "train_val_split", "quota_per_source",
+    "corpus_shards", "embedding_norms", "window_running_sum",
+    "window_lag_lead", "window_rank", "topk_per_group",
+    "time_window_tumbling", "time_window_sliding", "interval_join_events",
 ]
 
 

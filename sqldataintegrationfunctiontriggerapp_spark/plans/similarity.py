@@ -236,24 +236,31 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the literal depth set) and an empty exact set divides by 1, not 0.
 
     Cost shape: ONE corpus scoring pass at n_probe = n_lists (ivf_scored
-    keeps each neighbor's probe_rank), then ALL probing depths are
-    evaluated in one plan: each scored row explodes to the depths that
-    would have seen it, one window ranks every (depth, query) slice, one
-    broadcast left join against the exact top-5 marks hits, one aggregate
-    emits the sweep -- not one IVF run (or even one job) per depth."""
+    keeps each neighbor's probe_rank), materialized once; at full probing
+    depth that stream already holds EVERY (query, neighbor) cosine -- each
+    corpus vector lives in exactly one probed list -- so the exact top-5
+    baseline is a window over the same stream, not a second brute-force
+    corpus pass. Then ALL probing depths are evaluated in one plan: each
+    scored row explodes to the depths that would have seen it, one window
+    ranks every (depth, query) slice, one broadcast left join against the
+    exact top-5 marks hits, one aggregate emits the sweep -- not one IVF
+    run (or even one job) per depth."""
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") < 5)
-    # both sides are tiny (|queries| x k and |queries| x corpus-slice rows);
-    # localCheckpoint materializes them once so the depth evaluation doesn't
-    # replay the corpus pass through its lazy lineage
+    # the scored stream is |queries| x |corpus| rows of the TINY query set
+    # against same-list neighbors; localCheckpoint materializes the corpus
+    # pass once for the exact baseline + every depth's evaluation
+    scored = S.ivf_scored(e, q, n_lists=16, n_probe=16).localCheckpoint()
+    w_exact = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     exact = (
-        S.brute_force_topk(e, q, k=5)
+        scored.withColumn("rank", F.row_number().over(w_exact))
+        .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
         .localCheckpoint()
     )
     n_exact = exact.count()
     depths = F.array([F.lit(d) for d in (1, 2, 4, 8, 16)])
-    expanded = S.ivf_scored(e, q, n_lists=16, n_probe=16).withColumn(
+    expanded = scored.withColumn(
         "n_probe",
         F.explode(F.filter(depths, lambda d: F.col("probe_rank") <= d)),
     )

@@ -503,3 +503,228 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               MIN(l_extendedprice / l_quantity) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eur AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON n_nationkey = s_nationkey
+        JOIN region ON r_regionkey = n_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    pse AS (SELECT * FROM ps JOIN eur ON s_suppkey = l_suppkey),
+    mc AS (SELECT l_partkey AS mc_partkey, MIN(cost) AS min_cost
+           FROM pse GROUP BY l_partkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+    FROM pse
+    JOIN part ON p_partkey = l_partkey
+             AND p_size = 9 AND p_type = 'SMALL'
+    JOIN mc ON mc_partkey = l_partkey AND cost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped minimum-cost supplier. The fixtures have no partsupp,
+    so supply cost is derived from the fact table (the q16 bridge
+    convention): cost(part, supplier) = MIN unit price over their lines --
+    a double MIN, deterministic on both engines. The spec's correlated
+    scalar subquery (min cost over the region's suppliers for this part)
+    decorrelates to one per-part aggregate joined back on
+    (partkey, cost = min_cost) -- equality on the identical MIN double is
+    exact. Region/nation/supplier and the size+type-filtered part are all
+    broadcast dimensions; the only shuffles are the two partkey-grain
+    aggregates of the fact-derived cost table. Top-100 by account balance
+    is TakeOrderedAndProject, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost")
+    )
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    pse = ps.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+    mc = pse.groupBy(F.col("l_partkey").alias("mc_partkey")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    p = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 9) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_brand")
+    return (
+        pse.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            mc,
+            (F.col("mc_partkey") == F.col("l_partkey"))
+            & (F.col("cost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH pv AS (
+        SELECT l_partkey AS ps_partkey,
+               SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6)))
+                   AS dec_v
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON n_nationkey = s_nationkey
+        WHERE n_name = 'NATION_3'
+        GROUP BY l_partkey
+    )
+    SELECT ps_partkey, CAST(dec_v AS DOUBLE) AS part_value
+    FROM pv
+    WHERE dec_v * 1000 > (SELECT SUM(dec_v) FROM pv)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped important stock: per-part inventory value for one
+    nation's suppliers, keeping parts above a fraction of the nation total.
+    Without partsupp, value(part) = SUM(extendedprice * quantity) over the
+    nation's lines (decimal accumulator both sides). The spec's HAVING
+    scalar subquery is the 1-row-total pattern: aggregate once, broadcast
+    the single total row back with a crossJoin, compare in exact decimal
+    (value * 1000 > total -- integer-scaled so no double threshold enters
+    the comparison). One fact shuffle on partkey; supplier and nation
+    broadcast; no global sort (the driver compare is order-insensitive and
+    a total order over every surviving part is pure cost at scale)."""
+    n = load_table(spark, sf_dir, "nation").where(F.col("n_name") == "NATION_3")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    pv = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_quantity")).cast(DEC))
+            .alias("dec_v")
+        )
+    )
+    tot = pv.agg(F.sum("dec_v").alias("tot"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("dec_v") * F.lit(1000) > F.col("tot"))
+        .select("ps_partkey", F.col("dec_v").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "q18_large_volume_customer",
+    oracle="""
+    WITH oq AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,6))) AS dec_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 300
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(dec_qty AS DOUBLE) AS sum_qty
+    FROM oq
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18 (exact schema fit -- no partsupp needed): customers whose
+    orders total > 300 units. The IN-subquery-with-HAVING decorrelates to
+    the qualifying-orders aggregate joined back to orders on orderkey;
+    the quantity sum from that same aggregate IS the output column, so the
+    fact table is scanned and shuffled exactly once. The >300 filter is
+    highly selective (static plan keeps a shuffle join on orderkey; AQE
+    converts it to broadcast at runtime when the survivor set is small --
+    the right call at 100 TB where qualification volume is data-dependent).
+    customer broadcasts. Top-100 via TakeOrderedAndProject with an
+    o_orderkey tiebreak so ties at the cut line are deterministic."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    oq = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("dec_qty")
+    ).where(F.col("dec_qty") > 300)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        oq.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(c), F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice",
+            F.col("dec_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q20_potential_promotion",
+    oracle="""
+    SELECT s_name, n_name, s_acctbal
+    FROM supplier
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 50
+    )
+    """,
+)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped promotion candidates: suppliers who moved > 50
+    units of some 'small…'-named part during 1995. The spec compares
+    partsupp availability against half the shipped volume; without
+    partsupp the shipped-volume side carries the whole predicate (same
+    plan skeleton: name-filtered part broadcast into the date-pruned fact,
+    (supplier, part)-grain aggregate, HAVING threshold, semi join into
+    supplier). The decimal quantity sum keeps the threshold exact. The
+    IN is a LEFT SEMI join -- each supplier emitted once no matter how
+    many qualifying parts. nation broadcasts for the name; no sort (the
+    compare is order-insensitive; s_name is unique anyway)."""
+    p = load_table(spark, sf_dir, "part").where(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    qual = (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("dec_q"))
+        .where(F.col("dec_q") > 50)
+        .select("l_suppkey")
+    )
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(qual, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name", "s_acctbal")
+    )
