@@ -468,7 +468,7 @@ def ivf_assign(
     return c.withColumn("list_id", nearest_list(F.col("cv"), F.col("cn2")))
 
 
-def ivf_probe(
+def ivf_probe_pairs(
     assigned: DataFrame,
     queries: DataFrame,
     pivots: list[list[float]],
@@ -476,10 +476,13 @@ def ivf_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Score a query batch against an already-assigned corpus (the output of
-    ivf_assign, fresh or re-read from a bucketed table): each query probes
-    its n_probe nearest lists via a broadcast equi-join on list_id -- the
-    corpus side is never shuffled or re-assigned."""
+    """The probe JOIN without the cosine projection: (query_id, neighbor_id,
+    qv, qn2, cv, cn2, probe_rank) pairs. Split from ivf_probe so callers
+    can materialize the join output with plain-column projections only --
+    Spark 4.1.2's whole-stage codegen mis-binds higher-order-function
+    expressions (the dot fold) placed in a broadcast-join projection when
+    that join is evaluated as its own tiny plan (localCheckpoint), so the
+    HOF cosine is applied AFTER materialization as a single-side map."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
     ).withColumn("qn2", dot(F.col("qv"), F.col("qv")))
@@ -508,12 +511,36 @@ def ivf_probe(
         assigned.join(F.broadcast(probes), "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("qv"), F.col("cv"))
-             / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos"),
-            "probe_rank",
+            "query_id", "neighbor_id", "qv", "qn2", "cv", "cn2", "probe_rank"
         )
+    )
+
+
+def score_pairs(pairs: DataFrame) -> Column | DataFrame:
+    """Cosine projection over ivf_probe_pairs output -- a pure map."""
+    return pairs.select(
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("qv"), F.col("cv"))
+         / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos"),
+        "probe_rank",
+    )
+
+
+def ivf_probe(
+    assigned: DataFrame,
+    queries: DataFrame,
+    pivots: list[list[float]],
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Score a query batch against an already-assigned corpus (the output of
+    ivf_assign, fresh or re-read from a bucketed table): each query probes
+    its n_probe nearest lists via a broadcast equi-join on list_id -- the
+    corpus side is never shuffled or re-assigned."""
+    return score_pairs(
+        ivf_probe_pairs(assigned, queries, pivots, n_probe, id_col, vec_col)
     )
 
 

@@ -59,12 +59,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer top-k (n_lists=16, n_probe=4): a deterministic
     pivot sample partitions the corpus into inverted lists; each query
-    scans only its 4 nearest lists. Served from the shared full-probe
-    scored stream (one corpus pass per session+sf_dir, reused by
-    ann_ivf_recall_sweep): filtering probe_rank <= 4 of the full stream IS
-    the n_probe=4 result, because probe ranks order a query's lists by
-    distance identically at every depth. Exactness at n_probe=n_lists and
-    recall-vs-exact are asserted in tests."""
+    scans only its 4 nearest lists. Probes the shared assigned-corpus
+    index (pivots collected + argmin assignment checkpointed once per
+    session+sf_dir, reused by ann_ivf_recall_sweep): filtering
+    probe_rank <= 4 of the full-probe stream IS the n_probe=4 result,
+    because probe ranks order a query's lists by distance identically at
+    every depth. Exactness at n_probe=n_lists and recall-vs-exact are
+    asserted in tests."""
     scored = _ivf_full_scored(spark, sf_dir).where(F.col("probe_rank") <= 4)
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
     return (
@@ -74,22 +75,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared IVF scored stream (same memo pattern as plans/dedup.py): ONE
-# n_probe = n_lists corpus pass per session+sf_dir serves both the top-k
-# query (probe_rank filter + window) and the recall sweep (per-depth
-# evaluation + exact baseline). Keyed by applicationId + sf_dir.
+# Shared IVF stage (same memo pattern as plans/dedup.py): ONE pivots
+# collect + argmin assignment + full-probe JOIN per session+sf_dir,
+# materialized as raw (qv, cv, norms, probe_rank) pairs. The join is
+# checkpointed WITHOUT the cosine projection: Spark 4.1.2's whole-stage
+# codegen mis-binds higher-order-function expressions (the dot fold)
+# placed in a broadcast-join projection when that join is materialized as
+# its own tiny plan (INTERNAL_ERROR ATTRIBUTE_NOT_FOUND), so the HOF
+# cosine is applied after materialization as a single-side map
+# (operators/similarity.py ivf_probe_pairs/score_pairs).
 _IVF_STAGE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _ivf_full_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-probe scored stream over the shared checkpointed pair stage."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _IVF_STAGE:
         e = load_table(spark, sf_dir, "embeddings")
         q = e.where(F.col("vec_id") < 5)
-        _IVF_STAGE[key] = S.ivf_scored(
-            e, q, n_lists=16, n_probe=16
-        ).localCheckpoint()
-    return _IVF_STAGE[key]
+        pivots = S.ivf_pivots(e, n_lists=16)
+        if not pivots:
+            pairs = q.select(
+                F.col("vec_id").alias("query_id"),
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").cast("array<double>").alias("qv"),
+                F.lit(0.0).alias("qn2"),
+                F.col("embedding").cast("array<double>").alias("cv"),
+                F.lit(0.0).alias("cn2"),
+                F.lit(1).cast("int").alias("probe_rank"),
+            ).where(F.lit(False))
+        else:
+            assigned = S.ivf_assign(e, pivots).localCheckpoint()
+            pairs = S.ivf_probe_pairs(assigned, q, pivots, n_probe=16)
+        _IVF_STAGE[key] = pairs.localCheckpoint()
+    return S.score_pairs(_IVF_STAGE[key])
 
 
 @register(
@@ -261,29 +280,27 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-join recall. Every depth always emits a row (right join against
     the literal depth set) and an empty exact set divides by 1, not 0.
 
-    Cost shape: ONE corpus scoring pass at n_probe = n_lists (ivf_scored
-    keeps each neighbor's probe_rank), materialized once; at full probing
-    depth that stream already holds EVERY (query, neighbor) cosine -- each
-    corpus vector lives in exactly one probed list -- so the exact top-5
-    baseline is a window over the same stream, not a second brute-force
-    corpus pass. Then ALL probing depths are evaluated in one plan: each
-    scored row explodes to the depths that would have seen it, one window
-    ranks every (depth, query) slice, one broadcast left join against the
-    exact top-5 marks hits, one aggregate emits the sweep -- not one IVF
-    run (or even one job) per depth."""
-    # the scored stream is |queries| x |corpus| rows of the TINY query set
-    # against same-list neighbors; the shared session-scoped stage
-    # materializes the corpus pass once for the exact baseline, every
-    # depth's evaluation, AND the ann_ivf_topk query
+    Cost shape: the pivots collect + argmin corpus assignment come from
+    the shared session index (one build, reused by ann_ivf_topk); the
+    full-probe scored stream over it holds EVERY (query, neighbor) cosine
+    -- each corpus vector lives in exactly one probed list -- so the exact
+    top-5 baseline is a window over that same stream, not a second
+    brute-force corpus pass. ALL probing depths are evaluated in one
+    plan: each scored row explodes to the depths that would have seen it,
+    one window ranks every (depth, query) slice, one broadcast left join
+    against the exact top-5 marks hits, one aggregate emits the sweep --
+    not one IVF run (or even one job) per depth."""
     scored = _ivf_full_scored(spark, sf_dir)
     w_exact = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    # exact derives from the checkpointed stream with one tiny window; its
+    # row count rides a 1-row broadcast instead of a driver-side count(),
+    # so the whole sweep stays ONE action with no eager jobs
     exact = (
         scored.withColumn("rank", F.row_number().over(w_exact))
         .where(F.col("rank") <= 5)
         .select("query_id", "neighbor_id")
-        .localCheckpoint()
     )
-    n_exact = exact.count()
+    n_exact_df = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     depths = F.array([F.lit(d) for d in (1, 2, 4, 8, 16)])
     expanded = scored.withColumn(
         "n_probe",
@@ -300,11 +317,17 @@ def ann_ivf_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["query_id", "neighbor_id"],
         "left",
     )
-    agg = hits.groupBy(F.col("n_probe").cast("int").alias("n_probe")).agg(
-        (
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
-            / F.lit(float(max(n_exact, 1)))  # empty exact set: 0/1, not NaN
-        ).alias("recall_at_5")
+    agg = (
+        hits.groupBy(F.col("n_probe").cast("int").alias("n_probe"))
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"))
+        .crossJoin(F.broadcast(n_exact_df))
+        .select(
+            "n_probe",
+            (
+                F.col("n_hit").cast("double")
+                / F.greatest(F.col("n_exact"), F.lit(1))  # empty exact: /1
+            ).alias("recall_at_5"),
+        )
     )
     # 5-rows-always contract: a depth with zero scored rows (degenerate
     # corpus) still emits recall 0.0 instead of vanishing from the sweep
