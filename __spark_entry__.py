@@ -39,7 +39,8 @@ _SWEEP_PRIORITY = [
     # newly oracle-checked (was rows-only) + changed-this-round re-verify:
     # the shared dedup stage rebuild, the q15 decimal-compare oracle, and
     # the IVF assign/probe split
-    "ann_ivf_recall_sweep", "dedup_minhash_lsh", "minhash_jaccard_estimate",
+    "ann_ivf_recall_sweep", "ann_lsh_topk", "ann_ivf_topk",
+    "dedup_minhash_lsh", "minhash_jaccard_estimate",
     "dedup_ngram_jaccard", "dedup_components", "q15_top_supplier",
     "ann_cosine_topk",
     # rotation re-verification: the 33 queries green only on round-1

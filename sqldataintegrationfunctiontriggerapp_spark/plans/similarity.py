@@ -9,6 +9,73 @@ from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 
+# Shared IVF oracle skeleton: deterministic md5-ordered pivot sample,
+# argmin-distance list assignment, per-query probe ranking -- the SQL
+# mirror of ivf_pivots/ivf_assign/ivf_probe, used by both the top-k and
+# the recall-sweep oracles.
+_IVF_ORACLE_CTES = """
+    corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    pivots AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                   - 1 AS pidx,
+               v AS pv, list_dot_product(v, v) AS pn2
+        FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 16
+    ),
+    cvec AS (
+        SELECT vec_id AS neighbor_id, v AS cv, list_dot_product(v, v) AS cn2
+        FROM corpus
+    ),
+    qvec AS (
+        SELECT vec_id AS query_id, v AS qv, list_dot_product(v, v) AS qn2
+        FROM corpus WHERE vec_id < 5
+    ),
+    assigned AS (
+        SELECT neighbor_id, cv, cn2, pidx AS list_id
+        FROM (
+            SELECT c.*, p.pidx,
+                   row_number() OVER (
+                       PARTITION BY c.neighbor_id
+                       ORDER BY c.cn2 + p.pn2 - 2 * list_dot_product(c.cv, p.pv),
+                                p.pidx) AS rn
+            FROM cvec c CROSS JOIN pivots p
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, qn2, pidx AS list_id,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY qn2 + pn2 - 2 * list_dot_product(qv, pv),
+                            pidx) AS INTEGER) AS probe_rank
+        FROM qvec CROSS JOIN pivots
+    ),
+    scored AS (
+        SELECT p.query_id, a.neighbor_id,
+               list_dot_product(p.qv, a.cv) / sqrt(p.qn2 * a.cn2) AS cos,
+               p.probe_rank
+        FROM assigned a JOIN probes p USING (list_id)
+        WHERE a.neighbor_id <> p.query_id
+    )
+"""
+
+
+def _srp_bucket_sql(col: str, nbits: int = 4, dim: int = 64) -> str:
+    """SQL mirror of operators.similarity.srp_bucket: the md5-derived
+    hyperplanes are embedded as double literals (repr round-trips exactly;
+    each component is k/2^48*2-1, exact in double)."""
+    planes = S._hyperplanes(dim, nbits)
+    terms = []
+    for i, plane in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_dot_product({col}, {lit}) >= 0"
+            f" THEN {2 ** i} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
 
 @register(
     "ann_cosine_topk",
@@ -45,17 +112,60 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk")  # approximate by design: rows-only check
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH c AS (
+        SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        FROM embeddings
+    ),
+    cb AS (
+        SELECT neighbor_id, cv, list_dot_product(cv, cv) AS cn2,
+               {_srp_bucket_sql('cv')} AS bucket
+        FROM c
+    ),
+    qb AS (
+        SELECT neighbor_id AS query_id, cv AS qv, cn2 AS qn2, bucket
+        FROM cb WHERE neighbor_id < 5
+    ),
+    scored AS (
+        SELECT q.query_id, c2.neighbor_id,
+               list_dot_product(q.qv, c2.cv) / sqrt(q.qn2 * c2.cn2) AS cos
+        FROM cb c2 JOIN qb q USING (bucket)
+        WHERE c2.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cos
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed top-k (nbits=4): compares only same-bucket vectors --
     the 100 TB scale path where the full scan per query is unaffordable.
-    Deterministic (md5-derived hyperplanes) but approximate, so no SQL oracle;
-    recall-vs-exact is asserted in tests/test_similarity.py."""
+    Approximate vs the exact scan (recall asserted in tests) yet fully
+    DETERMINISTIC -- the hyperplanes derive from md5, so the oracle embeds
+    them as double literals and replicates bucketing, same-bucket join,
+    and ranking exactly."""
     e = load_table(spark, sf_dir, "embeddings")
     return S.lsh_topk(e, e.where(F.col("vec_id") < 5), k=5, nbits=4, dim=64)
 
 
-@register("ann_ivf_topk")  # approximate by design: rows-only check
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_IVF_ORACLE_CTES}
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cos
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored WHERE probe_rank <= 4
+    ) WHERE rnk <= 5
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantizer top-k (n_lists=16, n_probe=4): a deterministic
     pivot sample partitions the corpus into inverted lists; each query
@@ -184,52 +294,8 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_recall_sweep",
-    oracle="""
-    WITH corpus AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    pivots AS (
-        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
-                   - 1 AS pidx,
-               v AS pv, list_dot_product(v, v) AS pn2
-        FROM corpus
-        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-        LIMIT 16
-    ),
-    cvec AS (
-        SELECT vec_id AS neighbor_id, v AS cv, list_dot_product(v, v) AS cn2
-        FROM corpus
-    ),
-    qvec AS (
-        SELECT vec_id AS query_id, v AS qv, list_dot_product(v, v) AS qn2
-        FROM corpus WHERE vec_id < 5
-    ),
-    assigned AS (
-        SELECT neighbor_id, cv, cn2, pidx AS list_id
-        FROM (
-            SELECT c.*, p.pidx,
-                   row_number() OVER (
-                       PARTITION BY c.neighbor_id
-                       ORDER BY c.cn2 + p.pn2 - 2 * list_dot_product(c.cv, p.pv),
-                                p.pidx) AS rn
-            FROM cvec c CROSS JOIN pivots p
-        ) WHERE rn = 1
-    ),
-    probes AS (
-        SELECT query_id, qv, qn2, pidx AS list_id,
-               CAST(row_number() OVER (
-                   PARTITION BY query_id
-                   ORDER BY qn2 + pn2 - 2 * list_dot_product(qv, pv),
-                            pidx) AS INTEGER) AS probe_rank
-        FROM qvec CROSS JOIN pivots
-    ),
-    scored AS (
-        SELECT p.query_id, a.neighbor_id,
-               list_dot_product(p.qv, a.cv) / sqrt(p.qn2 * a.cn2) AS cos,
-               p.probe_rank
-        FROM assigned a JOIN probes p USING (list_id)
-        WHERE a.neighbor_id <> p.query_id
-    ),
+    oracle=f"""
+    WITH {_IVF_ORACLE_CTES},
     depths AS (SELECT * FROM (VALUES (1),(2),(4),(8),(16)) AS t(n_probe)),
     approx AS (
         SELECT n_probe, query_id, neighbor_id

@@ -27,11 +27,12 @@ def test_entry_returns_rows(spark):
 def test_declared_rows_only_set_is_intentional():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     rows_only = set(qs) - set(os_)
-    # approximate/beyond-SQL ops only; growing this set needs a reason
+    # approximate/beyond-SQL ops only; growing this set needs a reason.
+    # (The deterministic-approximate ANN entries -- lsh/ivf topk, recall
+    # sweep -- carry exact oracles since r4: md5-derived planes/pivots are
+    # SQL-expressible even though the search itself is approximate.)
     assert rows_only == {
         "approx_count_distinct",      # HLL++ sketch differs from DuckDB's
-        "ann_lsh_topk",               # approximate by design
-        "ann_ivf_topk",               # approximate by design
         "percentile_approx",          # KLL-style sketch differs from DuckDB's
         "multimodal_feature_extract", # stub decoder reads raw bytes; not SQL
     }
