@@ -308,3 +308,29 @@ def test_minhash_estimate_band_agreement_is_equi_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     # the band-agreement aggregate must combine map-side (partial+final)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_q2_broadcasts_dims_and_takes_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+    # region/nation/supplier chain and the filtered part dim all broadcast;
+    # the only shuffle joins are the fact-derived cost-vs-min join
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    # top-100 by acctbal is TakeOrderedAndProject, never a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q18_single_fact_shuffle_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_volume_customer")
+    assert "TakeOrderedAndProject" in plan
+    # customer broadcasts; lineitem is aggregated then joined -- the fact
+    # table must not be scanned twice
+    assert plan.count("FileScan parquet") <= 3  # lineitem, orders, customer
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_having_agg_then_semi_join(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q20_potential_promotion")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
