@@ -59,7 +59,12 @@ def _parse_byte_conf(value: str, default: int = 134217728) -> int:
     num, suffix = s[:i], s[i:].strip()
     if not num or suffix not in _BYTE_SUFFIXES:
         return default
-    return int(num) * _BYTE_SUFFIXES[suffix]
+    try:
+        # isdigit() admits characters int() rejects (e.g. superscripts) --
+        # keep the never-raise contract regardless
+        return int(num) * _BYTE_SUFFIXES[suffix]
+    except ValueError:
+        return default
 
 
 def load_table(
@@ -99,11 +104,14 @@ def load_table(
         # parallelizes in the scan, so on a cluster -- or any properly
         # split input -- this is a no-op and no shuffle is added. The
         # condition IS the 100 TB safety.
+        if not is_local:
+            # Remote-scheme path (s3://, hdfs://): a real multi-split dataset
+            # on a cluster, so spreading is already a no-op -- skip the
+            # local-only stat entirely.
+            return df
         split_bytes = _parse_byte_conf(
             spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
         )
-        if not is_local:
-            return df
         try:
             if os.path.isdir(path):
                 n_bytes = sum(
@@ -114,9 +122,9 @@ def load_table(
             else:
                 n_bytes = os.path.getsize(path)
         except OSError:
-            # Non-locally-statable path (s3://, hdfs://): the input is a real
-            # multi-split dataset on a cluster, so spreading is already a
-            # no-op -- skip it rather than crash on the stat.
+            # the path vanished between the exists() check and the stat
+            # (concurrent rewrite): spreading is a perf heuristic, never a
+            # reason to fail the read
             return df
         target = spark.sparkContext.defaultParallelism
         # approx scan splits = n_bytes / split_bytes; spread only when that

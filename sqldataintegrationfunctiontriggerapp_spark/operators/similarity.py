@@ -516,7 +516,7 @@ def ivf_probe_pairs(
     )
 
 
-def score_pairs(pairs: DataFrame) -> Column | DataFrame:
+def score_pairs(pairs: DataFrame) -> DataFrame:
     """Cosine projection over ivf_probe_pairs output -- a pure map."""
     return pairs.select(
         "query_id",

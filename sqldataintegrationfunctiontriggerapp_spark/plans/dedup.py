@@ -28,8 +28,14 @@ _STAGE_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def _stage(spark: SparkSession, sf_dir: str, name: str, build):
-    key = (spark.sparkContext.applicationId, sf_dir, name)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
     if key not in _STAGE_CACHE:
+        # evict entries from other (stopped) applications: their DataFrames
+        # pin py4j references to defunct JVMs and can never be served again,
+        # so a driver that stops/recreates sessions stays bounded
+        for dead in [k for k in _STAGE_CACHE if k[0] != app]:
+            del _STAGE_CACHE[dead]
         _STAGE_CACHE[key] = build()
     return _STAGE_CACHE[key]
 

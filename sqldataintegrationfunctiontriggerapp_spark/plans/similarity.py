@@ -199,8 +199,13 @@ _IVF_STAGE: dict[tuple[str, str], DataFrame] = {}
 
 def _ivf_full_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-probe scored stream over the shared checkpointed pair stage."""
-    key = (spark.sparkContext.applicationId, sf_dir)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     if key not in _IVF_STAGE:
+        # evict entries from other (stopped) applications -- same bounded-
+        # lifetime rule as plans/dedup.py _stage
+        for dead in [k for k in _IVF_STAGE if k[0] != app]:
+            del _IVF_STAGE[dead]
         e = load_table(spark, sf_dir, "embeddings")
         q = e.where(F.col("vec_id") < 5)
         pivots = S.ivf_pivots(e, n_lists=16)

@@ -26,7 +26,7 @@ def test_parse_byte_conf_suffixes(raw, expect):
     assert _parse_byte_conf(raw) == expect
 
 
-@pytest.mark.parametrize("raw", ["", "mb", "garbage", "12.5m", "-1m"])
+@pytest.mark.parametrize("raw", ["", "mb", "garbage", "12.5m", "-1m", "²b"])
 def test_parse_byte_conf_falls_back_on_unparseable(raw):
     # the value only tunes a local heuristic: never raise, use the default
     assert _parse_byte_conf(raw) == 134217728
