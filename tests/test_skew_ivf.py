@@ -97,3 +97,40 @@ def test_ivf_recall_sweep_monotone_and_exact_at_full_probe(spark, sf_dir):
     assert [r.n_probe for r in rows] == [1, 2, 4, 8, 16]
     assert all(a <= b + 1e-12 for a, b in zip(recalls, recalls[1:]))
     assert recalls[-1] == 1.0
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The 100 TB skew story is two-layer: salting (above) for aggregates we
+    control, and AQE skew-join splitting for everything else. This pins the
+    second layer: with session AQE on (session.py:46-48), a join whose
+    shuffle has one dominant key must show skew=true splits in the FINAL
+    adaptive plan -- proving the config actually engages, not just exists."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 300_000).select(
+            (F.col("id") % 500 == 0).cast("int").alias("pad"),
+            F.when(F.col("id") % 5 == 0, 0).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        small = spark.range(0, 300_000, 7).select(F.col("id").alias("k"))
+        j = big.join(small, "k")
+        # execute through THIS DataFrame's own QueryExecution (a write
+        # executes a clone, leaving j's adaptive plan unfinalized)
+        j.rdd.count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
