@@ -1,0 +1,82 @@
+"""Repo-wide physical-plan lint over EVERY registered query.
+
+Per-query plan-shape tests (test_plan_shapes.py) pin specific invariants;
+this lint enforces the global 100 TB anti-pattern rules across the whole
+registry, so a NEW query can't ship with a cartesian product, an
+unjustified nested-loop join, or a row-at-a-time Python UDF without either
+fixing it or justifying an allowlist entry here.
+
+Plans are built (analyzed + physically planned), never executed -- except
+that the shared-stage families (dedup minhash/ngram, IVF) eagerly
+materialize their session-scoped localCheckpoint stage at construction
+time, which is cheap at sf0.001.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+# Deliberate BroadcastNestedLoopJoin sites. Two legitimate classes:
+#   1-row: a crossJoin against a single-row aggregate (scalar normalizer /
+#          denominator) -- the broadcast side is one row, so the "nested
+#          loop" is a constant-time append of literals at any scale.
+#   gated: a cost-based dispatcher that only takes the broadcast
+#          brute-force branch below a row threshold; the scale path is a
+#          bucketed equi-join (operators/similarity.py).
+_BNLJ_ALLOWED = {
+    "ann_cosine_topk":           "gated: exact baseline, query set broadcast",
+    "dedup_embedding_cosine":    "gated: <32k-row broadcast branch, else bucketed",
+    "q11_important_stock":       "1-row: nation-total denominator",
+    "q22_idle_customers":        "1-row: scalar average threshold",
+    "not_exists_anti_subquery":  "1-row: scalar average threshold",
+    "ann_ivf_recall_sweep":      "1-row: exact-hit-count denominator",
+    "mixture_sampling_weights":  "1-row: weight normalizer",
+    "gap_fill_daily_counts":     "1-row: date-spine min/max bounds",
+    "daily_active_users":        "1-row: date-spine min/max bounds",
+}
+
+
+def _all_plans(spark, sf_dir):
+    out = {}
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        out[name] = df._jdf.queryExecution().executedPlan().toString()
+    return out
+
+
+@pytest.fixture(scope="module")
+def plans(spark, sf_dir):
+    return _all_plans(spark, sf_dir)
+
+
+def test_no_cartesian_product_anywhere(plans):
+    offenders = [n for n, p in plans.items() if "CartesianProduct" in p]
+    assert offenders == [], offenders
+
+
+def test_nested_loop_joins_are_allowlisted(plans):
+    offenders = [
+        n for n, p in plans.items()
+        if "BroadcastNestedLoopJoin" in p and n not in _BNLJ_ALLOWED
+    ]
+    assert offenders == [], offenders
+
+
+def test_no_row_at_a_time_python_udf(plans):
+    # Arrow-vectorized pandas UDFs plan as ArrowEvalPython / MapInPandas /
+    # FlatMapGroupsInPandas; BatchEvalPython is the 10-100x-slower
+    # row-at-a-time path and must never appear
+    offenders = [n for n, p in plans.items() if "BatchEvalPython" in p]
+    assert offenders == [], offenders
+
+
+def test_allowlist_entries_still_needed(plans):
+    # an allowlist row whose query no longer plans a BNLJ is stale -- prune
+    # it so the list stays an accurate inventory of deliberate sites
+    stale = [
+        n for n in _BNLJ_ALLOWED
+        if n in plans and "BroadcastNestedLoopJoin" not in plans[n]
+    ]
+    assert stale == [], stale
