@@ -33,9 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # for), then the round-2-only tail, freshest last. Every entry is still
 # registered regardless of budget.
 _SWEEP_PRIORITY = [
-    # new round-4 queries (completing the TPC-H suite; no evidence yet)
+    # new round-4 queries (completing the TPC-H suite + the streaming
+    # exactly-once parity entry; no evidence yet)
     "q2_min_cost_supplier", "q11_important_stock",
     "q18_large_volume_customer", "q20_potential_promotion",
+    "streaming_windowed_counts",
     # newly oracle-checked (was rows-only) + changed-this-round re-verify:
     # the shared dedup stage rebuild, the q15 decimal-compare oracle, and
     # the IVF assign/probe split

@@ -441,3 +441,59 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("bal_pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
     )
+
+
+@register(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """time_window_tumbling computed BY THE STREAMING ENGINE: the events
+    parquet replays through readStream (availableNow micro-batches) into
+    the watermarked tumbling aggregate (streaming/windows.py
+    windowed_counts) and a memory sink; the returned sink table is
+    hash-compared against the same BATCH SQL the tumbling query uses.
+    Equality against the batch oracle is the exactly-once evidence the
+    reference claims for its trigger pipeline (README.md:19-23) -- every
+    event contributes to exactly one window exactly once, across however
+    many micro-batches the replay takes. At 100 TB the identical plan
+    tails a live feed with the 7-day watermark bounding state; the only
+    test-mode concessions are the memory sink and the run-to-completion
+    trigger."""
+    import tempfile
+    import uuid
+
+    from sqldataintegrationfunctiontriggerapp_spark.streaming import windows as W
+
+    # The file streaming source monitors a DIRECTORY; the fixture is a
+    # single parquet file. Stage the (ts-normalized) events into a temp dir
+    # as 2 files so maxFilesPerTrigger=1 genuinely exercises multi-batch
+    # accumulation, not a single-batch degenerate run.
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="strm_wc_src_")
+    ev.coalesce(2).write.mode("overwrite").parquet(src_dir)
+    schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    agg = W.windowed_counts(stream, window="1 hour", watermark="30 days")
+    sink = f"strm_wc_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="strm_wc_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select("window_start", "event_type", "n", "sum_value")
