@@ -23,6 +23,26 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(18,6)"
 
+# Session-scoped shared-stage memo (used by plans/dedup.py for the minhash/
+# ngram families and plans/similarity.py for the IVF index): expensive
+# localCheckpointed builds computed once per (application, sf_dir, stage)
+# and reused by every family member in the suite.
+_STAGE_CACHE: dict[tuple[str, str, str], object] = {}
+
+
+def session_stage(spark, sf_dir: str, name: str, build):
+    """Memoize `build()` per (applicationId, sf_dir, name). Entries from
+    other (stopped) applications are evicted on insert: their DataFrames pin
+    py4j references to defunct JVMs and can never be served again, so a
+    driver that stops/recreates sessions stays bounded."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    if key not in _STAGE_CACHE:
+        for dead in [k for k in _STAGE_CACHE if k[0] != app]:
+            del _STAGE_CACHE[dead]
+        _STAGE_CACHE[key] = build()
+    return _STAGE_CACHE[key]
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.operators import dedup as D
 from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import session_stage
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 
 _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
@@ -20,24 +21,10 @@ _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 # and dedup_ngram_jaccard / dedup_components both need the exact >=0.8 pair
 # table. Within one session+sf_dir the stage is computed ONCE
 # (localCheckpointed -- lineage-free, executor-resident) and every family
-# member reuses it; whichever query runs first pays the build. Keyed by
-# applicationId so a new session never sees another session's frames, and
-# by sf_dir so the correctness driver (sf0.01) and bench (sf0.1) cannot
-# cross-contaminate. Bounded: one entry per (app, sf_dir, stage) triple.
-_STAGE_CACHE: dict[tuple[str, str, str], object] = {}
-
-
-def _stage(spark: SparkSession, sf_dir: str, name: str, build):
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir, name)
-    if key not in _STAGE_CACHE:
-        # evict entries from other (stopped) applications: their DataFrames
-        # pin py4j references to defunct JVMs and can never be served again,
-        # so a driver that stops/recreates sessions stays bounded
-        for dead in [k for k in _STAGE_CACHE if k[0] != app]:
-            del _STAGE_CACHE[dead]
-        _STAGE_CACHE[key] = build()
-    return _STAGE_CACHE[key]
+# member reuses it; whichever query runs first pays the build. Memoization
+# + dead-application eviction live in plans/_util.py session_stage (shared
+# with the IVF index in plans/similarity.py).
+_stage = session_stage
 
 
 def _minhash_stage(spark: SparkSession, sf_dir: str):

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import session_stage
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 
 # Shared IVF oracle skeleton: deterministic md5-ordered pivot sample,
@@ -193,19 +194,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # placed in a broadcast-join projection when that join is materialized as
 # its own tiny plan (INTERNAL_ERROR ATTRIBUTE_NOT_FOUND), so the HOF
 # cosine is applied after materialization as a single-side map
-# (operators/similarity.py ivf_probe_pairs/score_pairs).
-_IVF_STAGE: dict[tuple[str, str], DataFrame] = {}
+# (operators/similarity.py ivf_probe_pairs/score_pairs). Memoization +
+# dead-application eviction shared with plans/dedup.py via
+# plans/_util.py session_stage.
 
 
 def _ivf_full_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-probe scored stream over the shared checkpointed pair stage."""
-    app = spark.sparkContext.applicationId
-    key = (app, sf_dir)
-    if key not in _IVF_STAGE:
-        # evict entries from other (stopped) applications -- same bounded-
-        # lifetime rule as plans/dedup.py _stage
-        for dead in [k for k in _IVF_STAGE if k[0] != app]:
-            del _IVF_STAGE[dead]
+
+    def build():
         e = load_table(spark, sf_dir, "embeddings")
         q = e.where(F.col("vec_id") < 5)
         pivots = S.ivf_pivots(e, n_lists=16)
@@ -222,8 +219,9 @@ def _ivf_full_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             assigned = S.ivf_assign(e, pivots).localCheckpoint()
             pairs = S.ivf_probe_pairs(assigned, q, pivots, n_probe=16)
-        _IVF_STAGE[key] = pairs.localCheckpoint()
-    return S.score_pairs(_IVF_STAGE[key])
+        return pairs.localCheckpoint()
+
+    return S.score_pairs(session_stage(spark, sf_dir, "ivf_pairs_16", build))
 
 
 @register(

@@ -456,44 +456,56 @@ def window_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """time_window_tumbling computed BY THE STREAMING ENGINE: the events
-    parquet replays through readStream (availableNow micro-batches) into
-    the watermarked tumbling aggregate (streaming/windows.py
+    parquet replays through readStream (availableNow, maxFilesPerTrigger=1
+    over a 2-file staging so accumulation genuinely crosses micro-batch
+    boundaries) into the tumbling aggregate (streaming/windows.py
     windowed_counts) and a memory sink; the returned sink table is
     hash-compared against the same BATCH SQL the tumbling query uses.
     Equality against the batch oracle is the exactly-once evidence the
     reference claims for its trigger pipeline (README.md:19-23) -- every
-    event contributes to exactly one window exactly once, across however
-    many micro-batches the replay takes. At 100 TB the identical plan
-    tails a live feed with the 7-day watermark bounding state; the only
-    test-mode concessions are the memory sink and the run-to-completion
-    trigger."""
+    event contributes to exactly one window exactly once across the
+    multi-batch replay. Test-mode concessions: the memory sink, the
+    run-to-completion trigger, and complete output mode (which retains all
+    window state regardless of watermark -- the 7-day watermark bounds
+    state only in an append-mode deployment tailing a live feed)."""
+    import shutil
     import tempfile
-    import uuid
 
     from sqldataintegrationfunctiontriggerapp_spark.streaming import windows as W
 
     # The file streaming source monitors a DIRECTORY; the fixture is a
-    # single parquet file. Stage the (ts-normalized) events into a temp dir
-    # as 2 files so maxFilesPerTrigger=1 genuinely exercises multi-batch
-    # accumulation, not a single-batch degenerate run.
+    # single single-split parquet file. repartition(2) (coalesce cannot
+    # INCREASE the partition count) stages exactly 2 files so
+    # maxFilesPerTrigger=1 runs 2 real micro-batches.
     ev = load_table(spark, sf_dir, "events")
     src_dir = tempfile.mkdtemp(prefix="strm_wc_src_")
-    ev.coalesce(2).write.mode("overwrite").parquet(src_dir)
-    schema = spark.read.parquet(src_dir).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
-    )
-    agg = W.windowed_counts(stream, window="1 hour", watermark="30 days")
-    sink = f"strm_wc_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(sink)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="strm_wc_ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(sink).select("window_start", "event_type", "n", "sum_value")
+    ckpt_dir = tempfile.mkdtemp(prefix="strm_wc_ckpt_")
+    try:
+        ev.repartition(2).write.mode("overwrite").parquet(src_dir)
+        stream = (
+            spark.readStream.schema(ev.schema)  # staged write preserves it
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        agg = W.windowed_counts(stream, window="1 hour")
+        # stable sink name: each call overwrites the previous run's temp
+        # view, so repeated sweep/bench calls hold ONE result table, not a
+        # growing set of uuid-named ones
+        sink = "strm_wc_sink"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(sink).select(
+            "window_start", "event_type", "n", "sum_value"
+        )
+    finally:
+        # the memory sink has fully materialized by awaitTermination, so
+        # the staging + checkpoint dirs are dead weight
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
