@@ -26,41 +26,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sweep priority: the driver checks queries in this dict's insertion order
-# and has a finite per-round budget (~50/round). Round-4 order (VERDICT r03
+# and has a finite per-round budget (~50/round). Round-5 order (VERDICT r04
 # "Next round" #1): first the queries that are new or whose code/oracle
-# changed this round (no valid prior evidence), then the 33 queries whose
-# only green row is round 1 (the stale-evidence rotation the judge asked
-# for), then the round-2-only tail, freshest last. Every entry is still
-# registered regardless of budget.
+# changed this round (no valid prior evidence), then the 42 queries whose
+# latest green row is round 2 (the stale-evidence rotation: no query's
+# evidence should age past two rounds), then the round-3 tail. The
+# round-4-evidenced queries (freshest) follow in registry order. Every
+# entry is still registered regardless of budget.
 _SWEEP_PRIORITY = [
-    # new round-4 queries (completing the TPC-H suite + the streaming
-    # exactly-once parity entry; no evidence yet)
-    "q2_min_cost_supplier", "q11_important_stock",
-    "q18_large_volume_customer", "q20_potential_promotion",
-    "streaming_windowed_counts",
-    # newly oracle-checked (was rows-only) + changed-this-round re-verify:
-    # the shared dedup stage rebuild, the q15 decimal-compare oracle, and
-    # the IVF assign/probe split
-    "ann_ivf_recall_sweep", "ann_lsh_topk", "ann_ivf_topk",
+    # new/changed this round (no valid prior evidence): the streaming
+    # dedup parity query, the two sketch queries upgraded from rows-only to
+    # accuracy-contract oracles, the dedup family rebuilt on the shared
+    # shingle stage, and the restructured streaming staging harness
+    "streaming_dedup_parity", "streaming_windowed_counts",
+    "approx_count_distinct", "percentile_approx",
     "dedup_minhash_lsh", "minhash_jaccard_estimate",
-    "dedup_ngram_jaccard", "dedup_components", "q15_top_supplier",
-    "ann_cosine_topk",
-    # rotation re-verification: the 33 queries green only on round-1
-    # evidence (CORRECTNESS_r01.json), heaviest families first
-    "dedup_simhash", "dedup_exact", "q1_pricing_summary",
-    "q3_shipping_priority", "percentiles", "q13_order_distribution",
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "count_distinct",
-    "join_broadcast_star", "join_left_outer", "join_semi",
-    "between_filter", "top_limit", "cte_update_join", "minmax_agg",
-    "correlated_subquery", "exists_semi_subquery", "in_subquery_large_orders",
-    "not_exists_anti_subquery", "string_agg_ordered", "unpivot_part_metrics",
-    "posexplode_terms", "fuzzy_levenshtein_pairs", "pandas_udf_quality",
-    "grouped_applyinpandas_scale", "allowlist_projection",
-    "identifier_normalization", "json_envelope", "error_truncation",
-    "multimodal_media_metadata", "multimodal_frame_sample",
-    # round-2-only tail (budget permitting), heaviest first
-    "tfidf_top_terms", "contamination_check", "text_repetition",
-    "sessionization", "q5_local_supplier_volume",
+    "dedup_ngram_jaccard", "dedup_components",
+    # rotation re-verification: the 42 queries whose latest green evidence
+    # is round 2 (VERDICT r04 "What's missing" #1), heaviest families first
+    "sessionization", "tfidf_top_terms", "contamination_check",
+    "text_repetition", "q5_local_supplier_volume",
     "q7_nation_volume_shipping", "q10_returned_items", "scd2_history",
     "cdc_merge_upsert", "changefeed_watermark", "asof_join_prior_purchase",
     "asof_join_cogroup_pandas", "theta_range_join", "text_bpe_token_count",
@@ -74,6 +59,23 @@ _SWEEP_PRIORITY = [
     "corpus_shards", "embedding_norms", "window_running_sum",
     "window_lag_lead", "window_rank", "topk_per_group",
     "time_window_tumbling", "time_window_sliding", "interval_join_events",
+    # round-3-evidenced tail (budget permitting), registry families grouped
+    "dedup_embedding_cosine", "dedup_duplicate_rate", "multimodal_chunk_energy",
+    "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
+    "q9_product_profit", "q12_priority_lines", "q14_promo_revenue",
+    "q16_part_supplier_variety", "q17_small_quantity_revenue",
+    "q19_disjunctive_revenue", "q21_waiting_supplier", "q22_idle_customers",
+    "argmax_per_group", "bursty_users", "daily_active_users",
+    "doc_chunk_spans", "doc_length_histogram", "embedding_centroids",
+    "embedding_quantize_error", "event_transition_matrix",
+    "event_value_ntiles", "funnel_analysis", "gap_fill_daily_counts",
+    "histogram_value_buckets", "interval_join_left_events", "join_anti",
+    "map_agg_event_counts", "mixture_sampling_weights", "null_safe_join",
+    "orders_pareto_share", "pack_documents_greedy", "profile_events_table",
+    "quantile_bands_per_type", "retention_cohorts", "robust_outliers_mad",
+    "set_except", "sliding_dedup_window", "source_overlap_matrix",
+    "span_dedup_rate", "stratified_sample", "window_percent_rank",
+    "window_time_range_avg",
 ]
 
 

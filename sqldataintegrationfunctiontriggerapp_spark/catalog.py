@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -90,7 +91,22 @@ def load_table(
     is_local = "://" not in sf_dir
     if is_local and not os.path.exists(path):
         raise FileNotFoundError(f"fixture table {name!r} not found at {path}")
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        # Remote-scheme path (s3://, hdfs://) skipped the os.path.exists
+        # check above; surface a missing fixture as the same crisp
+        # FileNotFoundError local paths get (ADVICE r04 #3) instead of a
+        # generic AnalysisException from deep inside the scan.
+        try:
+            cls = e.getErrorClass() or ""
+        except Exception:
+            cls = ""
+        if "PATH_NOT_FOUND" in cls or "PATH_NOT_FOUND" in str(e):
+            raise FileNotFoundError(
+                f"fixture table {name!r} not found at {path}"
+            ) from e
+        raise
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if spread:

@@ -168,7 +168,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                         shingle_n: int = 3, threshold: float = 0.8,
-                        max_shingle_df: int = 1000) -> DataFrame:
+                        max_shingle_df: int = 1000,
+                        shingled: DataFrame | None = None) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via an inverted-index join (the
     exact baseline LSH approximates). The self-join's per-pair match count IS
     the intersection size, so jaccard comes from one join + one aggregate --
@@ -182,8 +183,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     discrimination, and jaccard is then computed exactly (intersection AND
     sizes) over the filtered universe, keeping the measure internally
     consistent. At test SFs the cap cannot bind (500 docs < cap=1000), so
-    the DuckDB oracle over unfiltered shingles matches bit-for-bit."""
-    shingled = word_shingles(df, text_col, shingle_n, id_col).persist()
+    the DuckDB oracle over unfiltered shingles matches bit-for-bit.
+
+    ``shingled`` lets the caller hand in an already-materialized
+    (id, shingle) table (e.g. the session-scoped shared stage in
+    plans/dedup.py, reused by the MinHash family); ownership then stays
+    with the caller -- no persist/unpersist here. When absent the shingle
+    table is built and cached locally for the duration of the call."""
+    own_shingled = shingled is None
+    if own_shingled:
+        shingled = word_shingles(df, text_col, shingle_n, id_col).persist()
     rare = None
     try:
         dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -216,7 +225,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
             .localCheckpoint()
         )
     finally:
-        shingled.unpersist()
+        if own_shingled:
+            shingled.unpersist()
         if rare is not None:
             rare.unpersist()
     return result

@@ -30,16 +30,37 @@ DEC = "decimal(18,6)"
 _STAGE_CACHE: dict[tuple[str, str, str], object] = {}
 
 
+def _release_stage(value) -> None:
+    """Best-effort unpersist of an evicted stage's DataFrame(s). The
+    localCheckpointed RDD blocks themselves are reclaimed by the JVM
+    ContextCleaner once the py4j references drop, so this only accelerates
+    the release; failures (already-stopped session) are ignored."""
+    items = value if isinstance(value, (tuple, list)) else (value,)
+    for item in items:
+        try:
+            item.unpersist()
+        except Exception:
+            pass
+
+
 def session_stage(spark, sf_dir: str, name: str, build):
-    """Memoize `build()` per (applicationId, sf_dir, name). Entries from
-    other (stopped) applications are evicted on insert: their DataFrames pin
-    py4j references to defunct JVMs and can never be served again, so a
-    driver that stops/recreates sessions stays bounded."""
+    """Memoize `build()` per (applicationId, sf_dir, name).
+
+    Two evictions keep the cache bounded (ADVICE r04 #1):
+    - entries from other (stopped) applications: their DataFrames pin py4j
+      references to defunct JVMs and can never be served again;
+    - entries from the LIVE application but a different sf_dir: a long-lived
+      driver sweeping several fixture dirs would otherwise pin every dir's
+      localCheckpointed stages on the executors forever. Suites run one
+      sf_dir at a time, so cross-dir thrash is not a real access pattern.
+    """
     app = spark.sparkContext.applicationId
     key = (app, sf_dir, name)
     if key not in _STAGE_CACHE:
-        for dead in [k for k in _STAGE_CACHE if k[0] != app]:
-            del _STAGE_CACHE[dead]
+        for old in [k for k in _STAGE_CACHE if k[0] != app or k[1] != sf_dir]:
+            if old[0] == app:
+                _release_stage(_STAGE_CACHE[old])
+            del _STAGE_CACHE[old]
         _STAGE_CACHE[key] = build()
     return _STAGE_CACHE[key]
 

@@ -153,13 +153,35 @@ def percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("percentile_approx")  # sketch differs from DuckDB: rows-only
+@register(
+    "percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price_exact,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KLL-style approximate percentile: one pass, mergeable, the only
-    affordable shape at 100 TB."""
+    """GK/KLL-style approximate percentile: one pass, mergeable, the only
+    affordable shape at 100 TB (exact `percentile` buffers every value per
+    group -- see `percentiles` above for the small-cardinality variant).
+
+    Hash-checkable accuracy contract (VERDICT r04 "Next round" #2, same
+    pattern as approx_count_distinct): the sketch's returned data point
+    differs from DuckDB's interpolated quantile_cont, so the query emits the
+    exact interpolated p95 plus a boolean asserting the sketch landed within
+    2% relative value error; the oracle computes the exact side and a
+    literal TRUE. accuracy=10000 bounds RANK error at n/10000; on this
+    price distribution (dense, bounded support) that is orders of magnitude
+    inside 2% of value. Both aggregates run in one groupBy pass."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.expr("percentile(l_extendedprice, 0.95)")
+    approx = F.percentile_approx("l_extendedprice", 0.95, 10000)
     return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", 0.95, 10000).alias("p95_price_approx")
+        F.round(exact, 4).alias("p95_price_exact"),
+        (F.abs(approx / exact - 1.0) <= 0.02).alias("within_tol"),
     )
 
 

@@ -27,28 +27,36 @@ _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _stage = session_stage
 
 
+def _shingles_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct word 3-gram shingles of `documents`, localCheckpointed ONCE
+    per session+sf_dir and shared by BOTH dedup families (VERDICT r04 "Next
+    round" #4): the MinHash stage (signatures + candidate verification) and
+    the exact n-gram stage (inverted-index pairs) previously each paid their
+    own scan + tokenize + explode of the corpus; now whichever family builds
+    first pays it once. The shingle table is id-hash-partitioned by
+    word_shingles, which every downstream per-doc groupBy reuses."""
+    return _stage(
+        spark, sf_dir, "shingles_n3",
+        lambda: D.word_shingles(
+            load_table(spark, sf_dir, "documents"), n=3
+        ).localCheckpoint(),
+    )
+
+
 def _minhash_stage(spark: SparkSession, sf_dir: str):
-    """(sigs, cands, jacc0) for n=3 / 8 bands, each localCheckpointed:
-    band signatures, LSH candidate pairs, and every candidate pair's EXACT
-    Jaccard (threshold 0 -- the unfiltered verify table both consumers
-    filter/join). The shingle cache lives only inside the build: once jacc0
-    is materialized nothing downstream re-reads shingles, so it is
-    unpersisted before returning instead of pinned for the session."""
+    """(sigs, cands, jacc0) for n=3 / 8 bands: band signatures
+    (localCheckpointed), LSH candidate pairs, and every candidate pair's
+    EXACT Jaccard at threshold 0 (localCheckpointed -- the unfiltered verify
+    table both consumers filter/join), all fed by the shared shingle stage."""
 
     def build():
-        d = load_table(spark, sf_dir, "documents")
-        shingled = D.word_shingles(d, n=3).persist()
-        try:
-            sigs = D.minhash_signatures(shingled, n_bands=8).localCheckpoint()
-            # cands is NOT checkpointed: it re-derives from the checkpointed
-            # sigs in one small equi-join, cheaper than a third
-            # materialization barrier in the build
-            cands = D.lsh_candidate_pairs(sigs)
-            jacc0 = D.verify_jaccard(
-                cands, shingled, threshold=0.0
-            ).localCheckpoint()
-        finally:
-            shingled.unpersist()
+        shingled = _shingles_stage(spark, sf_dir)
+        sigs = D.minhash_signatures(shingled, n_bands=8).localCheckpoint()
+        # cands is NOT checkpointed: it re-derives from the checkpointed
+        # sigs in one small equi-join, cheaper than a third
+        # materialization barrier in the build
+        cands = D.lsh_candidate_pairs(sigs)
+        jacc0 = D.verify_jaccard(cands, shingled, threshold=0.0).localCheckpoint()
         return sigs, cands, jacc0
 
     return _stage(spark, sf_dir, "minhash_n3_b8", build)
@@ -56,11 +64,13 @@ def _minhash_stage(spark: SparkSession, sf_dir: str):
 
 def _ngram_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs >= 0.8 (already localCheckpointed by the
-    operator), shared by the pair listing and the component closure."""
+    operator), shared by the pair listing and the component closure; the
+    shingle universe comes from the shared stage."""
     return _stage(
         spark, sf_dir, "ngram_n3_t08",
         lambda: D.ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), shingle_n=3, threshold=0.8
+            load_table(spark, sf_dir, "documents"), shingle_n=3, threshold=0.8,
+            shingled=_shingles_stage(spark, sf_dir),
         ),
     )
 

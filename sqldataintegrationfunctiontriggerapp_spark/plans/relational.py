@@ -224,13 +224,36 @@ def count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_count_distinct")  # sketch differs from DuckDB's: rows-only check
+@register(
+    "approx_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS within_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL++ approximate distinct -- the at-scale replacement for exact
-    COUNT(DISTINCT) (single pass, no shuffle explosion, mergeable sketches)."""
+    COUNT(DISTINCT) (single pass, no shuffle explosion, mergeable sketches).
+
+    Hash-checkable accuracy contract (VERDICT r04 "Next round" #2): Spark's
+    HLL++ estimate and DuckDB's sketch diverge bit-for-bit, so the ESTIMATE
+    itself can't be hashed -- instead the query emits the exact count plus a
+    boolean asserting the sketch landed within tolerance, and the oracle
+    computes the exact side with a literal TRUE. The sketch's accuracy
+    contract (rsd 0.01 -> 5x slack at 5%) IS the hashed value; a broken or
+    wildly-drifting sketch flips the boolean and fails the hash. Both
+    aggregates run in the same single groupBy pass."""
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_orderkey")
+    approx = F.approx_count_distinct("l_orderkey", 0.01)
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
+        exact.alias("exact_orders"),
+        (
+            F.abs(approx.cast("double") / exact.cast("double") - 1.0) <= 0.05
+        ).alias("within_tol"),
     )
 
 

@@ -30,9 +30,10 @@ def test_declared_rows_only_set_is_intentional():
     # approximate/beyond-SQL ops only; growing this set needs a reason.
     # (The deterministic-approximate ANN entries -- lsh/ivf topk, recall
     # sweep -- carry exact oracles since r4: md5-derived planes/pivots are
-    # SQL-expressible even though the search itself is approximate.)
+    # SQL-expressible even though the search itself is approximate. The two
+    # sketch aggregates -- approx_count_distinct, percentile_approx --
+    # became hash-checkable in r5 via accuracy-contract oracles: they emit
+    # the exact value plus a within-tolerance boolean.)
     assert rows_only == {
-        "approx_count_distinct",      # HLL++ sketch differs from DuckDB's
-        "percentile_approx",          # KLL-style sketch differs from DuckDB's
         "multimodal_feature_extract", # stub decoder reads raw bytes; not SQL
     }
