@@ -244,12 +244,23 @@ def approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     boolean asserting the sketch landed within tolerance, and the oracle
     computes the exact side with a literal TRUE. The sketch's accuracy
     contract (rsd 0.01 -> 5x slack at 5%) IS the hashed value; a broken or
-    wildly-drifting sketch flips the boolean and fails the hash. Both
-    aggregates run in the same single groupBy pass."""
+    wildly-drifting sketch flips the boolean and fails the hash.
+
+    Plan-shape trap, learned the hard way: putting countDistinct and
+    approx_count_distinct in ONE agg makes Catalyst's distinct-rewrite
+    compute partial HLL sketches keyed by (l_returnflag, l_orderkey) -- one
+    ~10 KB rsd=0.01 buffer PER DISTINCT ORDERKEY (~6 GB of aggregation
+    state at sf0.1, OOM), not per flag. Instead dedupe first, then
+    aggregate: HLL over a set equals HLL over the multiset, so the estimate
+    is identical, count(*) of the deduped rows IS the exact distinct count,
+    and the sketch buffer exists only once per flag. The exact side is of
+    course the expensive half at 100 TB -- that is inherent to an
+    accuracy-contract query; production code runs the sketch alone."""
     li = load_table(spark, sf_dir, "lineitem")
-    exact = F.countDistinct("l_orderkey")
+    dist = li.select("l_returnflag", "l_orderkey").distinct()
+    exact = F.count("l_orderkey")
     approx = F.approx_count_distinct("l_orderkey", 0.01)
-    return li.groupBy("l_returnflag").agg(
+    return dist.groupBy("l_returnflag").agg(
         exact.alias("exact_orders"),
         (
             F.abs(approx.cast("double") / exact.cast("double") - 1.0) <= 0.05
