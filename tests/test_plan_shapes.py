@@ -334,3 +334,22 @@ def test_q20_having_agg_then_semi_join(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_approx_count_distinct_sketch_not_keyed_per_value(spark, sf_dir):
+    # Regression: countDistinct + approx_count_distinct in ONE agg makes the
+    # distinct-rewrite compute partial HLL sketches keyed by
+    # (l_returnflag, l_orderkey) -- one ~10KB rsd=0.01 buffer PER DISTINCT
+    # ORDERKEY, which OOMed at sf0.1. The fixed shape dedupes first, so the
+    # only aggregate that evaluates the HLL function must be keyed by the
+    # flag alone.
+    import re
+
+    plan = plan_of(spark, sf_dir, "approx_count_distinct")
+    blocks = re.split(r"\n\(\d+\) ", plan)
+    hll_blocks = [b for b in blocks if "partial_approx_count_distinct" in b]
+    assert hll_blocks, "HLL partial aggregate missing from plan"
+    for b in hll_blocks:
+        keys_line = [ln for ln in b.splitlines() if ln.startswith("Keys")]
+        if keys_line:
+            assert "l_orderkey" not in keys_line[0], keys_line[0]
