@@ -43,9 +43,9 @@ _SWEEP_PRIORITY = [
     "dedup_minhash_lsh", "minhash_jaccard_estimate",
     "dedup_ngram_jaccard", "dedup_components",
     # rotation re-verification: the 42 queries whose latest green evidence
-    # is round 2 (VERDICT r04 "What's missing" #1), heaviest families first
-    "sessionization", "tfidf_top_terms", "contamination_check",
-    "text_repetition", "q5_local_supplier_volume",
+    # is round 2 (VERDICT r04 "What's missing" #1), heaviest families
+    # first; 8 + 42 fills the ~50 budget exactly
+    "sessionization", "q5_local_supplier_volume",
     "q7_nation_volume_shipping", "q10_returned_items", "scd2_history",
     "cdc_merge_upsert", "changefeed_watermark", "asof_join_prior_purchase",
     "asof_join_cogroup_pandas", "theta_range_join", "text_bpe_token_count",
@@ -59,7 +59,10 @@ _SWEEP_PRIORITY = [
     "corpus_shards", "embedding_norms", "window_running_sum",
     "window_lag_lead", "window_rank", "topk_per_group",
     "time_window_tumbling", "time_window_sliding", "interval_join_events",
-    # round-3-evidenced tail (budget permitting), registry families grouped
+    # round-3-evidenced tail (budget permitting), registry families
+    # grouped; the round-4-evidenced queries (freshest, e.g.
+    # tfidf_top_terms, contamination_check, text_repetition) follow in
+    # registry order after this list
     "dedup_embedding_cosine", "dedup_duplicate_rate", "multimodal_chunk_energy",
     "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
     "q9_product_profit", "q12_priority_lines", "q14_promo_revenue",

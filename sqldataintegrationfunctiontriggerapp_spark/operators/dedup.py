@@ -166,7 +166,8 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return result
 
 
-def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+def ngram_jaccard_pairs(df: DataFrame | None, text_col: str = "text",
+                        id_col: str = "doc_id",
                         shingle_n: int = 3, threshold: float = 0.8,
                         max_shingle_df: int = 1000,
                         shingled: DataFrame | None = None) -> DataFrame:
@@ -188,11 +189,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "do
     ``shingled`` lets the caller hand in an already-materialized
     (id, shingle) table (e.g. the session-scoped shared stage in
     plans/dedup.py, reused by the MinHash family); ownership then stays
-    with the caller -- no persist/unpersist here. When absent the shingle
-    table is built and cached locally for the duration of the call."""
+    with the caller -- no persist/unpersist here, and ``df`` must be None
+    (passing both invites a silently inconsistent shingle universe). When
+    absent the shingle table is built from ``df`` and cached locally for
+    the duration of the call."""
     own_shingled = shingled is None
     if own_shingled:
+        if df is None:
+            raise ValueError("ngram_jaccard_pairs needs df or shingled")
         shingled = word_shingles(df, text_col, shingle_n, id_col).persist()
+    elif df is not None:
+        raise ValueError(
+            "pass df OR a pre-built shingled table, not both: the shingle "
+            "universe must have exactly one source"
+        )
     rare = None
     try:
         dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))

@@ -31,12 +31,25 @@ _STAGE_CACHE: dict[tuple[str, str, str], object] = {}
 
 
 def _release_stage(value) -> None:
-    """Best-effort unpersist of an evicted stage's DataFrame(s). The
-    localCheckpointed RDD blocks themselves are reclaimed by the JVM
-    ContextCleaner once the py4j references drop, so this only accelerates
-    the release; failures (already-stopped session) are ignored."""
+    """Best-effort release of an evicted stage's executor storage.
+
+    The cached stage values are localCheckpointed DataFrames, and
+    ``DataFrame.unpersist()`` does NOT free checkpoint blocks (it only
+    uncaches CacheManager entries -- verified empirically: RDD storage info
+    is unchanged after ``unpersist(blocking=True)``). A checkpointed
+    DataFrame's analyzed plan is a ``LogicalRDD`` wrapping the persisted
+    RDD, so unpersisting THAT rdd is what actually drops the blocks
+    (verified: storage-info count goes to 0). Plain ``unpersist()`` runs
+    too, covering any persist()-cached value; never-persisted plans and
+    stopped sessions make both calls harmless no-ops / ignored failures."""
     items = value if isinstance(value, (tuple, list)) else (value,)
     for item in items:
+        try:
+            plan = item._jdf.queryExecution().analyzed()
+            if plan.getClass().getSimpleName() == "LogicalRDD":
+                plan.rdd().unpersist(False)
+        except Exception:
+            pass
         try:
             item.unpersist()
         except Exception:

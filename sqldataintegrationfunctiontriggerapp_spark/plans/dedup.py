@@ -69,7 +69,7 @@ def _ngram_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage(
         spark, sf_dir, "ngram_n3_t08",
         lambda: D.ngram_jaccard_pairs(
-            load_table(spark, sf_dir, "documents"), shingle_n=3, threshold=0.8,
+            None, shingle_n=3, threshold=0.8,
             shingled=_shingles_stage(spark, sf_dir),
         ),
     )

@@ -579,4 +579,4 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys=["user_id", "event_type"],
             watermark="90 days",
         ).select("user_id", "event_type"),
-    ).select("user_id", "event_type")
+    )

@@ -343,13 +343,19 @@ def test_approx_count_distinct_sketch_not_keyed_per_value(spark, sf_dir):
     # ORDERKEY, which OOMed at sf0.1. The fixed shape dedupes first, so the
     # only aggregate that evaluates the HLL function must be keyed by the
     # flag alone.
-    import re
-
     plan = plan_of(spark, sf_dir, "approx_count_distinct")
-    blocks = re.split(r"\n\(\d+\) ", plan)
-    hll_blocks = [b for b in blocks if "partial_approx_count_distinct" in b]
-    assert hll_blocks, "HLL partial aggregate missing from plan"
-    for b in hll_blocks:
-        keys_line = [ln for ln in b.splitlines() if ln.startswith("Keys")]
-        if keys_line:
-            assert "l_orderkey" not in keys_line[0], keys_line[0]
+    # plan_of returns the TREE-format string: each HashAggregate line
+    # carries its grouping inline as `keys=[...], functions=[...]`. The agg
+    # node evaluating the partial HLL must be keyed by the flag alone --
+    # l_orderkey in its keys is exactly the per-distinct-value buffer
+    # explosion. (Verified to FAIL against the old single-agg shape, whose
+    # line reads `HashAggregate(keys=[l_returnflag, l_orderkey],
+    # functions=[partial_approx_count_distinct(...)])`.)
+    hll_lines = [
+        ln for ln in plan.splitlines()
+        if "partial_approx_count_distinct" in ln and "keys=[" in ln
+    ]
+    assert hll_lines, "HLL partial aggregate missing from plan"
+    for ln in hll_lines:
+        keys = ln.split("keys=[", 1)[1].split("]", 1)[0]
+        assert "l_orderkey" not in keys, ln.strip()
