@@ -18,7 +18,7 @@ Catalyst pushes them into the reader (verified via .explain in tests).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
@@ -1019,6 +1019,103 @@ def profile_events_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(ts).alias("max_ts"),
         F.sum(F.when(F.col("value") < 0, 1).otherwise(0)).cast("long")
         .alias("n_negative_value"),
+    )
+
+
+@register(
+    "dq_constraint_report",
+    oracle="""
+    WITH a AS (
+        SELECT COUNT(*) AS n,
+               COUNT(DISTINCT o_orderkey) AS dk,
+               COUNT(o_custkey) AS ck,
+               SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+                        THEN 1 ELSE 0 END) AS st,
+               SUM(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN o_orderdate BETWEEN TIMESTAMP '1992-01-01'
+                                             AND TIMESTAMP '1998-12-31'
+                        THEN 1 ELSE 0 END) AS dt,
+               COUNT(DISTINCT o_orderpriority) AS dp
+        FROM orders
+    )
+    SELECT * FROM (
+        SELECT 'orderkey_unique' AS constraint_name,
+               CAST(dk AS DOUBLE) / CAST(n AS DOUBLE) AS metric,
+               CAST(dk AS DOUBLE) / CAST(n AS DOUBLE) = 1.0 AS passed FROM a
+        UNION ALL
+        SELECT 'custkey_complete',
+               CAST(ck AS DOUBLE) / CAST(n AS DOUBLE),
+               CAST(ck AS DOUBLE) / CAST(n AS DOUBLE) = 1.0 FROM a
+        UNION ALL
+        SELECT 'status_in_domain',
+               CAST(st AS DOUBLE) / CAST(n AS DOUBLE),
+               CAST(st AS DOUBLE) / CAST(n AS DOUBLE) = 1.0 FROM a
+        UNION ALL
+        SELECT 'totalprice_nonnegative',
+               CAST(tp AS DOUBLE) / CAST(n AS DOUBLE),
+               CAST(tp AS DOUBLE) / CAST(n AS DOUBLE) = 1.0 FROM a
+        UNION ALL
+        SELECT 'orderdate_in_range',
+               CAST(dt AS DOUBLE) / CAST(n AS DOUBLE),
+               CAST(dt AS DOUBLE) / CAST(n AS DOUBLE) = 1.0 FROM a
+        UNION ALL
+        SELECT 'priority_cardinality_max5',
+               CAST(dp AS DOUBLE),
+               CAST(dp AS DOUBLE) <= 5.0 FROM a
+    )
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint gate (the Deequ/expectations
+    shape): uniqueness, completeness, set-membership, non-negativity,
+    date-range, and cardinality-cap constraints over `orders`, each
+    reported as (constraint_name, metric, passed). profile_events_table
+    above DESCRIBES a table; this query JUDGES one -- the pass/fail row set
+    a pipeline gates a batch promotion on, generalizing the reference's
+    per-batch validation logging (HttpPostAction.cs:44).
+
+    Shape at 100 TB: every constraint folds into ONE wide aggregate over a
+    single scan (the two distinct counts rewrite to an Expand of the count
+    buffers only -- cheap, unlike per-value sketch buffers; see
+    approx_count_distinct above), then a 1-row stack() unpivots to the
+    6-row report. No joins, no second pass; ratios are exact long/long
+    divisions so the oracle hash matches bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    lo = F.lit("1992-01-01").cast("timestamp")
+    hi = F.lit("1998-12-31").cast("timestamp")
+    agg = o.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.countDistinct("o_orderkey").alias("_dk"),
+        F.count("o_custkey").alias("_ck"),
+        F.sum(
+            F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        ).alias("_st"),
+        F.sum(F.when(F.col("o_totalprice") >= 0, 1).otherwise(0)).alias("_tp"),
+        F.sum(
+            F.when(F.col("o_orderdate").between(lo, hi), 1).otherwise(0)
+        ).alias("_dt"),
+        F.countDistinct("o_orderpriority").alias("_dp"),
+    )
+
+    def ratio(c: str) -> Column:
+        return F.col(c).cast("double") / F.col("_n").cast("double")
+
+    m = agg.select(
+        ratio("_dk").alias("m1"), ratio("_ck").alias("m2"),
+        ratio("_st").alias("m3"), ratio("_tp").alias("m4"),
+        ratio("_dt").alias("m5"), F.col("_dp").cast("double").alias("m6"),
+    )
+    return m.select(
+        F.expr(
+            "stack(6, "
+            "'orderkey_unique', m1, m1 = 1.0D, "
+            "'custkey_complete', m2, m2 = 1.0D, "
+            "'status_in_domain', m3, m3 = 1.0D, "
+            "'totalprice_nonnegative', m4, m4 = 1.0D, "
+            "'orderdate_in_range', m5, m5 = 1.0D, "
+            "'priority_cardinality_max5', m6, m6 <= 5.0D"
+            ") AS (constraint_name, metric, passed)"
+        )
     )
 
 

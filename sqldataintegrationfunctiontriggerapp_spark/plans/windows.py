@@ -476,6 +476,34 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_start", "event_type", "n", "sum_value")
 
 
+def _staged_events_dir(spark: SparkSession, sf_dir: str):
+    """(dir_path, schema) of the 2-file staged events replay, built ONCE per
+    session+sf_dir via the stage memo and shared by both streaming parity
+    queries -- the staging write is identical for both, so whichever runs
+    first pays it. The directory is registered for atexit removal at
+    creation: on cross-sf_dir eviction the memo's DataFrame-release hook is
+    a no-op for a (str, StructType) tuple, so the dir lives until process
+    exit -- bounded (one per fixture dir) and then removed."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+
+    def build():
+        d = tempfile.mkdtemp(prefix="strm_events_src_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        # coalesce cannot INCREASE the partition count; repartition(2)
+        # stages exactly 2 files so maxFilesPerTrigger=1 gives 2 batches
+        ev.repartition(2).write.mode("overwrite").parquet(d)
+        return d, ev.schema
+
+    return session_stage(spark, sf_dir, "staged_events_2file", build)
+
+
 def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
                    output_mode: str, transform) -> DataFrame:
     """Replay the events fixture through the REAL streaming engine in 2
@@ -496,22 +524,23 @@ def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
     driver and bench harness are single-threaded, so the stable name is the
     right trade; derive it from sf_dir if concurrent use ever appears.
 
-    Cleanup ordering (ADVICE r04 #2): both mkdtemps happen inside the try
-    so a failed second mkdtemp cannot leak the first, and the finally stops
-    the streaming query BEFORE removing its source/checkpoint dirs -- an
-    interrupt between start() and awaitTermination() must not rmtree
-    directories under a still-active query."""
+    The staged source directory is SHARED between both streaming parity
+    queries via the session stage memo (one events write per session+sf_dir,
+    whichever query runs first pays it); it is registered for atexit
+    removal at creation, so it outlives each run but not the process. The
+    per-run checkpoint dir is still created inside the try and removed in
+    the finally, which stops the streaming query BEFORE the rmtree
+    (ADVICE r04 #2) -- an interrupt between start() and awaitTermination()
+    must not rmtree directories under a still-active query."""
     import shutil
     import tempfile
 
-    ev = load_table(spark, sf_dir, "events")
-    src_dir = ckpt_dir = q = None
+    src_dir, schema = _staged_events_dir(spark, sf_dir)
+    ckpt_dir = q = None
     try:
-        src_dir = tempfile.mkdtemp(prefix=f"{sink}_src_")
         ckpt_dir = tempfile.mkdtemp(prefix=f"{sink}_ckpt_")
-        ev.repartition(2).write.mode("overwrite").parquet(src_dir)
         stream = (
-            spark.readStream.schema(ev.schema)  # staged write preserves it
+            spark.readStream.schema(schema)  # staged write preserves it
             .option("maxFilesPerTrigger", 1)
             .parquet(src_dir)
         )
@@ -533,10 +562,10 @@ def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
             except Exception:
                 pass
         # the memory sink has fully materialized by awaitTermination, so
-        # the staging + checkpoint dirs are dead weight
-        for d in (src_dir, ckpt_dir):
-            if d is not None:
-                shutil.rmtree(d, ignore_errors=True)
+        # the checkpoint dir is dead weight (the shared staged source stays
+        # for the session; atexit removes it)
+        if ckpt_dir is not None:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
 @register(
