@@ -39,7 +39,7 @@ _SWEEP_PRIORITY = [
     # accuracy-contract oracles, the dedup family rebuilt on the shared
     # shingle stage, and the restructured streaming staging harness
     "streaming_dedup_parity", "streaming_windowed_counts",
-    "dq_constraint_report",
+    "dq_constraint_report", "kmeans_clusters",
     "approx_count_distinct", "percentile_approx",
     "dedup_minhash_lsh", "minhash_jaccard_estimate",
     "dedup_ngram_jaccard", "dedup_components",

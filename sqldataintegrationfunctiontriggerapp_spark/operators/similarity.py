@@ -608,3 +608,65 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
     )
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column, returning the final
+    (id, cluster_id) assignment -- the semantic-clustering step a corpus
+    curation pipeline runs to balance topic mixtures or spot degenerate
+    content clusters before training.
+
+    Fully deterministic, so an exact SQL oracle can mirror it (the same
+    md5-derived-seed idea as the IVF/LSH family): initial centroids are the
+    md5-ordered pivot sample (ivf_pivots), the assignment step is the
+    argmin-distance map against broadcast centroid literals (ivf_assign --
+    no shuffle, no join), and each mean update routes per-dimension sums
+    through DECIMAL(18,6) so centroid coordinates are bit-identical across
+    engines regardless of row order. A cluster that loses all members
+    keeps its previous centroid (mirrored as a COALESCE in the oracle).
+
+    Scale shape (100 TB): per iteration, one scan + map for assignment,
+    then posexplode -> partial-aggregated groupBy(cluster, dim) whose
+    exchange carries at most k*dim rows PER PARTITION (the map-side
+    combine collapses everything first). Driver state is k*dim doubles per
+    round -- the same bounded-metadata contract as ivf_pivots. iters is a
+    fixed small constant: this is the "few Lloyd rounds on a deterministic
+    seed" curation recipe, not an until-convergence fit (which would be
+    data-dependent and oracle-hostile)."""
+    cents = ivf_pivots(corpus, k, id_col, vec_col)
+    if not cents:
+        return corpus.select(
+            F.col(id_col), F.lit(0).cast("int").alias("cluster_id")
+        ).where(F.lit(False))
+    # a corpus smaller than k seeds fewer centroids (the pivot LIMIT under-
+    # fills); iterate over what exists -- the oracle's LIMIT k does the same
+    k = len(cents)
+    dim = len(cents[0])
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        mean_rows = (
+            assigned.select("list_id", F.posexplode("cv").alias("dim", "x"))
+            .groupBy("list_id", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mu")
+            )
+            .collect()  # bounded: at most k*dim rows of driver metadata
+        )
+        means: dict[int, list[float]] = {}
+        for r in mean_rows:
+            means.setdefault(r.list_id, [0.0] * dim)[r.dim] = r.mu
+        cents = [means.get(c, cents[c]) for c in range(k)]
+    final = ivf_assign(corpus, cents, id_col, vec_col)
+    return final.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("list_id").alias("cluster_id"),
+    )

@@ -453,3 +453,81 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", "vmin", "vmax",
         (S.dot(err, err) / F.size(err)).alias("mse_q8"),
     )
+
+
+# K-means oracle pieces (same exact-mirror discipline as the IVF CTEs):
+# assignment = argmin squared distance with cid tie-break, mean update =
+# per-dimension DECIMAL(18,6) average, empty clusters carry the previous
+# centroid forward via COALESCE.
+
+def _km_assign_sql(cents_cte: str) -> str:
+    return f"""
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                       ORDER BY list_dot_product(e.v, e.v)
+                                + list_dot_product(c.cv, c.cv)
+                                - 2 * list_dot_product(e.v, c.cv),
+                                c.cid) AS rn
+            FROM corpus e CROSS JOIN {cents_cte} c
+        ) WHERE rn = 1
+    """
+
+
+def _km_update_sql(t: int, prev_a: str, prev_c: str, dim: int = 64) -> str:
+    return f"""
+    m{t} AS (
+        SELECT a.cid, t.i AS dim,
+               CAST(SUM(CAST(e.v[t.i] AS DECIMAL(18,6))) AS DOUBLE)
+                   / COUNT(*) AS mu
+        FROM {prev_a} a JOIN corpus e USING (vec_id),
+             generate_series(1, {dim}) t(i)
+        GROUP BY a.cid, t.i
+    ),
+    c{t} AS (
+        SELECT p.cid, COALESCE(m.mv, p.cv) AS cv
+        FROM {prev_c} p LEFT JOIN (
+            SELECT cid, list(mu ORDER BY dim) AS mv FROM m{t} GROUP BY cid
+        ) m USING (cid)
+    )
+    """
+
+
+_KMEANS_ORACLE = f"""
+    WITH corpus AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS cid,
+               v AS cv
+        FROM corpus
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 8
+    ),
+    a0 AS ({_km_assign_sql('c0')}),
+    {_km_update_sql(1, 'a0', 'c0')},
+    a1 AS ({_km_assign_sql('c1')}),
+    {_km_update_sql(2, 'a1', 'c1')},
+    a2 AS ({_km_assign_sql('c2')})
+    SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id FROM a2
+"""
+
+
+@register("kmeans_clusters", oracle=_KMEANS_ORACLE)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering of the embedding corpus: 2 Lloyd rounds of
+    k-means (k=8) from a deterministic md5-ordered seed, final assignment
+    returned as (vec_id, cluster_id) -- the curation step that balances
+    topic mixtures or flags degenerate content clusters before training.
+
+    Everything is exact-mirrorable (operators/similarity.py kmeans_lloyd):
+    seeding reuses the IVF pivot sample, each assignment is the broadcast
+    argmin map (no shuffle), and mean updates route per-dimension sums
+    through DECIMAL(18,6), so the oracle replays the identical unrolled
+    iterations and the driver hash-checks a full iterative ML algorithm --
+    the same evidence discipline connected-components gets from its
+    recursive-CTE oracle. The oracle's CROSS JOIN corpus x centroids is
+    oracle-side only; Spark's per-row cost is a k-term array expression."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_lloyd(e, k=8, iters=2)

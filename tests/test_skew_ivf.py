@@ -134,3 +134,24 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_kmeans_lloyd_small_corpus_and_stability(spark, sf_dir):
+    # fewer rows than k: pivots underfill, centroids must not index past
+    # the seeded count, and every vector still lands in a valid cluster
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    tiny = e.limit(5)
+    rows = S.kmeans_lloyd(tiny, k=8, iters=2).collect()
+    assert len(rows) == 5
+    assert all(0 <= r.cluster_id < 5 for r in rows)
+
+    # determinism: two runs on the same input assign identically
+    full = {r.vec_id: r.cluster_id for r in S.kmeans_lloyd(e, k=8, iters=1).collect()}
+    again = {r.vec_id: r.cluster_id for r in S.kmeans_lloyd(e, k=8, iters=1).collect()}
+    assert full == again
+    assert len(set(full.values())) > 1  # not a degenerate single cluster
