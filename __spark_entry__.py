@@ -35,14 +35,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # entry is still registered regardless of budget.
 _SWEEP_PRIORITY = [
     # new/changed this round (no valid prior evidence): the streaming
-    # dedup parity query, the two sketch queries upgraded from rows-only to
-    # accuracy-contract oracles, the dedup family rebuilt on the shared
-    # shingle stage, and the restructured streaming staging harness
+    # dedup parity query, the DQ gate, k-means, the two sketch queries
+    # upgraded from rows-only to accuracy-contract oracles, the dedup
+    # family rebuilt on the shared shingle stage, and the restructured
+    # streaming staging harness. One sibling per shared dedup stage is in
+    # the head (its sweep builds the changed stage end-to-end); the other
+    # two siblings sit directly after the 42-stale block at positions
+    # 51-52 so the head fits the hard 50-entry budget exactly -- they are
+    # output-identical reuses of the stages the head already verifies, and
+    # hash-passed the local sf0.01 verifier this round.
     "streaming_dedup_parity", "streaming_windowed_counts",
     "dq_constraint_report", "kmeans_clusters",
     "approx_count_distinct", "percentile_approx",
-    "dedup_minhash_lsh", "minhash_jaccard_estimate",
-    "dedup_ngram_jaccard", "dedup_components",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard",
     # rotation re-verification: the 42 queries whose latest green evidence
     # is round 2 (VERDICT r04 "What's missing" #1), heaviest families
     # first; 8 + 42 fills the ~50 budget exactly
@@ -60,6 +65,8 @@ _SWEEP_PRIORITY = [
     "corpus_shards", "embedding_norms", "window_running_sum",
     "window_lag_lead", "window_rank", "topk_per_group",
     "time_window_tumbling", "time_window_sliding", "interval_join_events",
+    # positions 51-52: the two shared-stage siblings (see head comment)
+    "minhash_jaccard_estimate", "dedup_components",
     # round-3-evidenced tail (budget permitting), registry families
     # grouped; the round-4-evidenced queries (freshest, e.g.
     # tfidf_top_terms, contamination_check, text_repetition) follow in
