@@ -30,3 +30,35 @@ def test_parse_byte_conf_suffixes(raw, expect):
 def test_parse_byte_conf_falls_back_on_unparseable(raw):
     # the value only tunes a local heuristic: never raise, use the default
     assert _parse_byte_conf(raw) == 134217728
+
+
+def test_session_stage_eviction_frees_checkpoint_blocks(spark):
+    # ADVICE r04 #1 regression: inserting a stage for a new sf_dir must
+    # evict same-app entries for other dirs AND release their
+    # localCheckpoint storage (DataFrame.unpersist alone does NOT free
+    # checkpoint blocks -- the eviction goes through the LogicalRDD's rdd)
+    from sqldataintegrationfunctiontriggerapp_spark.plans import _util
+
+    def stored_ids():
+        return {
+            info.id()
+            for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+
+    before = stored_ids()
+    a = _util.session_stage(
+        spark, "/fake/dir_a", "evict_test",
+        lambda: spark.range(1000).localCheckpoint(),
+    )
+    a_ids = stored_ids() - before
+    assert a_ids, "stage build should have checkpointed storage"
+    _util.session_stage(
+        spark, "/fake/dir_b", "evict_test",
+        lambda: spark.range(10).localCheckpoint(),
+    )
+    after = stored_ids()
+    assert not (a_ids & after), "evicted stage's checkpoint blocks remain"
+    # cleanup: evict dir_b's entry too by inserting for a third dir
+    _util.session_stage(
+        spark, "/fake/dir_c", "evict_test", lambda: spark.range(1)
+    )
