@@ -34,23 +34,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # round-4-evidenced queries (freshest) follow in registry order. Every
 # entry is still registered regardless of budget.
 _SWEEP_PRIORITY = [
-    # new/changed this round (no valid prior evidence): the streaming
-    # dedup parity query, the DQ gate, k-means, the two sketch queries
-    # upgraded from rows-only to accuracy-contract oracles, the dedup
-    # family rebuilt on the shared shingle stage, and the restructured
-    # streaming staging harness. One sibling per shared dedup stage is in
-    # the head (its sweep builds the changed stage end-to-end); the other
-    # two siblings sit directly after the 42-stale block at positions
-    # 51-52 so the head fits the hard 50-entry budget exactly -- they are
-    # output-identical reuses of the stages the head already verifies, and
-    # hash-passed the local sf0.01 verifier this round.
+    # new/changed this round (no valid prior evidence -- changed code
+    # ALWAYS jumps to the head, per the r4 verdict's rotation rule): the
+    # streaming dedup parity query, the DQ gate, k-means, the two sketch
+    # queries upgraded from rows-only to accuracy-contract oracles, the
+    # dedup family rebuilt on the shared shingle stage, and the
+    # restructured streaming staging harness
     "streaming_dedup_parity", "streaming_windowed_counts",
     "dq_constraint_report", "kmeans_clusters",
     "approx_count_distinct", "percentile_approx",
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "minhash_jaccard_estimate", "dedup_components",
     # rotation re-verification: the 42 queries whose latest green evidence
     # is round 2 (VERDICT r04 "What's missing" #1), heaviest families
-    # first; 8 + 42 fills the ~50 budget exactly
+    # first. 10 changed + 42 stale = 52 candidates for a hard 50-entry
+    # budget; changed code outranks stale-but-unchanged code, so the two
+    # overflow slots (51-52) go to the stale queries with the freshest
+    # indirect evidence: time_window_tumbling (its oracle SQL is byte-for-
+    # byte the oracle streaming_windowed_counts re-verifies at position 2)
+    # and window_rank (pure rank/dense_rank/ntile window, plan-shape
+    # pinned, untouched since r02). Their direct rows go one round staler;
+    # next round's rotation leads with them.
     "sessionization", "q5_local_supplier_volume",
     "q7_nation_volume_shipping", "q10_returned_items", "scd2_history",
     "cdc_merge_upsert", "changefeed_watermark", "asof_join_prior_purchase",
@@ -63,10 +67,10 @@ _SWEEP_PRIORITY = [
     "range_batching", "scalar_string_funcs", "timestamp_arithmetic",
     "monthly_order_trend", "train_val_split", "quota_per_source",
     "corpus_shards", "embedding_norms", "window_running_sum",
-    "window_lag_lead", "window_rank", "topk_per_group",
-    "time_window_tumbling", "time_window_sliding", "interval_join_events",
-    # positions 51-52: the two shared-stage siblings (see head comment)
-    "minhash_jaccard_estimate", "dedup_components",
+    "window_lag_lead", "topk_per_group",
+    "time_window_sliding", "interval_join_events",
+    # positions 51-52: the two overflow stale entries (see block comment)
+    "time_window_tumbling", "window_rank",
     # round-3-evidenced tail (budget permitting), registry families
     # grouped; the round-4-evidenced queries (freshest, e.g.
     # tfidf_top_terms, contamination_check, text_repetition) follow in
@@ -101,7 +105,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every hash-checkable query; approximate or
-    non-SQL-expressible ops (approx_count_distinct, ann_lsh_topk) are omitted
-    and get the driver's rows-only check."""
+    """DuckDB-equivalent SQL for every hash-checkable query. The single
+    omission is multimodal_feature_extract (raw-bytes mapInPandas, not
+    SQL-reachable), which gets the driver's rows-only check; everything
+    else -- including the deterministic-approximate ANN queries and the
+    sketch accuracy-contract queries -- carries an exact oracle."""
     return _ordered(dict(plans.ORACLES))

@@ -30,6 +30,14 @@ DEC = "decimal(18,6)"
 _STAGE_CACHE: dict[tuple[str, str, str], object] = {}
 
 
+class StagedDir(str):
+    """A session_stage value that is a filesystem path owned by the stage:
+    evicting it removes the directory (plus whatever atexit hook the
+    builder registered for process-exit cleanup -- rmtree of a gone path is
+    a no-op). Keeps staged directories bounded by LIVE memo entries, not by
+    how many times a long-lived driver switched fixture dirs."""
+
+
 def _release_stage(value) -> None:
     """Best-effort release of an evicted stage's executor storage.
 
@@ -44,6 +52,11 @@ def _release_stage(value) -> None:
     stopped sessions make both calls harmless no-ops / ignored failures."""
     items = value if isinstance(value, (tuple, list)) else (value,)
     for item in items:
+        if isinstance(item, StagedDir):
+            import shutil
+
+            shutil.rmtree(item, ignore_errors=True)
+            continue
         try:
             plan = item._jdf.queryExecution().analyzed()
             if plan.getClass().getSimpleName() == "LogicalRDD":

@@ -480,14 +480,14 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str):
     """(dir_path, schema) of the 2-file staged events replay, built ONCE per
     session+sf_dir via the stage memo and shared by both streaming parity
     queries -- the staging write is identical for both, so whichever runs
-    first pays it. The directory is registered for atexit removal at
-    creation: on cross-sf_dir eviction the memo's DataFrame-release hook is
-    a no-op for a (str, StructType) tuple, so the dir lives until process
-    exit -- bounded (one per fixture dir) and then removed."""
+    first pays it. The path is a _util.StagedDir, so cross-sf_dir eviction
+    rmtree's it (one live copy per memo entry, however often a long-lived
+    driver switches fixture dirs); atexit covers process exit."""
     import atexit
     import shutil
     import tempfile
 
+    from sqldataintegrationfunctiontriggerapp_spark.plans import _util
     from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
         session_stage,
     )
@@ -499,7 +499,10 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str):
         # coalesce cannot INCREASE the partition count; repartition(2)
         # stages exactly 2 files so maxFilesPerTrigger=1 gives 2 batches
         ev.repartition(2).write.mode("overwrite").parquet(d)
-        return d, ev.schema
+        # StagedDir: the memo's eviction hook rmtree's the path, so a
+        # driver switching fixture dirs holds ONE staged copy per live
+        # entry, not one per switch; atexit covers process exit
+        return _util.StagedDir(d), ev.schema
 
     return session_stage(spark, sf_dir, "staged_events_2file", build)
 

@@ -32,12 +32,16 @@ def test_parse_byte_conf_falls_back_on_unparseable(raw):
     assert _parse_byte_conf(raw) == 134217728
 
 
-def test_session_stage_eviction_frees_checkpoint_blocks(spark):
+def test_session_stage_eviction_frees_checkpoint_blocks(spark, monkeypatch, tmp_path):
     # ADVICE r04 #1 regression: inserting a stage for a new sf_dir must
     # evict same-app entries for other dirs AND release their
     # localCheckpoint storage (DataFrame.unpersist alone does NOT free
-    # checkpoint blocks -- the eviction goes through the LogicalRDD's rdd)
+    # checkpoint blocks -- the eviction goes through the LogicalRDD's rdd).
+    # The memo is swapped for a fresh dict so the test never evicts real
+    # stages other tests in this session built (monkeypatch restores it).
     from sqldataintegrationfunctiontriggerapp_spark.plans import _util
+
+    monkeypatch.setattr(_util, "_STAGE_CACHE", {})
 
     def stored_ids():
         return {
@@ -46,19 +50,22 @@ def test_session_stage_eviction_frees_checkpoint_blocks(spark):
         }
 
     before = stored_ids()
-    a = _util.session_stage(
+    _util.session_stage(
         spark, "/fake/dir_a", "evict_test",
         lambda: spark.range(1000).localCheckpoint(),
     )
     a_ids = stored_ids() - before
     assert a_ids, "stage build should have checkpointed storage"
+    staged = tmp_path / "staged_dir"
+    staged.mkdir()
     _util.session_stage(
         spark, "/fake/dir_b", "evict_test",
-        lambda: spark.range(10).localCheckpoint(),
+        lambda: (_util.StagedDir(str(staged)), spark.range(10).localCheckpoint()),
     )
     after = stored_ids()
     assert not (a_ids & after), "evicted stage's checkpoint blocks remain"
-    # cleanup: evict dir_b's entry too by inserting for a third dir
+    # StagedDir values: eviction must remove the directory itself
     _util.session_stage(
         spark, "/fake/dir_c", "evict_test", lambda: spark.range(1)
     )
+    assert not staged.exists(), "evicted StagedDir was not removed"
