@@ -359,3 +359,23 @@ def test_approx_count_distinct_sketch_not_keyed_per_value(spark, sf_dir):
     for ln in hll_lines:
         keys = ln.split("keys=[", 1)[1].split("]", 1)[0]
         assert "l_orderkey" not in keys, ln.strip()
+
+
+def test_dq_constraint_report_single_scan_no_joins(spark, sf_dir):
+    # all six constraints fold into ONE pass: a second scan or a join per
+    # constraint is the anti-pattern this query's docstring rules out
+    plan = plan_of(spark, sf_dir, "dq_constraint_report")
+    assert plan.count("Scan parquet") == 1
+    assert "Join" not in plan
+    assert "stack(6" in plan  # the 1-row unpivot to the report shape
+
+
+def test_kmeans_final_assignment_is_pure_map(spark, sf_dir):
+    # the returned assignment must be a map over broadcast centroid
+    # literals: no shuffle, no join -- the property that makes the
+    # per-iteration cost one scan at 100 TB (the iteration's mean-update
+    # jobs have already executed by the time this plan exists)
+    plan = plan_of(spark, sf_dir, "kmeans_clusters")
+    assert plan.count("Scan parquet") == 1
+    assert "Exchange" not in plan
+    assert "Join" not in plan
