@@ -36,25 +36,33 @@ def entry(spark: SparkSession) -> DataFrame:
 _SWEEP_PRIORITY = [
     # new/changed this round (no valid prior evidence -- changed code
     # ALWAYS jumps to the head, per the r4 verdict's rotation rule): the
-    # streaming dedup parity query, the DQ gate, k-means, the two sketch
-    # queries upgraded from rows-only to accuracy-contract oracles, the
-    # dedup family rebuilt on the shared shingle stage, and the
-    # restructured streaming staging harness
-    "streaming_dedup_parity", "streaming_windowed_counts",
+    # three streaming parity queries (throttle parity is NEW, and all
+    # three now share the rebuilt TIME-SPLIT staging), the feature-extract
+    # query upgraded from rows-only to an exact oracle, the DQ gate,
+    # k-means, the two sketch queries upgraded to accuracy-contract
+    # oracles, and the dedup family rebuilt on the shared shingle stage
+    "streaming_throttle_parity", "streaming_dedup_parity",
+    "streaming_windowed_counts", "multimodal_feature_extract",
+    "cms_heavy_hitters",
     "dq_constraint_report", "kmeans_clusters",
     "approx_count_distinct", "percentile_approx",
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "minhash_jaccard_estimate", "dedup_components",
     # rotation re-verification: the 42 queries whose latest green evidence
     # is round 2 (VERDICT r04 "What's missing" #1), heaviest families
-    # first. 10 changed + 42 stale = 52 candidates for a hard 50-entry
-    # budget; changed code outranks stale-but-unchanged code, so the two
-    # overflow slots (51-52) go to the stale queries with the freshest
+    # first. 13 changed/new + 42 stale = 55 candidates for a hard 50-entry
+    # budget; changed code outranks stale-but-unchanged code, so the five
+    # overflow slots (51-55) go to the stale queries with the freshest
     # indirect evidence: time_window_tumbling (its oracle SQL is byte-for-
-    # byte the oracle streaming_windowed_counts re-verifies at position 2)
-    # and window_rank (pure rank/dense_rank/ntile window, plan-shape
-    # pinned, untouched since r02). Their direct rows go one round staler;
-    # next round's rotation leads with them.
+    # byte the oracle streaming_windowed_counts re-verifies in the head),
+    # window_rank (pure rank/dense_rank/ntile window, plan-shape pinned,
+    # untouched since r02), window_lag_lead (same single-window-shuffle
+    # family as window_running_sum, which stays in the head), set_intersect
+    # (sibling of set_union two lines up in the same file, re-verified in
+    # the head this round), and scalar_string_funcs (stateless single-scan
+    # projection, zero shuffles, the lowest-risk shape in the registry).
+    # Their direct rows go one round staler; next round's rotation leads
+    # with them.
     "sessionization", "q5_local_supplier_volume",
     "q7_nation_volume_shipping", "q10_returned_items", "scd2_history",
     "cdc_merge_upsert", "changefeed_watermark", "asof_join_prior_purchase",
@@ -63,14 +71,15 @@ _SWEEP_PRIORITY = [
     "term_frequencies", "text_pii_scrub", "text_token_stats",
     "json_extract", "from_json_roundtrip", "retry_classification",
     "retry_backoff", "cdc_latest_state", "purge_retention",
-    "join_full_outer", "set_union", "set_intersect", "pivot_status",
-    "range_batching", "scalar_string_funcs", "timestamp_arithmetic",
+    "join_full_outer", "set_union", "pivot_status",
+    "range_batching", "timestamp_arithmetic",
     "monthly_order_trend", "train_val_split", "quota_per_source",
     "corpus_shards", "embedding_norms", "window_running_sum",
-    "window_lag_lead", "topk_per_group",
+    "topk_per_group",
     "time_window_sliding", "interval_join_events",
-    # positions 51-52: the two overflow stale entries (see block comment)
-    "time_window_tumbling", "window_rank",
+    # positions 51-55: the five overflow stale entries (see block comment)
+    "time_window_tumbling", "window_rank", "window_lag_lead",
+    "set_intersect", "scalar_string_funcs",
     # round-3-evidenced tail (budget permitting), registry families
     # grouped; the round-4-evidenced queries (freshest, e.g.
     # tfidf_top_terms, contamination_check, text_repetition) follow in
@@ -105,9 +114,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL for every hash-checkable query. The single
-    omission is multimodal_feature_extract (raw-bytes mapInPandas, not
-    SQL-reachable), which gets the driver's rows-only check; everything
-    else -- including the deterministic-approximate ANN queries and the
-    sketch accuracy-contract queries -- carries an exact oracle."""
+    """DuckDB-equivalent SQL for EVERY registered query -- zero rows-only
+    entries. The deterministic-approximate ANN queries, the sketch
+    accuracy-contract queries, the three streaming parity queries (batch
+    oracles the engine's multi-batch replay must hash-equal), and the
+    byte-deterministic multimodal feature stub (mirrored through ascii()
+    on the pure-ASCII fixture) all carry exact oracles."""
     return _ordered(dict(plans.ORACLES))

@@ -65,14 +65,42 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_extract")  # stub decoder is Python-defined: rows-only
+@register(
+    "multimodal_feature_extract",
+    oracle="""
+    SELECT doc_id AS media_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           md5(text) AS content_md5,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS width,
+           CAST(octet_length(encode(text)) % 480 AS INT) AS height,
+           CAST(3 AS INT) AS n_channels,
+           CAST((COALESCE(list_sum(list_transform(
+                     string_split_regex(substring(text, 1, 64), ''),
+                     ch -> ascii(ch))), 0) % 1000) / 1000.0 AS DOUBLE)
+               AS feature_0,
+           CAST(octet_length(encode(text)) / 1000.0 AS DOUBLE) AS feature_1
+    FROM documents
+    """,
+)
 def multimodal_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract through Arrow-batched mapInPandas. The decode
     is the deterministic stub (no media libs in this container); the Spark
     plumbing -- binary column through Arrow, schema'd batch iterator -- is
-    the real article. Features depend on raw byte access (sum of first 64
-    bytes), which SQL can't express portably => rows-only check; exact
-    values are unit-tested in tests/test_dedup_similarity.py."""
+    the real article, and exact values are also unit-tested in
+    tests/test_dedup_similarity.py.
+
+    Oracle-checkable after all (the r04 verdict assumed raw-byte access is
+    SQL-unreachable): the stub's features are pure functions of the payload
+    BYTES, and on this pure-ASCII fixture (verified -- see
+    multimodal_chunk_energy's ASCII note) byte k of the encoded text IS the
+    codepoint of char k, so DuckDB mirrors sum(bytes[:64]) as list_sum over
+    ascii() of the first 64 chars, exactly like chunk_energy does per chunk.
+    Both sides then compute (sum % 1000)/1000.0 and byte_len/1000.0 as a
+    single int-by-1000.0 IEEE division -- bit-identical, no rounding slack.
+    What stays genuinely SQL-unreachable is a REAL codec behind
+    decode_stub=False (operators/multimodal.py NotImplementedError), which
+    is a library boundary, not a semantics one."""
     media = documents_as_media(load_table(spark, sf_dir, "documents"))
     return extract_features(media, decode_stub=True)
 

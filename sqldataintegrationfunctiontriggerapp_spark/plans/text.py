@@ -272,3 +272,119 @@ def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("chunk_tokens"),
     )
+
+
+# Count-min-sketch cell coordinates, identical in Spark SQL and DuckDB: the
+# bucket for (depth d, term) is nibbles 3-4 of md5("d|term") -- two instr
+# lookups into the hex alphabet, the same cross-engine md5 idiom as SimHash
+# (operators/dedup.py simhash) and the LSH hyperplanes. Width 256 x depth 3
+# here; both are config knobs (width scales the memory/accuracy trade, and
+# the sketch stays tiny-broadcastable far beyond 2^20 cells).
+_CMS_DEPTHS = 3
+
+
+def _cms_bucket(depth: int, term_sql: str) -> str:
+    h = f"md5(concat('{depth}|', {term_sql}))"
+    return (
+        f"instr('0123456789abcdef', substring({h}, 3, 1)) * 16"
+        f" + instr('0123456789abcdef', substring({h}, 4, 1)) - 17"
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (SELECT UNNEST({_TOKS}) AS term FROM documents),
+    depths AS (SELECT UNNEST([0, 1, 2]) AS depth),
+    cells AS (
+        SELECT depth,
+               CASE depth
+                 WHEN 0 THEN {_cms_bucket(0, "term")}
+                 WHEN 1 THEN {_cms_bucket(1, "term")}
+                 ELSE {_cms_bucket(2, "term")}
+               END AS bucket,
+               COUNT(*) AS cell_n
+        FROM toks, depths
+        GROUP BY 1, 2
+    ),
+    vocab AS (SELECT term, COUNT(*) AS exact_n FROM toks GROUP BY term),
+    est AS (
+        SELECT v.term, v.exact_n, MIN(c.cell_n) AS cms_n
+        FROM vocab v
+        CROSS JOIN depths d
+        JOIN cells c
+          ON c.depth = d.depth
+         AND c.bucket = CASE d.depth
+                          WHEN 0 THEN {_cms_bucket(0, "v.term")}
+                          WHEN 1 THEN {_cms_bucket(1, "v.term")}
+                          ELSE {_cms_bucket(2, "v.term")}
+                        END
+        GROUP BY v.term, v.exact_n
+    )
+    SELECT term, CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(cms_n AS BIGINT) AS cms_n,
+           cms_n >= exact_n AS never_undercounts
+    FROM est ORDER BY exact_n DESC, term LIMIT 20
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters with the estimate itself hash-checked:
+    a fourth sketch family (after HLL, KLL, MinHash/SimHash) -- the
+    frequency sketch a 100 TB pipeline uses to find hot terms / hot keys
+    without a full vocabulary aggregate.
+
+    Build: one token scan -> posexplode to (depth, bucket) cells -> the
+    sketch is a <=768-row aggregate (width 256 x depth 3), broadcastable at
+    any corpus size -- THAT is the point of CMS: cell count is fixed by
+    (width, depth), not by cardinality. Estimate: per-term min over its
+    depth cells (broadcast join, no extra fact shuffle). The exact side
+    (term counts) is the EVALUATION harness, same discipline as
+    minhash_jaccard_estimate: at production scale you keep only the sketch
+    and probe it; here the exact counts let the driver hash-check the
+    estimate AND the never-undercounts guarantee (CMS only overcounts) on
+    the top-20 hitters. Buckets derive from md5 nibbles, so DuckDB mirrors
+    every cell exactly (deterministic-approximate, like the ANN oracles).
+    Top-20 by exact count with term tiebreak; vocab terms are unique, so
+    the order is total and TakeOrderedAndProject keeps it driver-bounded.
+
+    Plan economy: buckets are computed AFTER the vocabulary aggregate (3
+    md5 calls per DISTINCT term, not 6 per token), and the cells are the
+    per-(depth,bucket) SUM of vocab counts -- algebraically identical to
+    counting the token stream (a cell's count is the sum of its terms'
+    counts) but it makes both the sketch build and the estimate join
+    consumers of the SAME vocab shuffle, which Spark then executes once
+    (ReusedExchange): one token scan total. At true stream scale you build
+    the cells map-side from the raw tokens instead (partial aggregation
+    collapses to <=768 rows per task) and skip the vocab entirely."""
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(TX.tokens("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    bucket_cols = [
+        F.expr(_cms_bucket(i, "term")).cast("int").alias(f"_b{i}")
+        for i in range(_CMS_DEPTHS)
+    ]
+    melted = vocab.select("term", "exact_n", *bucket_cols).select(
+        "term",
+        "exact_n",
+        F.posexplode(F.array(*[F.col(f"_b{i}") for i in range(_CMS_DEPTHS)]))
+        .alias("depth", "bucket"),
+    )
+    cells = (
+        melted.groupBy("depth", "bucket")
+        .agg(F.sum("exact_n").alias("cell_n"))
+    )
+    est = (
+        melted.join(F.broadcast(cells), ["depth", "bucket"])
+        .groupBy("term", "exact_n")
+        .agg(F.min("cell_n").alias("cms_n"))
+    )
+    return (
+        est.select(
+            "term",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            F.col("cms_n").cast("long").alias("cms_n"),
+            (F.col("cms_n") >= F.col("exact_n")).alias("never_undercounts"),
+        )
+        .orderBy(F.desc("exact_n"), "term")
+        .limit(20)
+    )

@@ -478,14 +478,28 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _staged_events_dir(spark: SparkSession, sf_dir: str):
     """(dir_path, schema) of the 2-file staged events replay, built ONCE per
-    session+sf_dir via the stage memo and shared by both streaming parity
-    queries -- the staging write is identical for both, so whichever runs
+    session+sf_dir via the stage memo and shared by all streaming parity
+    queries -- the staging write is identical for them, so whichever runs
     first pays it. The path is a _util.StagedDir, so cross-sf_dir eviction
     rmtree's it (one live copy per memo entry, however often a long-lived
-    driver switches fixture dirs); atexit covers process exit."""
+    driver switches fixture dirs); atexit covers process exit.
+
+    The split is BY EVENT TIME (midpoint of [min ts, max ts]), one file per
+    half, with file names AND mtimes forcing replay order early-then-late
+    (FileStreamSource orders pending files by modification time;
+    maxFilesPerTrigger=1 then yields micro-batch 1 = early half, batch 2 =
+    late half). Order-insensitive parity queries (windowed counts, keyed
+    dedup) are unaffected by which split they get; the ORDER-SENSITIVE
+    throttle parity query (streaming_throttle_parity) requires it: its
+    greedy per-key gap state machine only equals the batch oracle when
+    event time is non-decreasing across micro-batches, which is exactly the
+    arrival order a production tail of a live feed provides."""
     import atexit
+    import glob as globmod
+    import os
     import shutil
     import tempfile
+    import time
 
     from sqldataintegrationfunctiontriggerapp_spark.plans import _util
     from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
@@ -496,15 +510,30 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str):
         d = tempfile.mkdtemp(prefix="strm_events_src_")
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events")
-        # coalesce cannot INCREASE the partition count; repartition(2)
-        # stages exactly 2 files so maxFilesPerTrigger=1 gives 2 batches
-        ev.repartition(2).write.mode("overwrite").parquet(d)
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        mid = lo + (hi - lo) / 2
+        halves = [ev.where(F.col("ts") < F.lit(mid)),
+                  ev.where(F.col("ts") >= F.lit(mid))]
+        now = time.time()
+        for i, half in enumerate(halves):
+            tmp = tempfile.mkdtemp(prefix="strm_events_half_")
+            try:
+                half.coalesce(1).write.mode("overwrite").parquet(tmp)
+                (part,) = globmod.glob(os.path.join(tmp, "part-*.parquet"))
+                dest = os.path.join(d, f"{i:02d}-half.parquet")
+                shutil.move(part, dest)
+                # widely-spaced explicit mtimes: the source must never see
+                # the two staged files as simultaneous (write completion
+                # times could land in the same clock tick)
+                os.utime(dest, (now - 100 + 60 * i, now - 100 + 60 * i))
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
         # StagedDir: the memo's eviction hook rmtree's the path, so a
         # driver switching fixture dirs holds ONE staged copy per live
         # entry, not one per switch; atexit covers process exit
         return _util.StagedDir(d), ev.schema
 
-    return session_stage(spark, sf_dir, "staged_events_2file", build)
+    return session_stage(spark, sf_dir, "staged_events_timesplit", build)
 
 
 def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
@@ -513,9 +542,12 @@ def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
     micro-batches and return the memory-sink table.
 
     The file streaming source monitors a DIRECTORY; the fixture is a single
-    single-split parquet file. repartition(2) (coalesce cannot INCREASE the
-    partition count) stages exactly 2 files so maxFilesPerTrigger=1 runs 2
-    real micro-batches -- accumulation genuinely crosses batch boundaries.
+    single-split parquet file. The staging (_staged_events_dir) splits it
+    into exactly 2 files BY EVENT TIME with forced early-then-late replay
+    order, so maxFilesPerTrigger=1 runs 2 real micro-batches whose event
+    time advances the way a live feed's would -- accumulation genuinely
+    crosses batch boundaries, and order-sensitive stateful operators see
+    production arrival order.
 
     Test-harness concessions, all documented local-mode-only (VERDICT r04
     "What's wrong" #4): the staging/checkpoint dirs are driver-local
@@ -611,4 +643,65 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             keys=["user_id", "event_type"],
             watermark="90 days",
         ).select("user_id", "event_type"),
+    )
+
+
+@register(
+    "streaming_throttle_parity",
+    oracle="""
+    WITH RECURSIVE emit AS (
+        SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS ts
+        FROM events GROUP BY user_id
+        UNION ALL
+        SELECT e.user_id, x.ts
+        FROM emit e
+        JOIN LATERAL (
+            SELECT MIN(CAST(v.ts AS TIMESTAMP)) AS ts FROM events v
+            WHERE v.user_id = e.user_id
+              AND CAST(v.ts AS TIMESTAMP) >= e.ts + INTERVAL 6 HOUR
+        ) x ON x.ts IS NOT NULL
+    )
+    SELECT CAST(user_id AS VARCHAR) AS key, ts AS emitted_ts FROM emit
+    """,
+)
+def streaming_throttle_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key notification throttling run BY THE STREAMING ENGINE: the
+    events fixture replays through readStream in 2 time-ordered micro-batches
+    (shared _staged_replay harness) into throttle_by_key
+    (streaming/stateful.py, applyInPandasWithState: emit at most one row per
+    key per 6-hour event-time gap, the earliest qualifying row re-arming the
+    window), append mode, memory sink; the sink table is hash-compared
+    against a recursive-CTE batch oracle that walks the same greedy gap
+    chain per key (base: each key's first event; step: earliest event >=
+    last emission + 6 h).
+
+    This is the driver-checked evidence for the reference's 360-minute
+    notify-once suppression (A22, NotifyFunctions.cs:31-34: a notification
+    sleeps the orchestration 6 h so repeats inside the window are dropped),
+    previously pytest-only -- and it is the first ORDER-SENSITIVE stateful
+    parity: unlike windowed counts (commutative) and keyed dedup
+    (idempotent), the greedy gap machine's output depends on arrival order,
+    so hash-equality proves both that the per-key last-emit state survives
+    micro-batch boundaries AND that the time-split staging replays event
+    time monotonically (any batch-2 row processed before a batch-1 row's
+    state landed would emit or suppress the wrong rows and break the hash).
+
+    Determinism: ties (two events, same key, same ts) emit exactly one row
+    whichever arrives first, because the gap is positive; the oracle's MIN
+    collapses the same tie. Scale: state is one timestamp per key in the
+    executor state store, Arrow-batched -- 100 M keys hold 100 M small rows
+    sharded by key, no global coordination; the recursive oracle is the
+    CORRECTNESS side only (its per-iteration scan-join is fine at sf0.01 and
+    is never part of the engine's plan)."""
+    from sqldataintegrationfunctiontriggerapp_spark.streaming import (
+        stateful as S,
+    )
+
+    return _staged_replay(
+        spark, sf_dir, sink="strm_throttle_sink", output_mode="append",
+        transform=lambda stream: S.throttle_by_key(
+            stream.select("user_id", "ts"),
+            key_col="user_id",
+            min_gap_seconds=6 * 3600,
+        ),
     )

@@ -44,7 +44,11 @@ _BNLJ_ALLOWED = {
 # would be both vacuous (a memory scan can't contain joins/UDFs) and
 # expensive (a full streaming run per lint). Its aggregate shape is the
 # same windowed_counts plan test_streaming.py exercises.
-_EXECUTES_ON_BUILD = {"streaming_windowed_counts", "streaming_dedup_parity"}
+_EXECUTES_ON_BUILD = {
+    "streaming_windowed_counts",
+    "streaming_dedup_parity",
+    "streaming_throttle_parity",
+}
 
 
 def _all_plans(spark, sf_dir):

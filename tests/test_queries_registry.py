@@ -27,13 +27,13 @@ def test_entry_returns_rows(spark):
 def test_declared_rows_only_set_is_intentional():
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
     rows_only = set(qs) - set(os_)
-    # approximate/beyond-SQL ops only; growing this set needs a reason.
-    # (The deterministic-approximate ANN entries -- lsh/ivf topk, recall
-    # sweep -- carry exact oracles since r4: md5-derived planes/pivots are
-    # SQL-expressible even though the search itself is approximate. The two
-    # sketch aggregates -- approx_count_distinct, percentile_approx --
-    # became hash-checkable in r5 via accuracy-contract oracles: they emit
-    # the exact value plus a within-tolerance boolean.)
-    assert rows_only == {
-        "multimodal_feature_extract", # stub decoder reads raw bytes; not SQL
-    }
+    # EVERY registered query now carries an exact oracle; growing this set
+    # needs a written reason. (History: the deterministic-approximate ANN
+    # entries gained exact oracles in r4 -- md5-derived planes/pivots are
+    # SQL-expressible even though the search is approximate; the sketch
+    # aggregates gained accuracy-contract oracles in r5 -- exact value plus
+    # a within-tolerance boolean; and the last holdout,
+    # multimodal_feature_extract, gained one in r5 because its stub
+    # features are byte-deterministic and the pure-ASCII fixture lets
+    # DuckDB mirror bytes through ascii().)
+    assert rows_only == set()

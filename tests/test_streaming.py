@@ -114,6 +114,59 @@ def test_foreach_batch_redelivery_on_failure(spark, events_stream_dir, tmp_path)
     assert sum(seen) == 200
 
 
+def test_staged_replay_is_time_split_and_ordered(spark, sf_dir):
+    """The shared parity staging must hold: exactly 2 files, both non-empty,
+    split by event time, with names AND mtimes forcing early-then-late
+    replay. The order-sensitive throttle parity is only sound under these
+    invariants (plans/windows.py _staged_events_dir)."""
+    import glob
+    import os
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans.windows import (
+        _staged_events_dir,
+    )
+
+    d, _schema = _staged_events_dir(spark, sf_dir)
+    files = sorted(glob.glob(os.path.join(str(d), "*.parquet")))
+    assert len(files) == 2
+    assert os.path.getmtime(files[0]) < os.path.getmtime(files[1])
+    early = spark.read.parquet(files[0])
+    late = spark.read.parquet(files[1])
+    assert early.count() > 0 and late.count() > 0
+    early_max = early.agg(F.max("ts")).first()[0]
+    late_min = late.agg(F.min("ts")).first()[0]
+    assert early_max < late_min
+
+
+def test_streaming_throttle_parity_equals_greedy_batch(spark, sf_dir):
+    """streaming_throttle_parity through the real engine (2 time-ordered
+    micro-batches) must equal a driver-side greedy replay of the 6 h gap
+    machine over the time-sorted events -- the same semantics the recursive
+    DuckDB oracle encodes."""
+    import datetime
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans.windows import (
+        streaming_throttle_parity,
+    )
+
+    got = sorted(map(tuple, streaming_throttle_parity(spark, sf_dir).collect()))
+    rows = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .orderBy("ts")
+        .collect()
+    )
+    gap = datetime.timedelta(hours=6)
+    last: dict = {}
+    expected = []
+    for r in rows:
+        if r.user_id not in last or r.ts - last[r.user_id] >= gap:
+            expected.append((str(r.user_id), r.ts))
+            last[r.user_id] = r.ts
+    assert got == sorted(expected)
+    assert len(got) > len(last), "some key must re-emit after a 6 h gap"
+
+
 def test_session_windows_and_streaming_dedup(spark, events_stream_dir):
     path, schema = events_stream_dir
     df = spark.read.schema(schema).parquet(path)

@@ -64,3 +64,33 @@ def test_quality_score_bounds(spark, sf_dir):
         F.max(TX.quality_score("text")).alias("hi"),
     ).first()
     assert 0.0 <= row.lo <= row.hi <= 1.0
+
+
+def test_cms_heavy_hitters_sketch_properties(spark, sf_dir):
+    """CMS guarantees that survive any (width, depth, data): estimates never
+    undercount, the top hitter's estimate is bounded by the total token
+    count, and the reported exact counts agree with a direct word count."""
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.plans.text import (
+        cms_heavy_hitters,
+    )
+
+    got = cms_heavy_hitters(spark, sf_dir).collect()
+    assert len(got) == 20
+    assert all(r.never_undercounts for r in got)
+    assert all(r.cms_n >= r.exact_n for r in got)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(TX.tokens("text")).alias("t"))
+        .groupBy("t")
+        .count()
+        .collect()
+    )
+    exact = {r.t: r["count"] for r in counts}
+    total = sum(exact.values())
+    for r in got:
+        assert exact[r.term] == r.exact_n
+        assert r.cms_n <= total
+    # the list really is the global top-20 by exact count (term tiebreak)
+    expected_top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.term, r.exact_n) for r in got] == expected_top
