@@ -478,9 +478,9 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _staged_events_dir(spark: SparkSession, sf_dir: str):
     """(dir_path, schema) of the 2-file staged events replay, built ONCE per
-    session+sf_dir via the stage memo and shared by all streaming parity
-    queries -- the staging write is identical for them, so whichever runs
-    first pays it. The path is a _util.StagedDir, so cross-sf_dir eviction
+    session+sf_dir via the stage memo and shared by all four streaming
+    parity queries -- the staging write is identical for them, so whichever
+    runs first pays it. The path is a _util.StagedDir, so cross-sf_dir eviction
     rmtree's it (one live copy per memo entry, however often a long-lived
     driver switches fixture dirs); atexit covers process exit.
 
@@ -559,7 +559,7 @@ def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
     driver and bench harness are single-threaded, so the stable name is the
     right trade; derive it from sf_dir if concurrent use ever appears.
 
-    The staged source directory is SHARED between both streaming parity
+    The staged source directory is SHARED among all streaming parity
     queries via the session stage memo (one events write per session+sf_dir,
     whichever query runs first pays it); it is registered for atexit
     removal at creation, so it outlives each run but not the process. The
@@ -704,4 +704,64 @@ def streaming_throttle_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             key_col="user_id",
             min_gap_seconds=6 * 3600,
         ),
+    )
+
+
+@register(
+    "streaming_entity_stats_parity",
+    oracle="""
+    SELECT CAST(user_id AS VARCHAR) AS key,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+                / 1000.0 AS DOUBLE) AS sum_value,
+           MAX(CAST(ts AS TIMESTAMP)) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_entity_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key cumulative entity state run BY THE STREAMING ENGINE: the
+    events fixture replays through readStream in 2 micro-batches (shared
+    _staged_replay harness) into running_key_stats
+    (streaming/stateful.py, applyInPandasWithState: per-key count / sum /
+    last-seen-ts carried in the state store), update mode, memory sink. The
+    sink holds one row per key per batch it appeared in; the final state
+    per key is the row with the largest n_events (the accumulator is
+    monotone), reduced with max_by and hash-compared against the batch
+    GROUP BY oracle.
+
+    This is the driver-checked evidence for the reference's durable-entity
+    accumulators (A10/A11, EntityFunctions.cs:8-47: keyed state read-
+    modify-write surviving across invocations), previously pytest-only --
+    equality with the batch aggregate proves each key's state absorbed
+    every event exactly once across micro-batch boundaries.
+
+    The value accumulator is integer milli-units (floor(value*1000) summed
+    as int64, emitted as /1000.0) -- integer addition commutes, so the
+    total is bit-identical for ANY shuffle-arrival order, which is what
+    makes this hash row POSSIBLE: a double accumulator would drift in the
+    last ulp run to run. The oracle mirrors the same quantization. Scale:
+    one small state row per key in the executor state store, no global
+    coordination; the max_by reduction is over (keys x batches) rows,
+    bounded by 2x key cardinality here and by stream lifetime in a real
+    tail (where you'd read the state store's latest values instead of a
+    sink history)."""
+    from sqldataintegrationfunctiontriggerapp_spark.streaming import (
+        stateful as S,
+    )
+
+    sink = _staged_replay(
+        spark, sf_dir, sink="strm_entity_sink", output_mode="update",
+        transform=lambda stream: S.running_key_stats(
+            stream.select("user_id", "ts", "value"),
+            key_col="user_id",
+        ),
+    )
+    final = F.max_by(
+        F.struct("n_events", "sum_value", "last_ts"), "n_events"
+    ).alias("f")
+    return sink.groupBy("key").agg(final).select(
+        "key",
+        F.col("f.n_events").alias("n_events"),
+        F.col("f.sum_value").alias("sum_value"),
+        F.col("f.last_ts").alias("last_ts"),
     )

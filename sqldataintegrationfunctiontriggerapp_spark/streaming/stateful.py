@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 RUNNING_OUT_SCHEMA = "key string, n_events bigint, sum_value double, last_ts timestamp"
-RUNNING_STATE_SCHEMA = "n bigint, s double, last_ts timestamp"
+RUNNING_STATE_SCHEMA = "n bigint, s_milli bigint, last_ts timestamp"
 
 THROTTLE_STATE_SCHEMA = "last_emit timestamp"
 
@@ -40,23 +40,45 @@ def running_key_stats(
 ) -> DataFrame:
     """Cumulative per-key stats across micro-batches. Input is a streaming
     DataFrame; output (update mode) is one row per key per batch with totals
-    since the stream started."""
+    since the stream started.
+
+    The value accumulator is INTEGER MILLI-UNITS (floor(value*1000), summed
+    as int64) -- the streaming analog of the repo's batch DECIMAL(18,6)
+    convention (plans/_util.py): float accumulation is order-dependent, and
+    rows reach a key's state in shuffle-arrival order, so a double
+    accumulator would make the same stream produce last-ulp-different
+    totals run to run. Integer addition commutes, so the emitted
+    `sum_value = s_milli / 1000.0` is bit-identical for ANY arrival order
+    -- exactly-once accounting a driver can hash-check (and at 100 TB,
+    accounting pipelines quantize for the same reason). NaN/null values
+    count as 0 (SQL SUM semantics: NULLs don't contribute)."""
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         if state.exists:
-            n, s, last = state.get
+            n, s_milli, last = state.get
         else:
-            n, s, last = 0, 0.0, None
+            n, s_milli, last = 0, 0, None
         for pdf in pdfs:
             n += len(pdf)
-            s += float(pdf[value_col].sum())
+            s_milli += int(
+                np.floor(pdf[value_col].fillna(0.0).to_numpy() * 1000.0)
+                .astype("int64")
+                .sum()
+            )
             mx = pdf[ts_col].max()
             last = mx if last is None or mx > last else last
-        state.update((n, s, last))
+        state.update((n, s_milli, last))
         yield pd.DataFrame(
-            {"key": [str(key[0])], "n_events": [n], "sum_value": [s], "last_ts": [last]}
+            {
+                "key": [str(key[0])],
+                "n_events": [n],
+                "sum_value": [s_milli / 1000.0],
+                "last_ts": [last],
+            }
         )
 
     return grouped_stream.groupBy(key_col).applyInPandasWithState(

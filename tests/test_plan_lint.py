@@ -48,6 +48,7 @@ _EXECUTES_ON_BUILD = {
     "streaming_windowed_counts",
     "streaming_dedup_parity",
     "streaming_throttle_parity",
+    "streaming_entity_stats_parity",
 }
 
 

@@ -68,17 +68,23 @@ def test_running_key_stats_matches_batch_totals(spark, typed_stream_dir):
         .set_index("key")
         .sort_index()
     )
+    # the accumulator is integer milli-units (order-independent, see
+    # streaming/stateful.py), so the expectation is EXACT equality against
+    # the same quantization, not a float tolerance
     exp = (
         spark.read.schema(schema)
         .parquet(path)
         .groupBy(F.col("user_id").alias("key"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("s"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.floor(F.col("value") * 1000).cast("long")) / 1000.0).alias("s"),
+        )
         .toPandas()
         .set_index("key")
         .sort_index()
     )
     assert (got["n"] == exp["n"]).all()
-    assert (got["s"] - exp["s"]).abs().max() < 1e-6
+    assert (got["s"] == exp["s"]).all()
 
 
 def test_throttle_by_key_enforces_min_gap(spark, typed_stream_dir):
