@@ -507,7 +507,7 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str):
     )
 
     def build():
-        d = tempfile.mkdtemp(prefix="strm_events_src_")
+        d = tempfile.mkdtemp(prefix="strm_events_src_", dir=_fast_tmp())
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events")
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
@@ -536,6 +536,27 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str):
     return session_stage(spark, sf_dir, "staged_events_timesplit", build)
 
 
+def _fast_tmp() -> str | None:
+    """Directory for the parity harness's staging/checkpoint dirs: tmpfs
+    (/dev/shm) when available, else the default temp dir.
+
+    The state store and commit/offset logs fsync every delta file they
+    write; on a disk-backed temp dir those fsyncs intermittently stall for
+    seconds when the machine's writeback queue is deep -- e.g. right after
+    a shuffle-heavy query in the same suite run -- which showed up as the
+    same streaming parity query timing anywhere from 2 s to 19 s run to
+    run. tmpfs makes the fsync a no-op, so the measured time is the
+    engine's work, not the host's dirty-page backlog. Capacity is a few MB
+    (staged events parquet + state deltas), far below /dev/shm limits.
+    These dirs are already a documented local-mode harness concession; the
+    deployment path (streaming/pipeline.py) takes an explicit durable
+    checkpoint location from the caller."""
+    import os
+
+    d = "/dev/shm"
+    return d if os.path.isdir(d) and os.access(d, os.W_OK) else None
+
+
 def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
                    output_mode: str, transform) -> DataFrame:
     """Replay the events fixture through the REAL streaming engine in 2
@@ -551,8 +572,10 @@ def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
 
     Test-harness concessions, all documented local-mode-only (VERDICT r04
     "What's wrong" #4): the staging/checkpoint dirs are driver-local
-    tempfile.mkdtemp (a real cluster would need a shared filesystem -- the
-    deployment path is streaming/pipeline.py), and the memory-sink /
+    tempfile.mkdtemp, on tmpfs when available (_fast_tmp: state-store
+    fsyncs must not inherit the host's writeback backlog; a real cluster
+    would need a shared filesystem -- the deployment path is
+    streaming/pipeline.py), and the memory-sink /
     temp-view name is session-global, so a repeated sweep holds ONE result
     table instead of a growing uuid-named set, at the cost that two
     CONCURRENT invocations sharing a SparkSession would collide on it. The
@@ -572,8 +595,21 @@ def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
 
     src_dir, schema = _staged_events_dir(spark, sf_dir)
     ckpt_dir = q = None
+    # A streaming query's STATE partition count is fixed at first start
+    # from spark.sql.shuffle.partitions; 32 state stores x (batches+1)
+    # commits is pure fixed overhead against a 2-file fixture replay, so
+    # run the harness at 8 (results are partitioning-invariant: hash
+    # aggregation / keyed state give the same rows under any partition
+    # count -- that invariance is itself pinned by the partitioning
+    # property tests). The conf is restored in the finally; the suite is
+    # single-threaded, so nothing else plans under the temporary value. A
+    # production tail sizes this to key cardinality instead (state rows
+    # per partition), not to a fixture.
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(shuffle_conf)
     try:
-        ckpt_dir = tempfile.mkdtemp(prefix=f"{sink}_ckpt_")
+        spark.conf.set(shuffle_conf, "8")
+        ckpt_dir = tempfile.mkdtemp(prefix=f"{sink}_ckpt_", dir=_fast_tmp())
         stream = (
             spark.readStream.schema(schema)  # staged write preserves it
             .option("maxFilesPerTrigger", 1)
@@ -591,6 +627,7 @@ def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
         q.awaitTermination()
         return spark.table(sink)
     finally:
+        spark.conf.set(shuffle_conf, prev_parts)
         if q is not None:
             try:
                 q.stop()  # no-op after awaitTermination; vital on interrupt
