@@ -36,11 +36,12 @@ def entry(spark: SparkSession) -> DataFrame:
 _SWEEP_PRIORITY = [
     # new/changed this round (no valid prior evidence -- changed code
     # ALWAYS jumps to the head, per the r4 verdict's rotation rule): the
-    # three streaming parity queries (throttle parity is NEW, and all
-    # three now share the rebuilt TIME-SPLIT staging), the feature-extract
-    # query upgraded from rows-only to an exact oracle, the DQ gate,
-    # k-means, the two sketch queries upgraded to accuracy-contract
-    # oracles, and the dedup family rebuilt on the shared shingle stage
+    # four streaming parity queries (throttle and entity-stats parity are
+    # NEW, and all four share the rebuilt TIME-SPLIT staging), the
+    # feature-extract query upgraded from rows-only to an exact oracle,
+    # the NEW CMS heavy-hitters sketch, the DQ gate, k-means, the two
+    # sketch queries upgraded to accuracy-contract oracles, and the dedup
+    # family rebuilt on the shared shingle stage
     "streaming_throttle_parity", "streaming_entity_stats_parity",
     "streaming_dedup_parity", "streaming_windowed_counts",
     "multimodal_feature_extract", "cms_heavy_hitters",
@@ -116,7 +117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for EVERY registered query -- zero rows-only
     entries. The deterministic-approximate ANN queries, the sketch
-    accuracy-contract queries, the three streaming parity queries (batch
+    accuracy-contract queries, the four streaming parity queries (batch
     oracles the engine's multi-batch replay must hash-equal), and the
     byte-deterministic multimodal feature stub (mirrored through ascii()
     on the pure-ASCII fixture) all carry exact oracles."""

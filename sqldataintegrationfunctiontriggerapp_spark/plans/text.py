@@ -277,9 +277,10 @@ def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Count-min-sketch cell coordinates, identical in Spark SQL and DuckDB: the
 # bucket for (depth d, term) is nibbles 3-4 of md5("d|term") -- two instr
 # lookups into the hex alphabet, the same cross-engine md5 idiom as SimHash
-# (operators/dedup.py simhash) and the LSH hyperplanes. Width 256 x depth 3
-# here; both are config knobs (width scales the memory/accuracy trade, and
-# the sketch stays tiny-broadcastable far beyond 2^20 cells).
+# (operators/dedup.py simhash) and the LSH hyperplanes. Depth is the one
+# config knob (the oracle below is GENERATED from it, so changing it keeps
+# both sides in sync); width is FIXED at 256 by the two-nibble extraction --
+# widening means taking more md5 nibbles in _cms_bucket, on both sides.
 _CMS_DEPTHS = 3
 
 
@@ -291,35 +292,40 @@ def _cms_bucket(depth: int, term_sql: str) -> str:
     )
 
 
+def _cms_bucket_case(term_sql: str) -> str:
+    """depth -> bucket as a CASE over the _CMS_DEPTHS depths (SQL has no
+    'md5 of a column-valued prefix' shortcut, so the per-depth constant
+    prefixes are unrolled -- generated, never hand-maintained)."""
+    whens = "\n                 ".join(
+        f"WHEN {d} THEN {_cms_bucket(d, term_sql)}" for d in range(_CMS_DEPTHS)
+    )
+    return f"CASE depth\n                 {whens}\n               END"
+
+
 @register(
     "cms_heavy_hitters",
     oracle=f"""
     WITH toks AS (SELECT UNNEST({_TOKS}) AS term FROM documents),
-    depths AS (SELECT UNNEST([0, 1, 2]) AS depth),
+    depths AS (SELECT UNNEST([{", ".join(str(d) for d in range(_CMS_DEPTHS))}])
+               AS depth),
     cells AS (
         SELECT depth,
-               CASE depth
-                 WHEN 0 THEN {_cms_bucket(0, "term")}
-                 WHEN 1 THEN {_cms_bucket(1, "term")}
-                 ELSE {_cms_bucket(2, "term")}
-               END AS bucket,
+               {_cms_bucket_case("term")} AS bucket,
                COUNT(*) AS cell_n
         FROM toks, depths
         GROUP BY 1, 2
     ),
     vocab AS (SELECT term, COUNT(*) AS exact_n FROM toks GROUP BY term),
+    probe AS (
+        SELECT term, exact_n, depth,
+               {_cms_bucket_case("term")} AS bucket
+        FROM vocab, depths
+    ),
     est AS (
-        SELECT v.term, v.exact_n, MIN(c.cell_n) AS cms_n
-        FROM vocab v
-        CROSS JOIN depths d
-        JOIN cells c
-          ON c.depth = d.depth
-         AND c.bucket = CASE d.depth
-                          WHEN 0 THEN {_cms_bucket(0, "v.term")}
-                          WHEN 1 THEN {_cms_bucket(1, "v.term")}
-                          ELSE {_cms_bucket(2, "v.term")}
-                        END
-        GROUP BY v.term, v.exact_n
+        SELECT p.term, p.exact_n, MIN(c.cell_n) AS cms_n
+        FROM probe p
+        JOIN cells c ON c.depth = p.depth AND c.bucket = p.bucket
+        GROUP BY p.term, p.exact_n
     )
     SELECT term, CAST(exact_n AS BIGINT) AS exact_n,
            CAST(cms_n AS BIGINT) AS cms_n,

@@ -511,8 +511,21 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str):
         atexit.register(shutil.rmtree, d, ignore_errors=True)
         ev = load_table(spark, sf_dir, "events")
         lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        if lo is None or lo == hi:
+            # one distinct timestamp (or all-null ts) cannot be split by
+            # time; fail loudly rather than stage an empty first batch the
+            # parity queries would silently mis-replay
+            raise ValueError(
+                f"events ts span in {sf_dir} is degenerate ({lo!r}..{hi!r});"
+                " the time-split streaming staging needs >=2 distinct"
+                " timestamps"
+            )
         mid = lo + (hi - lo) / 2
-        halves = [ev.where(F.col("ts") < F.lit(mid)),
+        # the split must be TOTAL -- a NULL ts satisfies neither inequality
+        # and would silently vanish from the replay while every batch
+        # oracle still counts the row; route NULLs to the early half
+        # ('earliest arrivals')
+        halves = [ev.where((F.col("ts") < F.lit(mid)) | F.col("ts").isNull()),
                   ev.where(F.col("ts") >= F.lit(mid))]
         now = time.time()
         for i, half in enumerate(halves):
