@@ -147,6 +147,106 @@ def test_kmeans_invariant_under_partitioning(spark, vecs, n_parts):
     assert set(a) == {i for i, _ in rows}
 
 
+# right side keeps (key, ts) unique: with two right rows at the SAME
+# (key, ts), "the most recent right row" is genuinely ambiguous -- both
+# implementations (window last() and merge_asof) then pick an
+# arrival-order-dependent winner, which is the documented caller contract
+# (dedupe the build side first), not a bug to randomize into.
+asof_right_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 9), st.integers(0, 99)),
+    min_size=0,
+    max_size=10,
+    unique_by=lambda r: (r[0], r[1]),
+)
+
+
+@PROP
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 9)),
+        min_size=1,
+        max_size=10,
+    ),
+    right=asof_right_strategy,
+)
+def test_asof_join_variants_equal_pointwise_reference(spark, left, right):
+    # ORACLE PARITY for the operator Spark lacks natively: both the
+    # union-and-carry window variant and the cogrouped merge_asof variant
+    # must equal the definitional per-row scan "latest right row with the
+    # same key and right.ts <= left.ts" -- including the tie rule
+    # (right.ts == left.ts IS visible) and the no-match null.
+    from sqldataintegrationfunctiontriggerapp_spark.operators.asof import (
+        asof_join,
+        asof_join_cogroup,
+    )
+
+    lrows = [(i, k, t) for i, (k, t) in enumerate(left)]
+    ldf = spark.createDataFrame(lrows, "lid long, key long, ts long")
+    rdf = spark.createDataFrame(
+        right or [], "key long, rts long, val long"
+    )
+    want = {}
+    for lid, k, t in lrows:
+        prior = [(rt, v) for rk, rt, v in right if rk == k and rt <= t]
+        want[lid] = max(prior)[1] if prior else None
+
+    a = {
+        r.lid: r.asof_val
+        for r in asof_join(ldf, rdf, "key", "ts", "rts", ["val"]).collect()
+    }
+    b = {
+        r.lid: r.asof_val
+        for r in asof_join_cogroup(
+            ldf, rdf, "key", "ts", "rts", ["val"]
+        ).collect()
+    }
+    assert a == want
+    assert b == want
+
+
+@PROP
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=16),
+        min_size=2,
+        max_size=8,
+    )
+)
+def test_ngram_jaccard_pairs_equals_brute_force(spark, texts):
+    # ORACLE PARITY: the inverted-index self-join (one join + one aggregate,
+    # never all-pairs) must equal the definitional all-pairs scan: distinct
+    # word-bigram sets per doc, docs with <2 tokens dropped, |A∩B|/|A∪B|
+    # per pair. Same integer counts + same double division on both sides,
+    # so the floats compare bit-identically. threshold=0 keeps every pair
+    # visible (the filter itself is a trivial WHERE); the df cap can't bind
+    # at <=8 docs.
+    from sqldataintegrationfunctiontriggerapp_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            df, shingle_n=2, threshold=0.0
+        ).collect()
+    }
+
+    def bigrams(t):
+        toks = t.split()
+        return {" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)}
+
+    sets = {i: bigrams(t) for i, t in rows if len(t.split()) >= 2}
+    want = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] & sets[b]:
+                inter = len(sets[a] & sets[b])
+                want[(a, b)] = inter / (len(sets[a]) + len(sets[b]) - inter)
+    assert got == want
+
+
 @PROP
 @given(
     texts=st.lists(
