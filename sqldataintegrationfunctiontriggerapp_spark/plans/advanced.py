@@ -10,7 +10,7 @@ from __future__ import annotations
 import re
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
@@ -18,7 +18,7 @@ from sqldataintegrationfunctiontriggerapp_spark.operators.asof import (
     asof_join,
     asof_join_cogroup,
 )
-from sqldataintegrationfunctiontriggerapp_spark.plans._util import DEC, dsum, sql_dsum
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import DEC, dsum
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 
 _ASOF_ORACLE = """

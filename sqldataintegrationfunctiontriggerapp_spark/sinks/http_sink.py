@@ -20,7 +20,6 @@ local tests `post_batch` collects -- the partition path is `post_partitions`.
 
 from __future__ import annotations
 
-import json
 import time
 import urllib.error
 import urllib.request

@@ -52,19 +52,54 @@ _EXECUTES_ON_BUILD = {
 }
 
 
-def _all_plans(spark, sf_dir):
+def _all_built(spark, sf_dir):
     out = {}
     for name, fn in entrymod.queries().items():
         if name in _EXECUTES_ON_BUILD:
             continue
         df = fn(spark, sf_dir)
-        out[name] = df._jdf.queryExecution().executedPlan().toString()
+        out[name] = (
+            df._jdf.queryExecution().executedPlan().toString(),
+            list(df.columns),
+        )
     return out
 
 
 @pytest.fixture(scope="module")
-def plans(spark, sf_dir):
-    return _all_plans(spark, sf_dir)
+def built(spark, sf_dir):
+    return _all_built(spark, sf_dir)
+
+
+@pytest.fixture(scope="module")
+def plans(built):
+    return {n: p for n, (p, _) in built.items()}
+
+
+def test_oracle_columns_match_query_columns(built, sf_dir):
+    # The driver's value compare sorts columns BY NAME before hashing, so a
+    # Spark result named (l_returnflag, sum_qty) against an oracle emitting
+    # (l_returnflag, "sum(l_quantity)") hash-mismatches even with identical
+    # values. Column names are knowable at BIND time on both sides -- Spark
+    # analysis above, DuckDB relation binding here -- so the whole registry
+    # is checked without executing anything. The four streaming parity
+    # queries (excluded from the build pass: their fn() runs the engine)
+    # get this for free from their driver hash rows, which compare values
+    # and hence names.
+    import duckdb
+
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+    oracles = entrymod.oracle_sql()
+    mismatches = {
+        name: (sorted(cols), sorted(con.sql(oracles[name]).columns))
+        for name, (_, cols) in built.items()
+        if name in oracles
+        and sorted(cols) != sorted(con.sql(oracles[name]).columns)
+    }
+    assert mismatches == {}, mismatches
 
 
 def test_no_cartesian_product_anywhere(plans):
