@@ -248,6 +248,91 @@ def test_ngram_jaccard_pairs_equals_brute_force(spark, texts):
 
 @PROP
 @given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(0, 5),
+            st.text(alphabet="abc", min_size=1, max_size=4),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_minhash_signatures_equal_python_reference(spark, pairs):
+    # ORACLE PARITY: the one-wide-aggregate banded signature (the shape
+    # whose shuffle carries one row per doc, not n_bands rows per shingle)
+    # must equal the definitional per-doc computation: band b's signature
+    # is the concatenation of rows_per_band independent minima of
+    # md5(salt || '|' || shingle), salt = b*r+i. Spark's md5() and
+    # hashlib.md5 both emit lowercase hex, so the strings compare exactly.
+    import hashlib
+
+    from sqldataintegrationfunctiontriggerapp_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    pairs = sorted(set(pairs))
+    df = spark.createDataFrame(pairs, "doc_id long, shingle string")
+    got = {
+        (r.doc_id, r.band): r.sig
+        for r in minhash_signatures(
+            df, n_bands=4, rows_per_band=2
+        ).collect()
+    }
+    docs = {}
+    for d, s in pairs:
+        docs.setdefault(d, set()).add(s)
+    want = {}
+    for d, shingles in docs.items():
+        for b in range(4):
+            want[(d, b)] = "".join(
+                min(
+                    hashlib.md5(f"{b * 2 + i}|{s}".encode()).hexdigest()
+                    for s in shingles
+                )
+                for i in (0, 1)
+            )
+    assert got == want
+
+
+@PROP
+@given(
+    ids=st.lists(
+        st.integers(0, 10**9), min_size=1, max_size=15, unique=True
+    ),
+    n_parts=st.integers(1, 4),
+)
+def test_split_assign_equals_python_md5(spark, ids, n_parts):
+    # ORACLE PARITY + trivially implied partitioning invariance for the
+    # deterministic train/val/test assignment: split is a pure function of
+    # md5(str(doc_id)) against the two hex thresholds, so every engine,
+    # every re-run, and every partitioning must land each id identically --
+    # the property that makes incremental re-processing safe.
+    import hashlib
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans.sampling import (
+        _TEST_HI,
+        _VAL_HI,
+        split_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(i,) for i in ids], "doc_id long"
+    ).repartition(n_parts)
+    got = {r.doc_id: r.split for r in split_assign(df).collect()}
+
+    def ref(i):
+        h = hashlib.md5(str(i).encode()).hexdigest()
+        if h < _VAL_HI:
+            return "val"
+        if h < _TEST_HI:
+            return "test"
+        return "train"
+
+    assert got == {i: ref(i) for i in ids}
+
+
+@PROP
+@given(
     texts=st.lists(
         st.text(alphabet="xy ", min_size=0, max_size=12),
         min_size=1,
