@@ -45,25 +45,26 @@ _SWEEP_PRIORITY = [
     "streaming_throttle_parity", "streaming_entity_stats_parity",
     "streaming_dedup_parity", "streaming_windowed_counts",
     "multimodal_feature_extract", "cms_heavy_hitters",
+    "bloom_filter_probe",
     "dq_constraint_report", "kmeans_clusters",
     "approx_count_distinct", "percentile_approx",
     "dedup_minhash_lsh", "dedup_ngram_jaccard",
     "minhash_jaccard_estimate", "dedup_components",
     # rotation re-verification: the 42 queries whose latest green evidence
     # is round 2 (VERDICT r04 "What's missing" #1), heaviest families
-    # first. 14 changed/new + 42 stale = 56 candidates for a hard 50-entry
-    # budget; changed code outranks stale-but-unchanged code, so the six
-    # overflow slots (51-56) go to the stale queries with the freshest
+    # first. 15 changed/new + 42 stale = 57 candidates for a hard 50-entry
+    # budget; changed code outranks stale-but-unchanged code, so the seven
+    # overflow slots (51-57) go to the stale queries with the freshest
     # indirect evidence: time_window_tumbling (its oracle SQL is byte-for-
     # byte the oracle streaming_windowed_counts re-verifies in the head),
     # window_rank (pure rank/dense_rank/ntile window, plan-shape pinned,
     # untouched since r02), window_lag_lead (same single-window-shuffle
     # family as window_running_sum, which stays in the head), set_intersect
     # (sibling of set_union two lines up in the same file, re-verified in
-    # the head this round), scalar_string_funcs and embedding_norms (both
-    # stateless single-scan projections, zero shuffles, the lowest-risk
-    # shape in the registry). Their direct rows go one round staler; next
-    # round's rotation leads with them.
+    # the head this round), scalar_string_funcs, embedding_norms, and
+    # timestamp_arithmetic (all stateless single-scan projections, zero
+    # shuffles, the lowest-risk shape in the registry). Their direct rows
+    # go one round staler; next round's rotation leads with them.
     "sessionization", "q5_local_supplier_volume",
     "q7_nation_volume_shipping", "q10_returned_items", "scd2_history",
     "cdc_merge_upsert", "changefeed_watermark", "asof_join_prior_purchase",
@@ -73,14 +74,15 @@ _SWEEP_PRIORITY = [
     "json_extract", "from_json_roundtrip", "retry_classification",
     "retry_backoff", "cdc_latest_state", "purge_retention",
     "join_full_outer", "set_union", "pivot_status",
-    "range_batching", "timestamp_arithmetic",
+    "range_batching",
     "monthly_order_trend", "train_val_split", "quota_per_source",
     "corpus_shards", "window_running_sum",
     "topk_per_group",
     "time_window_sliding", "interval_join_events",
-    # positions 51-56: the six overflow stale entries (see block comment)
+    # positions 51-57: the seven overflow stale entries (see block comment)
     "time_window_tumbling", "window_rank", "window_lag_lead",
     "set_intersect", "scalar_string_funcs", "embedding_norms",
+    "timestamp_arithmetic",
     # round-3-evidenced tail (budget permitting), registry families
     # grouped; the round-4-evidenced queries (freshest, e.g.
     # tfidf_top_terms, contamination_check, text_repetition) follow in

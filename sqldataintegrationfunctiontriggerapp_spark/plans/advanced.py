@@ -594,3 +594,175 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("tp").cast("long").alias("n_purchased"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership probe (join-pruning sketch)
+# --------------------------------------------------------------------------
+
+# Bit positions, identical in Spark SQL and DuckDB: hash j of a key is the
+# first FOUR md5 nibbles of md5("j|key") -> a 16-bit position in an
+# m = 65536-bit filter, k = _BLOOM_K independent hashes. Same cross-engine
+# md5-nibble idiom as SimHash and the CMS buckets; k and the nibble count
+# are the two knobs, and the oracle is GENERATED from the same helper, so
+# changing them keeps both sides in sync.
+_BLOOM_K = 3
+_BLOOM_WORDS = 1024  # 65536 bits / 64 bits per word
+
+
+def _bloom_bitpos(j: int, key_sql: str) -> str:
+    h = f"md5(concat('{j}|', {key_sql}))"
+    terms = " + ".join(
+        f"(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+        f" * {16 ** (4 - i)}"
+        for i in range(1, 5)
+    )
+    return f"({terms})"
+
+
+def _bloom_bitpos_case(key_sql: str) -> str:
+    whens = "\n                 ".join(
+        f"WHEN {j} THEN {_bloom_bitpos(j, key_sql)}"
+        for j in range(_BLOOM_K)
+    )
+    return f"CASE j\n                 {whens}\n               END"
+
+
+@register(
+    "bloom_filter_probe",
+    oracle=f"""
+    WITH members AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    hashes AS (SELECT UNNEST([{", ".join(str(j) for j in range(_BLOOM_K))}])
+               AS j),
+    bits AS (
+        SELECT DISTINCT {_bloom_bitpos_case("CAST(c_custkey AS VARCHAR)")}
+               AS bitpos
+        FROM members, hashes
+    ),
+    pb AS (
+        SELECT o_orderkey, o_orderstatus, o_custkey,
+               {_bloom_bitpos_case("CAST(o_custkey AS VARCHAR)")} AS bitpos
+        FROM orders, hashes
+    ),
+    hits AS (
+        SELECT o_orderkey, o_orderstatus, o_custkey,
+               SUM(CASE WHEN bitpos IN (SELECT bitpos FROM bits)
+                        THEN 1 ELSE 0 END) = {_BLOOM_K} AS bloom_pass
+        FROM pb GROUP BY 1, 2, 3
+    ),
+    flagged AS (
+        SELECT h.o_orderstatus, h.bloom_pass,
+               (m.c_custkey IS NOT NULL) AS is_member
+        FROM hits h LEFT JOIN members m ON m.c_custkey = h.o_custkey
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_members,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_member
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN is_member AND NOT bloom_pass
+                         THEN 1 ELSE 0 END) AS BIGINT) = 0
+               AS no_false_negatives
+    FROM flagged
+    GROUP BY o_orderstatus
+    """,
+)
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe -- the join-pruning sketch (a fifth
+    sketch family after HLL, KLL, CMS, MinHash/SimHash) and the shape behind
+    runtime filter pushdown: prune a fact scan against a dimension predicate
+    WITHOUT shuffling the fact table.
+
+    Build: the member keys (BUILDING-segment customers) map to k=3 16-bit
+    positions each (md5 nibbles); one small aggregate packs them into a
+    1024-word bitmap, collected to the driver (<=8 KB, BOUNDED by the fixed
+    filter width m = 65536 regardless of corpus size -- the same bounded-
+    metadata pattern as the IVF pivot collect) and re-broadcast as an array
+    literal. Probe: each orders row tests its 3 bit positions against the
+    literal with element_at + shiftright -- pure map-side expression work in
+    whole-stage codegen, zero shuffle on the fact side. That asymmetry is
+    the entire point at 100 TB: the filter costs O(m) to ship, the fact
+    table is pruned in place, and only the survivors reach the downstream
+    join (Spark's own InjectRuntimeFilter plans exactly this shape).
+
+    Everything is md5-deterministic, so the oracle mirrors the FULL result
+    exactly -- per-status totals, bloom passes, true members, and the
+    false-positive count itself (no tolerance needed), plus the structural
+    no-false-negatives guarantee every bloom filter must satisfy. The
+    exact-membership side (broadcast left join against the small member
+    dim) is the evaluation harness, same discipline as cms_heavy_hitters:
+    production keeps only the bitmap."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    members = (
+        c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    mkey = "CAST(c_custkey AS STRING)"
+    pos = members.select(
+        F.explode(
+            F.array(
+                *[
+                    F.expr(_bloom_bitpos(j, mkey)).cast("int")
+                    for j in range(_BLOOM_K)
+                ]
+            )
+        ).alias("bitpos")
+    )
+    word_rows = (
+        pos.groupBy(F.expr("bitpos div 64").cast("int").alias("w"))
+        .agg(F.expr("bit_or(shiftleft(1L, bitpos % 64))").alias("word"))
+        .collect()
+    )
+    wmap = {r.w: r.word for r in word_rows}
+    # one parsed expression, NOT 1024 F.lit() calls: each lit() is a Py4J
+    # round-trip (~1.7s of pure driver chatter for the full bitmap); the
+    # SQL parser builds the same array<bigint> literal in one call
+    words = F.expr(
+        "array("
+        + ", ".join(f"{wmap.get(i, 0)}L" for i in range(_BLOOM_WORDS))
+        + ")"
+    )
+    okey = "CAST(o_custkey AS STRING)"
+    probe = o.select(
+        "o_custkey",
+        "o_orderstatus",
+        *[
+            F.expr(_bloom_bitpos(j, okey)).cast("int").alias(f"_p{j}")
+            for j in range(_BLOOM_K)
+        ],
+    ).withColumn("_words", words)
+    bit_ok = [
+        F.expr(
+            f"(shiftright(element_at(_words, CAST(_p{j} div 64 AS INT) + 1),"
+            f" _p{j} % 64) & 1) = 1"
+        )
+        for j in range(_BLOOM_K)
+    ]
+    bloom_pass = bit_ok[0]
+    for e in bit_ok[1:]:
+        bloom_pass = bloom_pass & e
+    flagged = (
+        probe.withColumn("bloom_pass", bloom_pass)
+        .join(
+            F.broadcast(members.withColumn("_m", F.lit(1))),
+            probe.o_custkey == members.c_custkey,
+            "left",
+        )
+        .withColumn("is_member", F.col("_m").isNotNull())
+    )
+    return flagged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("bloom_pass").cast("int")).cast("long").alias("n_bloom_pass"),
+        F.sum(F.col("is_member").cast("int")).cast("long").alias("n_members"),
+        F.sum((F.col("bloom_pass") & ~F.col("is_member")).cast("int"))
+        .cast("long")
+        .alias("n_false_positives"),
+        (
+            F.sum((F.col("is_member") & ~F.col("bloom_pass")).cast("int")) == 0
+        ).alias("no_false_negatives"),
+    )

@@ -402,3 +402,19 @@ def test_cms_heavy_hitters_single_scan_broadcast_probe(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_probe_fact_side_is_shuffle_free_map(spark, sf_dir):
+    """The bloom probe's value at 100 TB is the asymmetry: the bitmap ships
+    to the fact table, never the reverse. The orders side must therefore be
+    scan -> expression probe -> broadcast membership join -> partial agg
+    with NO exchange before the final (3-group) aggregate, and the member
+    dim must arrive as a BroadcastHashJoin, never a SortMergeJoin."""
+    plan = plan_of(spark, sf_dir, "bloom_filter_probe")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # exactly one shuffle in the whole plan: the final tiny groupBy (the
+    # build-side bitmap aggregate ran to completion inside the query
+    # constructor's bounded collect and is not part of this plan; the
+    # member dim arrives as a BroadcastExchange, which is not a shuffle)
+    assert plan.count("Exchange hashpartitioning") == 1
