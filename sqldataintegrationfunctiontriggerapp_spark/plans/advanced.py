@@ -601,21 +601,24 @@ def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 # Bit positions, identical in Spark SQL and DuckDB: hash j of a key is the
-# first FOUR md5 nibbles of md5("j|key") -> a 16-bit position in an
-# m = 65536-bit filter, k = _BLOOM_K independent hashes. Same cross-engine
-# md5-nibble idiom as SimHash and the CMS buckets; k and the nibble count
-# are the two knobs, and the oracle is GENERATED from the same helper, so
-# changing them keeps both sides in sync.
+# first _BLOOM_NIBBLES md5 nibbles of md5("j|key") -> a position in an
+# m = 16^_BLOOM_NIBBLES-bit filter, k = _BLOOM_K independent hashes. Same
+# cross-engine md5-nibble idiom as SimHash and the CMS buckets; k and the
+# nibble count are the two knobs, and BOTH the oracle and the Spark bitmap
+# width derive from them, so changing either keeps all three in sync (a
+# hardcoded word count would silently leave the Spark array short of the
+# widened position space while the generated oracle stayed correct).
 _BLOOM_K = 3
-_BLOOM_WORDS = 1024  # 65536 bits / 64 bits per word
+_BLOOM_NIBBLES = 4  # 16^4 = 65536 bits
+_BLOOM_WORDS = 16 ** _BLOOM_NIBBLES // 64
 
 
 def _bloom_bitpos(j: int, key_sql: str) -> str:
     h = f"md5(concat('{j}|', {key_sql}))"
     terms = " + ".join(
         f"(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
-        f" * {16 ** (4 - i)}"
-        for i in range(1, 5)
+        f" * {16 ** (_BLOOM_NIBBLES - i)}"
+        for i in range(1, _BLOOM_NIBBLES + 1)
     )
     return f"({terms})"
 
