@@ -60,3 +60,20 @@ def test_cosine_pairs_bucketed_all_zero_norm(spark):
     # zero-norm vectors have undefined cosine; they are filtered, never crash
     out = S.cosine_pairs_above_bucketed(e, threshold=0.5, n_pivots=2)
     assert out.count() == 0
+
+
+def test_kmeans_empty_corpus(spark):
+    e = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    out = S.kmeans_lloyd(e, k=3, iters=1)
+    assert out.columns == ["vec_id", "cluster_id"]
+    assert out.count() == 0
+
+
+def test_simhash_empty_input(spark):
+    d = spark.createDataFrame([], "doc_id bigint, text string")
+    assert D.simhash(d, bits=16).count() == 0
+
+
+def test_minhash_signatures_empty_shingles(spark):
+    s = spark.createDataFrame([], "doc_id bigint, shingle string")
+    assert D.minhash_signatures(s).count() == 0
