@@ -614,6 +614,12 @@ _BLOOM_WORDS = 16 ** _BLOOM_NIBBLES // 64
 
 
 def _bloom_bitpos(j: int, key_sql: str) -> str:
+    # PRECONDITION: key_sql must be NON-NULL (ADVICE r05 #1). The engines
+    # disagree on NULL concat args -- Spark's concat('j|', NULL) is NULL
+    # (bitpos NULL, bloom_pass NULL) while DuckDB's concat SKIPS NULL args
+    # and hashes 'j|'. TPC-H o_custkey/c_custkey are non-null so the branch
+    # is unreachable here; reusing this helper on a nullable key requires
+    # wrapping it in coalesce(CAST(k AS STRING), '') on BOTH sides first.
     h = f"md5(concat('{j}|', {key_sql}))"
     terms = " + ".join(
         f"(instr('0123456789abcdef', substring({h}, {i}, 1)) - 1)"

@@ -44,6 +44,11 @@ _BNLJ_ALLOWED = {
 # would be both vacuous (a memory scan can't contain joins/UDFs) and
 # expensive (a full streaming run per lint). Its aggregate shape is the
 # same windowed_counts plan test_streaming.py exercises.
+# NOT listed but PARTIALLY executing on build (ADVICE r05 #2):
+# bloom_filter_probe runs its bitmap-build aggregate (one Spark job,
+# bounded <=8 KB collect) inside the query constructor; the returned probe
+# plan is still lazy and worth linting, so it stays in the build pass --
+# plan-only consumers of the registry just pay that one small job.
 _EXECUTES_ON_BUILD = {
     "streaming_windowed_counts",
     "streaming_dedup_parity",
@@ -93,11 +98,17 @@ def test_oracle_columns_match_query_columns(built, sf_dir):
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
     oracles = entrymod.oracle_sql()
-    mismatches = {
-        name: (sorted(cols), sorted(con.sql(oracles[name]).columns))
-        for name, (_, cols) in built.items()
+    # bind each oracle ONCE (ADVICE r05 #3): DuckDB relation binding is
+    # cheap but ~146 redundant binds are pure waste
+    oracle_cols = {
+        name: sorted(con.sql(oracles[name]).columns)
+        for name, _ in built.items()
         if name in oracles
-        and sorted(cols) != sorted(con.sql(oracles[name]).columns)
+    }
+    mismatches = {
+        name: (sorted(cols), oracle_cols[name])
+        for name, (_, cols) in built.items()
+        if name in oracle_cols and sorted(cols) != oracle_cols[name]
     }
     assert mismatches == {}, mismatches
 
