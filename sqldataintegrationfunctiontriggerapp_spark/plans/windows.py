@@ -696,6 +696,36 @@ def streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fused_stateful_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE streaming replay serving BOTH stateful parity queries (VERDICT
+    r05 "Next round" #3): fused_stats_throttle (streaming/stateful.py) runs
+    the 2-micro-batch staged replay once per session+sf_dir, and the
+    throttle / entity-stats parity queries each filter their `kind` rows
+    from the shared memory-sink table. Memoized through the same session
+    stage cache as the shingle/IVF stages, so whichever parity query the
+    sweep hits first pays the engine run; the second is a filter over an
+    already-materialized local table. Oracles remain independent -- each
+    query hash-checks its own slice against its own batch SQL."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.streaming import (
+        stateful as S,
+    )
+
+    def build():
+        return _staged_replay(
+            spark, sf_dir, sink="strm_fused_sink", output_mode="update",
+            transform=lambda stream: S.fused_stats_throttle(
+                stream.select("user_id", "ts", "value"),
+                key_col="user_id",
+                min_gap_seconds=6 * 3600,
+            ),
+        )
+
+    return session_stage(spark, sf_dir, "fused_stateful_sink", build)
+
+
 @register(
     "streaming_throttle_parity",
     oracle="""
@@ -742,18 +772,18 @@ def streaming_throttle_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor state store, Arrow-batched -- 100 M keys hold 100 M small rows
     sharded by key, no global coordination; the recursive oracle is the
     CORRECTNESS side only (its per-iteration scan-join is fine at sf0.01 and
-    is never part of the engine's plan)."""
-    from sqldataintegrationfunctiontriggerapp_spark.streaming import (
-        stateful as S,
-    )
+    is never part of the engine's plan).
 
-    return _staged_replay(
-        spark, sf_dir, sink="strm_throttle_sink", output_mode="append",
-        transform=lambda stream: S.throttle_by_key(
-            stream.select("user_id", "ts"),
-            key_col="user_id",
-            min_gap_seconds=6 * 3600,
-        ),
+    Since round 6 the replay is SHARED with streaming_entity_stats_parity
+    through the fused state pass (_fused_stateful_sink): this query selects
+    the kind='emit' rows, whose values are byte-identical to what
+    throttle_by_key emits (same sorted-batch gap walk, same state
+    transitions -- pinned by test_stateful_streaming.py's fused-vs-separate
+    equivalence test)."""
+    return (
+        _fused_stateful_sink(spark, sf_dir)
+        .where(F.col("kind") == "emit")
+        .select("key", "emitted_ts")
     )
 
 
@@ -794,17 +824,18 @@ def streaming_entity_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     coordination; the max_by reduction is over (keys x batches) rows,
     bounded by 2x key cardinality here and by stream lifetime in a real
     tail (where you'd read the state store's latest values instead of a
-    sink history)."""
-    from sqldataintegrationfunctiontriggerapp_spark.streaming import (
-        stateful as S,
-    )
+    sink history).
 
-    sink = _staged_replay(
-        spark, sf_dir, sink="strm_entity_sink", output_mode="update",
-        transform=lambda stream: S.running_key_stats(
-            stream.select("user_id", "ts", "value"),
-            key_col="user_id",
-        ),
+    Since round 6 the replay is SHARED with streaming_throttle_parity
+    through the fused state pass (_fused_stateful_sink): this query selects
+    the kind='stats' rows, whose values are byte-identical to what
+    running_key_stats emits (same commuting milli-unit accumulator --
+    pinned by test_stateful_streaming.py's fused-vs-separate equivalence
+    test)."""
+    sink = (
+        _fused_stateful_sink(spark, sf_dir)
+        .where(F.col("kind") == "stats")
+        .select("key", "n_events", "sum_value", "last_ts")
     )
     final = F.max_by(
         F.struct("n_events", "sum_value", "last_ts"), "n_events"

@@ -3,7 +3,7 @@ engine's arbitrary-keyed-state surface (the Spark construct the reference's
 durable entities map to when per-key logic can't be expressed as a built-in
 windowed aggregate).
 
-Two operators:
+Operators:
 
 - running_key_stats: per-key cumulative (count, sum, last-seen ts) carried
   across micro-batches -- the keyed-entity shape of EntityFunctions.cs:8-47
@@ -11,6 +11,8 @@ Two operators:
 - throttle_by_key: emit at most one row per key per throttle window -- the
   notification-throttling semantics of NotifyFunctions.cs:31-34 (6 h sleep
   after a notification suppresses repeats) as a data operator.
+- fused_stats_throttle: both of the above in one state pass, for the parity
+  harness (one engine replay feeds both driver hash rows).
 
 Scale: state lives in the executor-side state store, partitioned by key --
 a 100 TB/day stream with 100 M keys holds one small state row per key, and
@@ -30,6 +32,14 @@ RUNNING_OUT_SCHEMA = "key string, n_events bigint, sum_value double, last_ts tim
 RUNNING_STATE_SCHEMA = "n bigint, s_milli bigint, last_ts timestamp"
 
 THROTTLE_STATE_SCHEMA = "last_emit timestamp"
+
+FUSED_OUT_SCHEMA = (
+    "kind string, key string, n_events bigint, sum_value double, "
+    "last_ts timestamp, emitted_ts timestamp"
+)
+FUSED_STATE_SCHEMA = (
+    "n bigint, s_milli bigint, last_ts timestamp, last_emit timestamp"
+)
 
 
 def running_key_stats(
@@ -126,5 +136,90 @@ def throttle_by_key(
         outputStructType="key string, emitted_ts timestamp",
         stateStructType=THROTTLE_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def fused_stats_throttle(
+    grouped_stream: DataFrame,
+    key_col: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    min_gap_seconds: int = 6 * 3600,
+) -> DataFrame:
+    """running_key_stats AND throttle_by_key in ONE applyInPandasWithState
+    pass -- the parity-harness fusion (VERDICT r05 "Next round" #3): the two
+    stateful parity queries used to pay one full streaming-engine run each
+    (start + 2 micro-batch commits + stop, ~2.5 s apiece against a small
+    fixture) for operators that read the SAME keyed stream. Fusing the state
+    walks shares one replay; each parity query filters its `kind` rows from
+    the shared sink, and the oracles stay fully independent -- the same
+    shared-scan pattern as the dedup families' shingle stage.
+
+    Output rows per key per batch: one kind='stats' row (cumulative count /
+    milli-unit sum / last ts, same commuting-integer determinism argument as
+    running_key_stats) plus zero or more kind='emit' rows (the order-
+    sensitive 6-hour gap machine of throttle_by_key, same sorted-batch
+    walk). State is the union of both operators' state (4 small scalars per
+    key, executor state store, Arrow-batched).
+
+    The deployment operators above stay separate -- a production stream
+    needing only one of the semantics should not pay the other's state;
+    this fusion exists because the HARNESS wants both from one replay."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        if state.exists:
+            n, s_milli, last, last_emit = state.get
+        else:
+            n, s_milli, last, last_emit = 0, 0, None, None
+        gap = pd.Timedelta(seconds=min_gap_seconds)
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True)
+            if chunks
+            else pd.DataFrame({ts_col: [], value_col: []})
+        )
+        # stats side (order-insensitive, vectorized)
+        n += len(batch)
+        s_milli += int(
+            np.floor(batch[value_col].fillna(0.0).to_numpy() * 1000.0)
+            .astype("int64")
+            .sum()
+        )
+        if len(batch):
+            mx = batch[ts_col].max()
+            last = mx if last is None or mx > last else last
+        # throttle side (order-sensitive: sorted concatenated batch, same
+        # rationale as throttle_by_key)
+        out_keys, out_ts = [], []
+        for ts in sorted(batch[ts_col]):
+            if last_emit is None or ts - last_emit >= gap:
+                out_keys.append(str(key[0]))
+                out_ts.append(ts)
+                last_emit = ts
+        state.update((n, s_milli, last, last_emit))
+        # one frame, stats row first then emit rows (concat of an all-NA
+        # frame trips a pandas FutureWarning and is needless work)
+        k = len(out_keys)
+        yield pd.DataFrame(
+            {
+                "kind": ["stats"] + ["emit"] * k,
+                "key": [str(key[0])] * (1 + k),
+                "n_events": pd.array([n] + [None] * k, dtype="Int64"),
+                "sum_value": [s_milli / 1000.0] + [None] * k,
+                "last_ts": [last] + [pd.NaT] * k,
+                "emitted_ts": [pd.NaT] + out_ts,
+            }
+        )
+
+    return grouped_stream.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=FUSED_OUT_SCHEMA,
+        stateStructType=FUSED_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.streaming.stateful import (
+    fused_stats_throttle,
     running_key_stats,
     throttle_by_key,
 )
@@ -105,3 +106,48 @@ def test_throttle_by_key_enforces_min_gap(spark, typed_stream_dir):
     # same rule drops nothing (the set is already maximal-greedy)
     total = spark.read.schema(schema).parquet(path).count()
     assert len(emitted) <= total
+
+
+def test_fused_equals_separate_operators(spark, typed_stream_dir):
+    """The parity-harness fusion (fused_stats_throttle) must emit exactly
+    the union of what the two deployment operators emit over the same
+    replay -- this equivalence is what lets the two driver hash rows share
+    one engine run (plans/windows.py _fused_stateful_sink) while citing the
+    separate operators' semantics."""
+    path, schema = typed_stream_dir
+
+    def stream():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+
+    run_to_memory(
+        fused_stats_throttle(stream(), "user_id", min_gap_seconds=3600),
+        "fused_out", "update",
+    )
+    run_to_memory(
+        running_key_stats(stream(), "user_id"), "rks_sep", "update"
+    )
+    run_to_memory(
+        throttle_by_key(stream(), "user_id", min_gap_seconds=3600),
+        "thr_sep", "append",
+    )
+
+    fused_stats = spark.sql(
+        "SELECT key, n_events, sum_value, last_ts FROM fused_out"
+        " WHERE kind = 'stats'"
+    )
+    sep_stats = spark.table("rks_sep")
+    assert sorted(map(tuple, fused_stats.collect())) == sorted(
+        map(tuple, sep_stats.collect())
+    )
+
+    fused_emit = spark.sql(
+        "SELECT key, emitted_ts FROM fused_out WHERE kind = 'emit'"
+    )
+    sep_emit = spark.table("thr_sep")
+    assert sorted(map(tuple, fused_emit.collect())) == sorted(
+        map(tuple, sep_emit.collect())
+    )
