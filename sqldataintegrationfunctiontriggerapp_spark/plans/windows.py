@@ -846,3 +846,248 @@ def streaming_entity_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("f.sum_value").alias("sum_value"),
         F.col("f.last_ts").alias("last_ts"),
     )
+
+
+@register(
+    "streaming_pipeline_parity",
+    oracle="""
+    SELECT 'Update' AS operation, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_milli,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPLOYMENT-PATH parity (VERDICT r05 "Next round" #2): the change
+    batch flows through `streaming/pipeline.py`'s OWN foreachBatch wrapper
+    -- the code a user deploys, not a test harness re-implementation --
+    against a real local HTTP receiver, with an injected outage, and the
+    delivered payloads are hash-compared against a batch oracle.
+
+    What one run exercises, in order (reference cites per step):
+      1. The staged 2-file events replay (shared _staged_events_dir) tagged
+         with the SqlChange operation (sources/changefeed.py with_operation,
+         SqlTriggerFunctions.cs:34) streams into
+         `ChangePipeline.foreach_batch` (ExecuteTriggerHelper.cs:28-158).
+      2. Allowlist resolution unions the CONFIG csv ('Event_Type,Value')
+         with the CLIENT entity-state csv ('USER_ID') case-insensitively
+         (A2/A3/A4, ExecuteTriggerHelper.cs:49-86) -- ts/event_id/props are
+         projected away, which the oracle mirrors by aggregating only
+         (user_id, event_type, value).
+      3. Micro-batch 1's first POST hits an injected 503 outage; the REAL
+         HttpSink classifies it retryable (A8, HttpPostAction.cs:74-83),
+         runs its A15 retry loop (RetryFunctions.cs:41-48; the backoff
+         sleeper is a no-op so the suite doesn't idle -- the loop itself is
+         asserted via the receiver's rejected-request count, the schedule
+         values by tests/test_pipeline.py), exhausts max_attempts=2, and
+         raises RetryableSinkError.
+      4. process_batch records LastError in the state store (A10,
+         EntityFunctions.cs:17-21) and re-raises, so the streaming query
+         FAILS and the checkpoint does NOT advance (A25,
+         ExecuteTriggerHelper.cs:156-157).
+      5. The controller waits the A12 capped-linear interval
+         (settings.backoff_minutes, RetryFunctions.cs:30-33; recorded, not
+         slept) and RESTARTS the query from the same checkpoint: micro-batch
+         1 REDELIVERS in full (nothing was durably posted -- the outage hit
+         the first chunk), then micro-batch 2 delivers, both against the now
+         healthy receiver.
+      6. The receiver's accepted payloads are parsed and aggregated per
+         (operation, event_type): row count, floor-milli value sum
+         (the registry's commuting-integer determinism idiom), distinct
+         users. Hash-equality with the batch GROUP BY proves EXACTLY-ONCE
+         accounting end to end: a lost chunk, a double-posted chunk, or a
+         mis-projected column all break the hash.
+
+    Harness concessions (local-mode, same class as _staged_replay, all
+    inside this function): the receiver is an in-process
+    ThreadingHTTPServer on 127.0.0.1 (the reference's remote endpoint,
+    HttpPostAction.cs:39); the state store and checkpoint live in driver
+    tmp dirs; the sink's A15 sleeper is a no-op and the A12 wait is
+    recorded instead of slept (the suite doesn't idle 10 s + 6 min); and the
+    single-partition guard below pins the outage to the batch's first
+    request so redelivery re-posts a fully-unposted batch (at scale a
+    partially-posted batch redelivers at-least-once instead -- that IS the
+    reference's contract, but it would make the delivered-set
+    nondeterministic, which a hash row cannot tolerate). Driver-side JSON
+    parse of the delivered payloads is bounded by the fixture size; the
+    deployment path itself posts executor-side (post_partitions) and
+    collects nothing."""
+    import http.server
+    import json as jsonmod
+    import math
+    import shutil
+    import tempfile
+    import threading
+
+    from sqldataintegrationfunctiontriggerapp_spark.config import EngineSettings
+    from sqldataintegrationfunctiontriggerapp_spark.sinks.http_sink import (
+        HttpSink,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.sources.changefeed import (
+        with_operation,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.state import (
+        LAST_ERROR,
+        StateStore,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.streaming.pipeline import (
+        ChangePipeline,
+    )
+
+    src_dir, schema = _staged_events_dir(spark, sf_dir)
+
+    class _Receiver(http.server.BaseHTTPRequestHandler):
+        lock = threading.Lock()
+        fail_remaining = 0
+        rejected = 0
+        delivered: list[bytes] = []
+
+        def do_POST(self):  # noqa: N802
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with _Receiver.lock:
+                if _Receiver.fail_remaining > 0:
+                    _Receiver.fail_remaining -= 1
+                    _Receiver.rejected += 1
+                    ok = False
+                else:
+                    _Receiver.delivered.append(body)
+                    ok = True
+            self.send_response(200 if ok else 503)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(b"ok" if ok else b"injected outage")
+
+        def log_message(self, *a):  # silence request logging
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Receiver)
+    srv_thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    srv_thread.start()
+
+    a12_waits: list[int] = []
+    settings = EngineSettings(
+        http_base_url=f"http://127.0.0.1:{srv.server_address[1]}",
+        allowed_columns={"events": "Event_Type,Value"},
+    )
+    state_dir = tempfile.mkdtemp(prefix="pipe_parity_state_", dir=_fast_tmp())
+    ckpt_dir = tempfile.mkdtemp(prefix="pipe_parity_ckpt_", dir=_fast_tmp())
+    try:
+        st = StateStore(spark, state_dir)
+        st.save_allowed_columns("events", "USER_ID")
+        # the sleeper (A15 backoff between attempts) runs EXECUTOR-side
+        # inside post_partitions' mapPartitions task, so a driver-side
+        # recorder never sees it -- inject a no-op so the suite doesn't
+        # sleep 10 s, and assert the retry loop via the receiver's rejected
+        # count instead (the schedule VALUES are pinned by
+        # tests/test_pipeline.py::test_backoff_schedule_first_10s)
+        sink = HttpSink(
+            base_url=settings.http_base_url,
+            max_attempts=2,
+            sleeper=lambda _s: None,
+        )
+        pipe = ChangePipeline(settings=settings, state=st, sink=sink)
+        inner = pipe.foreach_batch("events")
+
+        def fb(batch_df: DataFrame, epoch_id: int) -> None:
+            # determinism guard (see docstring): the staged half-files are
+            # far below maxPartitionBytes, so each micro-batch is one
+            # partition and the injected outage hits its FIRST request
+            n_parts = batch_df.rdd.getNumPartitions()
+            if n_parts != 1:
+                raise RuntimeError(
+                    f"staged micro-batch has {n_parts} partitions; the"
+                    " injected-outage determinism argument needs exactly 1"
+                )
+            inner(batch_df, epoch_id)
+
+        def run_once() -> Exception | None:
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            q = (
+                with_operation(stream)
+                .writeStream.foreachBatch(fb)
+                .option("checkpointLocation", ckpt_dir)
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                q.awaitTermination()
+                return None
+            except Exception as e:  # StreamingQueryException wraps the sink error
+                return e
+            finally:
+                q.stop()
+
+        # ---- run 1: outage -> classified failure, LastError, no commit
+        _Receiver.fail_remaining = sink.max_attempts
+        err = run_once()
+        if err is None:
+            raise RuntimeError("injected outage did not fail the micro-batch")
+        if pipe.last_outcome != {"table": "events", "ok": False,
+                                 "retryable": True}:
+            raise RuntimeError(
+                f"A8 classification wrong: {pipe.last_outcome!r}"
+            )
+        last_err = st.get(LAST_ERROR, "events")
+        if not last_err or "status=503" not in last_err:
+            raise RuntimeError(f"A10 LastError not recorded: {last_err!r}")
+        with _Receiver.lock:
+            rejected = _Receiver.rejected
+        if rejected != sink.max_attempts:
+            raise RuntimeError(
+                f"A15 retry loop made {rejected} attempts against the"
+                f" outage, expected exactly max_attempts={sink.max_attempts}"
+            )
+
+        # ---- A12 wait between orchestration retries (recorded, not slept)
+        a12_waits.append(settings.backoff_minutes(0))
+        if a12_waits != [settings.retry_interval_minutes_first]:
+            raise RuntimeError(f"A12 backoff wrong: {a12_waits!r}")
+
+        # ---- run 2: healthy receiver -> redelivery of batch 1, then batch 2
+        err = run_once()
+        if err is not None:
+            raise RuntimeError(f"recovery run failed: {err}")
+        if not pipe.last_outcome.get("ok"):
+            raise RuntimeError(f"recovery outcome: {pipe.last_outcome!r}")
+        with _Receiver.lock:
+            delivered = list(_Receiver.delivered)
+        if not delivered:
+            raise RuntimeError("receiver accepted no payloads")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        srv_thread.join(timeout=10)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    # aggregate the delivered envelope items exactly as the oracle does
+    counts: dict[tuple, list] = {}
+    users: dict[tuple, set] = {}
+    for body in delivered:
+        for change in jsonmod.loads(body):
+            item = change["item"]
+            key = (change["operation"], item.get("event_type"))
+            acc = counts.setdefault(key, [0, 0])
+            acc[0] += 1
+            v = item.get("value")
+            if v is not None:  # to_json omits null fields; SUM skips NULLs
+                acc[1] += math.floor(v * 1000)
+            u = item.get("user_id")
+            if u is not None:  # COUNT(DISTINCT ...) skips NULLs
+                users.setdefault(key, set()).add(u)
+    rows = [
+        (op, et, n, s, len(users.get((op, et), ())))
+        for (op, et), (n, s) in sorted(counts.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "operation string, event_type string, n_rows bigint,"
+        " sum_milli bigint, n_users bigint",
+    )

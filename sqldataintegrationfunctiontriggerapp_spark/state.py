@@ -24,7 +24,7 @@ import hashlib
 import os
 from datetime import datetime, timezone
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -47,6 +47,17 @@ _PART_SCHEMA = T.StructType(
 )
 
 N_BUCKETS = 16
+
+
+def _local_df(spark: SparkSession, rows: list, schema: T.StructType) -> DataFrame:
+    """createDataFrame over a SINGLE-slice RDD. The default createDataFrame
+    path parallelizes local rows into defaultParallelism slices; any
+    single-task consumer (coalesce(1) write, collect of a one-row frame)
+    then pays one sequential Python-worker roundtrip PER SLICE -- measured
+    ~5 s for a ONE-ROW frame at local[32]. One slice = one roundtrip, and
+    state frames are tiny by construction."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
 
 LAST_ERROR = "LastError"          # EntityFunctions.cs:8
 ALLOWED_COLUMNS = "AllowedColumns"  # EntityFunctions.cs:32
@@ -71,12 +82,12 @@ class StateStore:
 
     def _read_partition(self, part_dir: str) -> DataFrame:
         if not os.path.isdir(part_dir):
-            return self.spark.createDataFrame([], _PART_SCHEMA)
+            return _local_df(self.spark, [], _PART_SCHEMA)
         return self.spark.read.schema(_PART_SCHEMA).parquet(part_dir)
 
     def _read(self) -> DataFrame:
         if not os.path.isdir(self.path) or not os.listdir(self.path):
-            return self.spark.createDataFrame([], STATE_SCHEMA)
+            return _local_df(self.spark, [], STATE_SCHEMA)
         df = (
             self.spark.read.schema(_PART_SCHEMA)
             .option("basePath", self.path)
@@ -98,20 +109,25 @@ class StateStore:
         tests/test_state_retry.py)."""
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         part_dir = self._partition_dir(entity_type, key)
-        new = self.spark.createDataFrame([(key, value, now)], _PART_SCHEMA)
-        merged = self._read_partition(part_dir).unionByName(new)
-        w = Window.partitionBy("key").orderBy(F.desc("updated_at"))
-        latest = (
-            merged.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        # The partition is tiny (one row per table in this bucket): collect +
-        # rewrite is bounded, and decoupling read from overwrite avoids
-        # reading the files being replaced.
-        rows = latest.collect()
-        out = self.spark.createDataFrame(rows, _PART_SCHEMA)
-        out.coalesce(1).write.mode("overwrite").parquet(part_dir)
+        # The partition is tiny BY CONSTRUCTION (one row per table in this
+        # bucket), so the last-writer-wins merge happens driver-side: one
+        # bounded collect + one single-file overwrite. The previous shape
+        # (unionByName + row_number window) planned a full shuffle --
+        # measured at ~5 s per upsert under spark.sql.shuffle.partitions=32
+        # for a ONE-ROW merge, which dominated the pipeline-parity run. At
+        # scale this method's contract is unchanged: cost is O(keys in this
+        # bucket), never O(state); a Delta deployment swaps the body for
+        # MERGE INTO on the same (entity_type, bucket) partition.
+        latest: dict[str, tuple] = {}
+        for r in sorted(
+            self._read_partition(part_dir).collect(),
+            key=lambda r: r["updated_at"],
+        ):
+            latest[r["key"]] = (r["value"], r["updated_at"])
+        latest[key] = (value, now)
+        rows = [(k, v, ts) for k, (v, ts) in latest.items()]
+        out = _local_df(self.spark, rows, _PART_SCHEMA)
+        out.write.mode("overwrite").parquet(part_dir)
 
     def get(self, entity_type: str, key: str) -> str | None:
         """Keyed point lookup (ClientAllowedColumnsFunction.cs:47-56): reads

@@ -54,6 +54,7 @@ _EXECUTES_ON_BUILD = {
     "streaming_dedup_parity",
     "streaming_throttle_parity",
     "streaming_entity_stats_parity",
+    "streaming_pipeline_parity",
 }
 
 
