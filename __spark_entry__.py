@@ -26,83 +26,59 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sweep priority: the driver checks queries in this dict's insertion order
-# and has a finite per-round budget (~50/round). Round-5 order (VERDICT r04
-# "Next round" #1): first the queries that are new or whose code/oracle
-# changed this round (no valid prior evidence), then the 42 queries whose
-# latest green row is round 2 (the stale-evidence rotation: no query's
-# evidence should age past two rounds), then the round-3 tail. The
-# round-4-evidenced queries (freshest) follow in registry order. Every
-# entry is still registered regardless of budget.
+# and has a finite per-round budget (~50/round). Round-6 order (VERDICT r05
+# "Next round" #1): first the queries that are new or whose code changed
+# this round (no valid prior evidence -- changed code ALWAYS jumps to the
+# head), then the 7 queries whose latest green row is round 2 (three rounds
+# stale -- the rotation invariant says they lead), then the 44 round-3-
+# evidenced queries. Every entry is still registered regardless of budget.
 _SWEEP_PRIORITY = [
-    # new/changed this round (no valid prior evidence -- changed code
-    # ALWAYS jumps to the head, per the r4 verdict's rotation rule): the
-    # four streaming parity queries (throttle and entity-stats parity are
-    # NEW, and all four share the rebuilt TIME-SPLIT staging), the
-    # feature-extract query upgraded from rows-only to an exact oracle,
-    # the NEW CMS heavy-hitters sketch, the DQ gate, k-means, the two
-    # sketch queries upgraded to accuracy-contract oracles, and the dedup
-    # family rebuilt on the shared shingle stage
+    # new/changed this round: streaming_pipeline_parity (NEW -- the
+    # deployment-path foreachBatch parity), quantile_sketch_merge (NEW --
+    # sixth sketch family, per-partition histogram merge), and the two
+    # stateful parities whose engine path changed (now share ONE fused
+    # applyInPandasWithState replay, plans/windows.py _fused_stateful_sink)
+    "streaming_pipeline_parity", "quantile_sketch_merge",
     "streaming_throttle_parity", "streaming_entity_stats_parity",
-    "streaming_dedup_parity", "streaming_windowed_counts",
-    "multimodal_feature_extract", "cms_heavy_hitters",
-    "bloom_filter_probe",
-    "dq_constraint_report", "kmeans_clusters",
-    "approx_count_distinct", "percentile_approx",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "minhash_jaccard_estimate", "dedup_components",
-    # rotation re-verification: the 42 queries whose latest green evidence
-    # is round 2 (VERDICT r04 "What's missing" #1), heaviest families
-    # first. 15 changed/new + 42 stale = 57 candidates for a hard 50-entry
-    # budget; changed code outranks stale-but-unchanged code, so the seven
-    # overflow slots (51-57) go to the stale queries with the freshest
-    # indirect evidence: time_window_tumbling (its oracle SQL is byte-for-
-    # byte the oracle streaming_windowed_counts re-verifies in the head),
-    # window_rank (pure rank/dense_rank/ntile window, plan-shape pinned,
-    # untouched since r02), window_lag_lead (same single-window-shuffle
-    # family as window_running_sum, which stays in the head), set_intersect
-    # (sibling of set_union two lines up in the same file, re-verified in
-    # the head this round), scalar_string_funcs, embedding_norms, and
-    # timestamp_arithmetic (all stateless single-scan projections, zero
-    # shuffles, the lowest-risk shape in the registry). Their direct rows
-    # go one round staler; next round's rotation leads with them.
-    "sessionization", "q5_local_supplier_volume",
-    "q7_nation_volume_shipping", "q10_returned_items", "scd2_history",
-    "cdc_merge_upsert", "changefeed_watermark", "asof_join_prior_purchase",
-    "asof_join_cogroup_pandas", "theta_range_join", "text_bpe_token_count",
-    "text_quality_score", "text_lang_id", "text_fingerprint",
-    "term_frequencies", "text_pii_scrub", "text_token_stats",
-    "json_extract", "from_json_roundtrip", "retry_classification",
-    "retry_backoff", "cdc_latest_state", "purge_retention",
-    "join_full_outer", "set_union", "pivot_status",
-    "range_batching",
-    "monthly_order_trend", "train_val_split", "quota_per_source",
-    "corpus_shards", "window_running_sum",
-    "topk_per_group",
-    "time_window_sliding", "interval_join_events",
-    # positions 51-57: the seven overflow stale entries (see block comment)
+    # the 7 three-round-stale entries (latest green = r02; they were the
+    # documented budget-overflow of the r05 sweep and MUST clear this round)
     "time_window_tumbling", "window_rank", "window_lag_lead",
     "set_intersect", "scalar_string_funcs", "embedding_norms",
     "timestamp_arithmetic",
-    # round-3-evidenced tail (budget permitting), registry families
-    # grouped; the round-4-evidenced queries (freshest, e.g.
-    # tfidf_top_terms, contamination_check, text_repetition) follow in
-    # registry order after this list
-    "dedup_embedding_cosine", "dedup_duplicate_rate", "multimodal_chunk_energy",
+    # the 44 round-3-evidenced queries. 4 changed/new + 7 + 44 = 55
+    # candidates for a hard 50-entry budget; changed code and three-round-
+    # stale entries outrank two-round-stale ones, so the five overflow
+    # slots (51-55) go to the r03 queries with the strongest sibling/
+    # indirect evidence, each justified below. TPC-H tail and the heavier
+    # behavioral/dedup families first:
     "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
     "q9_product_profit", "q12_priority_lines", "q14_promo_revenue",
     "q16_part_supplier_variety", "q17_small_quantity_revenue",
     "q19_disjunctive_revenue", "q21_waiting_supplier", "q22_idle_customers",
-    "argmax_per_group", "bursty_users", "daily_active_users",
-    "doc_chunk_spans", "doc_length_histogram", "embedding_centroids",
-    "embedding_quantize_error", "event_transition_matrix",
-    "event_value_ntiles", "funnel_analysis", "gap_fill_daily_counts",
-    "histogram_value_buckets", "interval_join_left_events", "join_anti",
-    "map_agg_event_counts", "mixture_sampling_weights", "null_safe_join",
-    "orders_pareto_share", "pack_documents_greedy", "profile_events_table",
-    "quantile_bands_per_type", "retention_cohorts", "robust_outliers_mad",
-    "set_except", "sliding_dedup_window", "source_overlap_matrix",
-    "span_dedup_rate", "stratified_sample", "window_percent_rank",
-    "window_time_range_avg",
+    "dedup_embedding_cosine", "dedup_duplicate_rate", "multimodal_chunk_energy",
+    "funnel_analysis", "retention_cohorts", "bursty_users",
+    "daily_active_users", "event_transition_matrix", "event_value_ntiles",
+    "argmax_per_group", "gap_fill_daily_counts", "histogram_value_buckets",
+    "interval_join_left_events", "map_agg_event_counts",
+    "mixture_sampling_weights", "orders_pareto_share",
+    "pack_documents_greedy", "profile_events_table",
+    "quantile_bands_per_type", "robust_outliers_mad", "sliding_dedup_window",
+    "source_overlap_matrix", "span_dedup_rate", "stratified_sample",
+    "window_time_range_avg", "doc_chunk_spans", "embedding_centroids",
+    "embedding_quantize_error",
+    # positions 51-55: the five overflow r03 entries. Justifications --
+    # window_percent_rank: same single-window-shuffle family as window_rank
+    # (position 6 this sweep, same file, untouched since r03);
+    # set_except: sibling of set_intersect (this sweep's head) and
+    # set_union (r05 green), registered two lines apart;
+    # join_anti: single-join plan-shape sibling of join_full_outer (r05
+    # green) with a plan-shape test pinning the anti join;
+    # null_safe_join: stateless single equi-join on <=> , the lowest-risk
+    # join shape, plan-pinned;
+    # doc_length_histogram: stateless single-scan projection+groupBy,
+    # zero joins, same shape as histogram_value_buckets (position ~33).
+    "window_percent_rank", "set_except", "join_anti", "null_safe_join",
+    "doc_length_histogram",
 ]
 
 

@@ -775,3 +775,165 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("is_member") & ~F.col("bloom_pass")).cast("int")) == 0
         ).alias("no_false_negatives"),
     )
+
+
+# --------------------------------------------------------------------------
+# Mergeable quantile sketch (per-partition histogram merge)
+# --------------------------------------------------------------------------
+
+_QSK_B = 128  # buckets per sketch; the one knob -- oracle derives from it too
+
+
+@register(
+    "quantile_sketch_merge",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM lineitem
+    ),
+    bkt AS (
+        SELECT LEAST({_QSK_B - 1}, GREATEST(0,
+            CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / {_QSK_B}.0))
+                 AS INT))) AS idx
+        FROM lineitem, bounds
+    ),
+    hist AS (SELECT idx, COUNT(*) AS cnt FROM bkt GROUP BY idx),
+    cums AS (
+        SELECT idx, cnt,
+               SUM(cnt) OVER (ORDER BY idx) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM hist
+    ),
+    scored AS (
+        SELECT c.*,
+               b.lo + (c.idx + 1) * ((b.hi - b.lo) / {_QSK_B}.0) AS est
+        FROM cums c, bounds b
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN est END) AS est_p50,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN cum END) AS BIGINT)
+               AS n_le_p50,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN est END) AS est_p90,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN cum END) AS BIGINT)
+               AS n_le_p90,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN est END) AS est_p99,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN cum END) AS BIGINT)
+               AS n_le_p99
+    FROM scored
+    """,
+)
+def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quantiles via EXPLICIT per-partition sketch merge -- the
+    sixth sketch family (VERDICT r05 "Next round" #5) and the mergeable-
+    summary shape `percentile_approx` evidences only implicitly: every
+    partition builds a FIXED-SIZE summary independently, the summaries
+    merge ASSOCIATIVELY AND COMMUTATIVELY, and quantiles are read off the
+    merged summary. That build/merge/query contract is exactly how KLL /
+    t-digest / DataSketches quantiles run on a cluster; here the summary is
+    a fixed-domain equi-width histogram (one array<long> of B=128 counts),
+    whose merge -- elementwise add -- is deterministic under ANY arrival
+    order, which is what makes the sketch itself hash-checkable (random-
+    sampling sketches like true KLL cannot be, which is why
+    percentile_approx carries an accuracy-contract oracle instead).
+
+    Plan shape, stage by stage:
+      1. one 1-row bounds aggregate (lo, hi) broadcast into the scan (the
+         allowlisted 1-row BroadcastNestedLoopJoin idiom);
+      2. per-partition sketches: groupBy(spark_partition_id()) with one
+         wide aggregate of B conditional sums -> ONE array row per
+         partition (the serialized sketch a real cluster would ship);
+         partial aggregation makes this map-side -- the exchange carries
+         #partitions rows x (B longs), KBs at any data scale;
+      3. associative merge: collect_list of the partition sketches folded
+         with aggregate()/zip_with -- bounded by the partition count (a
+         1000-executor job merges 1000 sketches = 1 MB), never by rows;
+      4. quantile read-off: posexplode to B rows, one ordered window for
+         the cumulative counts (B rows, single partition -- metadata, not
+         data), and for each p the first bucket whose cumulative count
+         reaches ceil(p*n) via min-of-struct.
+
+    The estimate's guarantee is structural: est_p is the tightest bucket
+    upper edge with >= ceil(p*n) values at or below it, so the true p-th
+    value lies within one bucket width below est_p. Both engines compute
+    identical doubles (same lo/hi, same IEEE bucket arithmetic), so the
+    oracle mirrors the FULL result exactly -- estimates and cumulative
+    counts, no tolerance needed. Bucket intermediates stay integral (cnt,
+    cum are longs; n fits a double exactly far beyond any real row count),
+    so no DECIMAL routing is required."""
+    from pyspark.sql import Window
+
+    B = _QSK_B
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(B))
+    idx = F.least(
+        F.lit(B - 1),
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("int"),
+        ),
+    )
+    tagged = (
+        li.select("l_extendedprice")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.spark_partition_id().alias("pid"),
+            idx.alias("idx"),
+            "lo",
+            "hi",
+        )
+    )
+    per_part = tagged.groupBy("pid").agg(
+        F.array(
+            *[F.sum(F.when(F.col("idx") == b, 1).otherwise(0)) for b in range(B)]
+        ).alias("sketch"),
+        F.first("lo").alias("lo"),  # constant on every row
+        F.first("hi").alias("hi"),
+    )
+    merged = per_part.agg(
+        F.aggregate(
+            F.collect_list("sketch"),
+            F.array(*[F.lit(0).cast("long")] * B),
+            lambda acc, s: F.zip_with(acc, s, lambda a, b: a + b),
+        ).alias("hist"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+    ex = merged.select("lo", "hi", F.posexplode("hist").alias("idx", "cnt"))
+    w_cum = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cur = (
+        ex.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn(
+            "est",
+            F.col("lo") + (F.col("idx") + 1) * ((F.col("hi") - F.col("lo")) / F.lit(float(B))),
+        )
+    )
+
+    def _pick(p: float):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        return F.min(
+            F.when(F.col("cum") >= target, F.struct("est", "cum"))
+        )
+
+    sel = cur.agg(
+        F.max("n").alias("n_total"),
+        _pick(0.5).alias("q50"),
+        _pick(0.9).alias("q90"),
+        _pick(0.99).alias("q99"),
+    )
+    return sel.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("q50.est").alias("est_p50"),
+        F.col("q50.cum").cast("long").alias("n_le_p50"),
+        F.col("q90.est").alias("est_p90"),
+        F.col("q90.cum").cast("long").alias("n_le_p90"),
+        F.col("q99.est").alias("est_p99"),
+        F.col("q99.cum").cast("long").alias("n_le_p99"),
+    )

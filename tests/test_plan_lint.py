@@ -35,6 +35,7 @@ _BNLJ_ALLOWED = {
     "mixture_sampling_weights":  "1-row: weight normalizer",
     "gap_fill_daily_counts":     "1-row: date-spine min/max bounds",
     "daily_active_users":        "1-row: date-spine min/max bounds",
+    "quantile_sketch_merge":     "1-row: histogram domain bounds (lo/hi)",
 }
 
 
