@@ -185,3 +185,33 @@ def test_session_windows_and_streaming_dedup(spark, events_stream_dir):
     finally:
         q.stop()
     assert dedup_within_watermark(dup, ["event_id"]).count() == df.count()
+
+
+def test_pipeline_parity_query_delivers_exactly_once(spark, sf_dir):
+    """Smoke the registered deployment-path parity (plans/windows.py
+    streaming_pipeline_parity): the function itself raises on any contract
+    violation (no injected failure, wrong classification, missing
+    LastError, wrong retry count, failed recovery), so executing it IS the
+    assertion; here we additionally pin that the delivered aggregate equals
+    a direct batch computation of the same projection."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans import QUERIES
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+
+    got = {
+        (r["operation"], r["event_type"]): (r["n_rows"], r["sum_milli"], r["n_users"])
+        for r in QUERIES["streaming_pipeline_parity"](spark, sf_dir).collect()
+    }
+    exp = {
+        ("Update", r["event_type"]): (r["n"], r["s"], r["u"])
+        for r in (
+            load_table(spark, sf_dir, "events")
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 1000).cast("long")).alias("s"),
+                F.countDistinct("user_id").alias("u"),
+            )
+            .collect()
+        )
+    }
+    assert got == exp
