@@ -37,3 +37,55 @@ def test_declared_rows_only_set_is_intentional():
     # features are byte-deterministic and the pure-ASCII fixture lets
     # DuckDB mirror bytes through ascii().)
     assert rows_only == set()
+
+
+def test_quantile_sketch_invariant_under_scan_partitioning(spark, sf_dir):
+    """The mergeable-histogram claim (plans/advanced.py
+    quantile_sketch_merge): per-partition sketches merged with commuting
+    integer adds must yield the SAME result however the scan is split.
+    Shrinking maxPartitionBytes multiplies the input partitions (different
+    pid layout, different per-partition sketches), so equality here is the
+    associativity/commutativity evidence for the merge."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans import QUERIES
+
+    fn = QUERIES["quantile_sketch_merge"]
+    base = fn(spark, sf_dir).collect()
+    conf = "spark.sql.files.maxPartitionBytes"
+    prev = spark.conf.get(conf)
+    try:
+        spark.conf.set(conf, str(64 * 1024))
+        alt = fn(spark, sf_dir).collect()
+    finally:
+        spark.conf.set(conf, prev)
+    assert base == alt
+
+
+def test_quantile_sketch_matches_numpy_reference(spark, sf_dir):
+    """Independent reference: replicate the fixed-domain histogram +
+    cumulative read-off in numpy from the raw parquet and compare every
+    output cell (the python-reference discipline of the minhash tests)."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans import QUERIES
+
+    x = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])[
+        "l_extendedprice"
+    ].to_numpy()
+    lo, hi = float(x.min()), float(x.max())
+    B = 128
+    w = (hi - lo) / float(B)
+    idx = np.clip(np.floor((x - lo) / w).astype("int64"), 0, B - 1)
+    hist = np.bincount(idx, minlength=B)
+    cum = hist.cumsum()
+    n = int(cum[-1])
+    exp = {"n_total": n}
+    for p, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        target = math.ceil(p * n)
+        i = int(np.argmax(cum >= target))
+        exp[f"est_{tag}"] = lo + (i + 1) * w
+        exp[f"n_le_{tag}"] = int(cum[i])
+    (row,) = QUERIES["quantile_sketch_merge"](spark, sf_dir).collect()
+    assert row.asDict() == exp
