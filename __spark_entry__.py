@@ -95,7 +95,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for EVERY registered query -- zero rows-only
     entries. The deterministic-approximate ANN queries, the sketch
-    accuracy-contract queries, the four streaming parity queries (batch
+    accuracy-contract queries, the five streaming parity queries (batch
     oracles the engine's multi-batch replay must hash-equal), and the
     byte-deterministic multimodal feature stub (mirrored through ascii()
     on the pure-ASCII fixture) all carry exact oracles."""

@@ -860,7 +860,17 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors the FULL result exactly -- estimates and cumulative
     counts, no tolerance needed. Bucket intermediates stay integral (cnt,
     cum are longs; n fits a double exactly far beyond any real row count),
-    so no DECIMAL routing is required."""
+    so no DECIMAL routing is required.
+
+    PRECONDITION (documented, like _bloom_bitpos's non-null keys): the
+    value column must be non-empty with lo < hi. An empty input returns an
+    all-zero sketch row where the oracle returns NULLs; a constant column
+    makes width 0, where DuckDB's (x-lo)/0 arithmetic errors while Spark's
+    null-skipping greatest() routes rows to bucket 0. Guarding loudly would
+    require executing the bounds aggregate at BUILD time (this query is
+    otherwise fully lazy, unlike the staging helpers that do validate
+    eagerly); TPC-H l_extendedprice spans a wide positive range at every
+    SF, so the precondition holds for every fixture."""
     from pyspark.sql import Window
 
     B = _QSK_B

@@ -88,7 +88,7 @@ def test_oracle_columns_match_query_columns(built, sf_dir):
     # (l_returnflag, "sum(l_quantity)") hash-mismatches even with identical
     # values. Column names are knowable at BIND time on both sides -- Spark
     # analysis above, DuckDB relation binding here -- so the whole registry
-    # is checked without executing anything. The four streaming parity
+    # is checked without executing anything. The five streaming parity
     # queries (excluded from the build pass: their fn() runs the engine)
     # get this for free from their driver hash rows, which compare values
     # and hence names.
