@@ -418,3 +418,25 @@ def test_bloom_probe_fact_side_is_shuffle_free_map(spark, sf_dir):
     # constructor's bounded collect and is not part of this plan; the
     # member dim arrives as a BroadcastExchange, which is not a shuffle)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_quantile_sketch_shuffles_only_bounded_metadata(spark, sf_dir):
+    """quantile_sketch_merge's 100 TB claim: after the single fact scan,
+    every exchange carries bounded metadata -- per-(pid,bucket) cells
+    (<= partitions x 128 rows), per-pid sketch arrays (<= partitions rows),
+    and 1-row bounds. Pin the shape: one allowlisted 1-row BNLJ for the
+    domain bounds, map-side partial aggregation before both hash
+    exchanges, the posexplode read-off, and no extra exchange after the
+    single-partition merge (the 128-row window runs where the merge
+    landed)."""
+    plan = plan_of(spark, sf_dir, "quantile_sketch_merge")
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "Generate posexplode" in plan
+    # partial aggregation precedes the (pid, idx) exchange: the sketch is
+    # built map-side, the shuffle ships cells not rows
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning(pid") == 2
+    # merge is one single-partition exchange; the window and final agg
+    # reuse it (no exchange between Window and the merge aggregate)
+    window_at = plan.index("Window ")
+    assert "Exchange" not in plan[window_at: plan.index("ObjectHashAggregate", window_at)]
