@@ -80,6 +80,12 @@ _SWEEP_PRIORITY = [
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
     "doc_length_histogram",
 ]
+# Round-7 rotation preview: after the r06 sweep, the 45 r04-evidenced
+# queries plus the 5 overflow entries above are exactly one 50-entry
+# budget. Any planned refactor that touches r04-green query code (e.g. a
+# shared token/vocab stage for the text family) should land in round 7,
+# when those queries re-verify anyway -- doing it earlier would displace
+# rotation slots for no extra evidence.
 
 
 def _ordered(d: dict) -> dict:
