@@ -151,3 +151,89 @@ def test_fused_equals_separate_operators(spark, typed_stream_dir):
     assert sorted(map(tuple, fused_emit.collect())) == sorted(
         map(tuple, sep_emit.collect())
     )
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for unit-driving the update functions."""
+
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+
+def _drive_throttle(batches, gap_seconds):
+    """Run throttle_by_key's state machine over pre-chunked pandas batches
+    for ONE key, via the same applyInPandasWithState closure the engine
+    calls (extracted by invoking the operator builder's inner function
+    through module internals would couple the test to locals; instead
+    replicate the DOCUMENTED contract: concat chunks, sort, greedy gap
+    walk against carried state). The reference implementation here is the
+    independent expectation; the engine path is covered by
+    test_throttle_by_key_enforces_min_gap and the driver parity row."""
+    state = _FakeState()
+    out = []
+    gap = pd.Timedelta(seconds=gap_seconds)
+    for chunks in batches:
+        last_emit = state.get[0] if state.exists else None
+        batch = pd.concat(chunks, ignore_index=True)
+        for ts in sorted(batch["ts"]):
+            if last_emit is None or ts - last_emit >= gap:
+                out.append(ts)
+                last_emit = ts
+        if last_emit is not None:
+            state.update((last_emit,))
+    return out
+
+
+def test_throttle_time_ordered_batches_equal_global_greedy():
+    """The invariant the order-sensitive parity rests on: when micro-batch
+    boundaries respect event time (batch N's max <= batch N+1's min --
+    exactly what the time-split staging provides), the per-batch greedy
+    walk with carried last-emit state equals ONE greedy walk over the
+    globally sorted sequence, for any chunking, any tie pattern, and any
+    boundary placement."""
+    import random
+
+    rng = random.Random(7)
+    base = pd.Timestamp("2024-01-01")
+    for trial in range(50):
+        n = rng.randint(1, 40)
+        ts = sorted(
+            base + pd.Timedelta(seconds=rng.randint(0, 3600 * 48))
+            for _ in range(n)
+        )
+        gap = rng.choice([1, 60, 3600, 6 * 3600])
+        # any time-respecting split into 1-3 batches, each 1-2 chunks
+        cut = sorted(rng.sample(range(n + 1), rng.randint(0, 2)))
+        bounds = [0, *cut, n]
+        batches = []
+        for lo, hi in zip(bounds, bounds[1:]):
+            part = ts[lo:hi]
+            if not part:
+                continue
+            k = rng.randint(1, min(2, len(part)))
+            cpt = len(part) // k
+            chunks = [
+                pd.DataFrame({"ts": part[i * cpt: (i + 1) * cpt if i < k - 1 else len(part)]})
+                for i in range(k)
+            ]
+            batches.append(chunks)
+        got = _drive_throttle(batches, gap)
+        # global greedy reference
+        exp, last = [], None
+        g = pd.Timedelta(seconds=gap)
+        for t in ts:
+            if last is None or t - last >= g:
+                exp.append(t)
+                last = t
+        assert got == exp, (trial, gap, ts)
