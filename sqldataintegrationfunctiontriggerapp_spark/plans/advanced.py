@@ -792,9 +792,9 @@ _QSK_B = 128  # buckets per sketch; the one knob -- oracle derives from it too
         FROM lineitem
     ),
     bkt AS (
-        SELECT LEAST({_QSK_B - 1}, GREATEST(0,
+        SELECT CASE WHEN hi > lo THEN LEAST({_QSK_B - 1}, GREATEST(0,
             CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / {_QSK_B}.0))
-                 AS INT))) AS idx
+                 AS INT))) ELSE 0 END AS idx
         FROM lineitem, bounds
     ),
     hist AS (SELECT idx, COUNT(*) AS cnt FROM bkt GROUP BY idx),
@@ -806,7 +806,9 @@ _QSK_B = 128  # buckets per sketch; the one knob -- oracle derives from it too
     ),
     scored AS (
         SELECT c.*,
-               b.lo + (c.idx + 1) * ((b.hi - b.lo) / {_QSK_B}.0) AS est
+               CASE WHEN b.hi > b.lo THEN
+                   b.lo + (c.idx + 1) * ((b.hi - b.lo) / {_QSK_B}.0)
+               END AS est
         FROM cums c, bounds b
     )
     SELECT CAST(MAX(n) AS BIGINT) AS n_total,
@@ -862,33 +864,48 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum are longs; n fits a double exactly far beyond any real row count),
     so no DECIMAL routing is required.
 
-    PRECONDITION (documented, like _bloom_bitpos's non-null keys): the
-    value column must be non-empty with lo < hi. An empty input returns an
-    all-zero sketch row where the oracle returns NULLs; a constant column
-    makes width 0, where DuckDB's (x-lo)/0 arithmetic errors while Spark's
-    null-skipping greatest() routes rows to bucket 0. Guarding loudly would
-    require executing the bounds aggregate at BUILD time (this query is
-    otherwise fully lazy, unlike the staging helpers that do validate
-    eagerly); TPC-H l_extendedprice spans a wide positive range at every
-    SF, so the precondition holds for every fixture."""
+    DEGENERATE-DOMAIN GUARD (ADVICE r06 #4): a constant value column makes
+    the bucket width 0. Both sides now degrade identically and LAZILY --
+    every row routes to bucket 0 (guarded CASE / when(), no division by
+    zero ever evaluates) and the estimates come back NULL while n_total and
+    the cumulative counts stay exact. Guarding loudly would require
+    executing the bounds aggregate at BUILD time (this query is otherwise
+    fully lazy, unlike the staging helpers that validate eagerly), so the
+    degenerate case degrades instead of raising; pinned by
+    tests/test_property_based.py (constant-column case). The one remaining
+    documented precondition is non-empty input (an empty table returns one
+    all-zero sketch row where the oracle returns zero rows -- like
+    _bloom_bitpos's non-null keys, documented not guarded)."""
+    return quantile_sketch(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+def quantile_sketch(df: DataFrame, value_col: str) -> DataFrame:
+    """The sketch construction behind quantile_sketch_merge, over any
+    DataFrame/column (plan shape and guarantees documented on the registered
+    query; extracted so the degenerate-domain property test can drive it
+    with a constant column)."""
     from pyspark.sql import Window
 
     B = _QSK_B
-    li = load_table(spark, sf_dir, "lineitem")
+    li = df
     bounds = li.agg(
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(B))
-    idx = F.least(
-        F.lit(B - 1),
-        F.greatest(
-            F.lit(0),
-            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("int"),
+    # degenerate-domain guard (see docstring): constant column -> bucket 0
+    idx = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(B - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col) - F.col("lo")) / width).cast("int"),
+            ),
         ),
-    )
+    ).otherwise(F.lit(0))
     tagged = (
-        li.select("l_extendedprice")
+        li.select(value_col)
         .crossJoin(F.broadcast(bounds))
         .select(
             F.spark_partition_id().alias("pid"),
@@ -938,7 +955,11 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n", F.sum("cnt").over(w_all))
         .withColumn(
             "est",
-            F.col("lo") + (F.col("idx") + 1) * ((F.col("hi") - F.col("lo")) / F.lit(float(B))),
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.col("lo")
+                + (F.col("idx") + 1) * ((F.col("hi") - F.col("lo")) / F.lit(float(B))),
+            ),
         )
     )
 

@@ -932,6 +932,7 @@ def streaming_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sqldataintegrationfunctiontriggerapp_spark.state import (
         LAST_ERROR,
         StateStore,
+        _local_df,
     )
     from sqldataintegrationfunctiontriggerapp_spark.streaming.pipeline import (
         ChangePipeline,
@@ -1093,7 +1094,11 @@ def streaming_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (op, et, n, s, len(users.get((op, et), ())))
         for (op, et), (n, s) in counts.items()
     ]
-    return spark.createDataFrame(
+    # single-slice frame (state.py _local_df): the default createDataFrame
+    # would split these few rows into defaultParallelism slices and the
+    # driver's collect would pay one Python-worker roundtrip per slice
+    return _local_df(
+        spark,
         rows,
         "operation string, event_type string, n_rows bigint,"
         " sum_milli bigint, n_users bigint",

@@ -49,13 +49,16 @@ _PART_SCHEMA = T.StructType(
 N_BUCKETS = 16
 
 
-def _local_df(spark: SparkSession, rows: list, schema: T.StructType) -> DataFrame:
+def _local_df(
+    spark: SparkSession, rows: list, schema: T.StructType | str
+) -> DataFrame:
     """createDataFrame over a SINGLE-slice RDD. The default createDataFrame
     path parallelizes local rows into defaultParallelism slices; any
     single-task consumer (coalesce(1) write, collect of a one-row frame)
     then pays one sequential Python-worker roundtrip PER SLICE -- measured
     ~5 s for a ONE-ROW frame at local[32]. One slice = one roundtrip, and
-    state frames are tiny by construction."""
+    state frames are tiny by construction. (Shared with the streaming-parity
+    result frames in plans/windows.py, which are equally tiny.)"""
     return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
@@ -106,7 +109,16 @@ class StateStore:
         """MERGE-style last-writer-wins upsert (EntityFunctions.cs Save ops),
         rewriting only the (entity_type, bucket) partition the key lives in --
         untouched keys' files are never rewritten (asserted in
-        tests/test_state_retry.py)."""
+        tests/test_state_retry.py).
+
+        Last-writer-wins is defined by CALL order, not by stored timestamps:
+        the incoming write replaces the key's row unconditionally, even if an
+        existing row carries a LATER updated_at (clock skew between writers).
+        That matches the reference's entity semantics -- a durable entity
+        applies operations in arrival order, it never compares wall clocks
+        (EntityFunctions.cs:17-21) -- and it makes the merge deterministic
+        where a timestamp comparison would break ties by collect() order.
+        Pinned by tests/test_state_retry.py (clock-skew case)."""
         now = datetime.now(timezone.utc).replace(tzinfo=None)
         part_dir = self._partition_dir(entity_type, key)
         # The partition is tiny BY CONSTRUCTION (one row per table in this

@@ -437,6 +437,12 @@ def test_quantile_sketch_shuffles_only_bounded_metadata(spark, sf_dir):
     assert "partial_count" in plan
     assert plan.count("Exchange hashpartitioning(pid") == 2
     # merge is one single-partition exchange; the window and final agg
-    # reuse it (no exchange between Window and the merge aggregate)
+    # reuse it (no exchange between Window and the merge aggregate). Match
+    # on the broad "Aggregate" token so a Spark-version rename
+    # (ObjectHashAggregate vs HashAggregate vs SortAggregate) fails the
+    # presence assertion readably instead of raising ValueError from index()
+    assert "Window " in plan
     window_at = plan.index("Window ")
-    assert "Exchange" not in plan[window_at: plan.index("ObjectHashAggregate", window_at)]
+    assert "Aggregate" in plan[window_at:], plan[window_at:]
+    agg_at = plan.index("Aggregate", window_at)
+    assert "Exchange" not in plan[window_at:agg_at]

@@ -89,3 +89,21 @@ def test_quantile_sketch_matches_numpy_reference(spark, sf_dir):
         exp[f"n_le_{tag}"] = int(cum[i])
     (row,) = QUERIES["quantile_sketch_merge"](spark, sf_dir).collect()
     assert row.asDict() == exp
+
+
+def test_quantile_sketch_constant_column_degrades_to_nulls(spark):
+    """Degenerate-domain guard (ADVICE r06 #4): a constant value column
+    (hi == lo, bucket width 0) must not divide by zero on either engine --
+    every row routes to bucket 0, the counts stay exact, and the estimates
+    come back NULL. The oracle's CASE guards mirror this exactly, so a
+    fixture change to a constant column would surface as matching NULLs,
+    not a DuckDB division-by-zero crash."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans.advanced import (
+        quantile_sketch,
+    )
+
+    df = spark.createDataFrame([(7.5,)] * 10, "v double").repartition(3)
+    (row,) = quantile_sketch(df, "v").collect()
+    assert row.n_total == 10
+    assert row.est_p50 is None and row.est_p90 is None and row.est_p99 is None
+    assert row.n_le_p50 == 10 and row.n_le_p90 == 10 and row.n_le_p99 == 10

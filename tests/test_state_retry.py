@@ -55,6 +55,34 @@ def test_state_upsert_leaves_other_partitions_untouched(spark, tmp_path):
     assert st.get("LastError", "t2") == "boom again"
 
 
+def test_state_upsert_incoming_wins_under_clock_skew(spark, tmp_path):
+    """Last-writer-wins is CALL order, not stored-timestamp order (ADVICE
+    r06 #2): an existing row stamped in the FUTURE (skewed writer clock)
+    must still lose to the incoming upsert, exactly like a durable entity
+    applying operations in arrival order (EntityFunctions.cs:17-21). Also
+    pins the same-key collision path: two rows for one key in the partition
+    (a crashed writer's leftover) collapse to the incoming value."""
+    from datetime import datetime
+
+    from sqldataintegrationfunctiontriggerapp_spark.state import (
+        _PART_SCHEMA,
+        _local_df,
+    )
+
+    st = StateStore(spark, str(tmp_path / "state"))
+    st.save_last_error("t1", "old")
+    part_dir = st._partition_dir("LastError", "t1")
+    # plant a future-stamped row for the SAME key next to the real one
+    future = datetime(2999, 1, 1)
+    _local_df(spark, [("t1", "from the future", future)], _PART_SCHEMA) \
+        .write.mode("append").parquet(part_dir)
+    st.save_last_error("t1", "incoming")
+    assert st.get("LastError", "t1") == "incoming"
+    # one row per key survives the merge, future stamp notwithstanding
+    rows = st.as_dataframe().where("key = 't1'").collect()
+    assert len(rows) == 1 and rows[0]["value"] == "incoming"
+
+
 def test_cli_shim_get_set(spark, tmp_path):
     """ClientAllowedColumnsFunction.cs:16-56 analog: set then get through the
     CLI surface; missing key maps to rc=1 (the 404 path)."""
