@@ -26,66 +26,71 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sweep priority: the driver checks queries in this dict's insertion order
-# and has a finite per-round budget (~50/round). Round-6 order (VERDICT r05
-# "Next round" #1): first the queries that are new or whose code changed
-# this round (no valid prior evidence -- changed code ALWAYS jumps to the
-# head), then the 7 queries whose latest green row is round 2 (three rounds
-# stale -- the rotation invariant says they lead), then the 44 round-3-
-# evidenced queries. Every entry is still registered regardless of budget.
+# and has a finite per-round budget (~50/round). Round-8 order (VERDICT r07
+# "Next round" #1 -- the rotation r07 promised and did not execute): first
+# the queries that are new or whose code changed this round (changed code
+# ALWAYS jumps to the head), then the 11 text-family queries whose
+# implementation changed in r07 (functions/text.py *_of_tokens delegation)
+# AFTER their latest driver check, then the 4 remaining r03-evidenced
+# holdouts (four rounds stale), then as many of the 45 r04-evidenced
+# queries as fit the 50 budget. Every entry stays registered regardless of
+# budget.
 _SWEEP_PRIORITY = [
-    # new/changed this round: streaming_pipeline_parity (NEW -- the
-    # deployment-path foreachBatch parity), quantile_sketch_merge (NEW --
-    # sixth sketch family, per-partition histogram merge), and the two
-    # stateful parities whose engine path changed (now share ONE fused
-    # applyInPandasWithState replay, plans/windows.py _fused_stateful_sink)
-    "streaming_pipeline_parity", "quantile_sketch_merge",
-    "streaming_throttle_parity", "streaming_entity_stats_parity",
-    # the 7 three-round-stale entries (latest green = r02; they were the
-    # documented budget-overflow of the r05 sweep and MUST clear this round)
-    "time_window_tumbling", "window_rank", "window_lag_lead",
-    "set_intersect", "scalar_string_funcs", "embedding_norms",
-    "timestamp_arithmetic",
-    # the 44 round-3-evidenced queries. 4 changed/new + 7 + 44 = 55
-    # candidates for a hard 50-entry budget; changed code and three-round-
-    # stale entries outrank two-round-stale ones, so the five overflow
-    # slots (51-55) go to the r03 queries with the strongest sibling/
-    # indirect evidence, each justified below. TPC-H tail and the heavier
-    # behavioral/dedup families first:
-    "q4_order_priority", "q6_forecast_revenue", "q8_market_share",
-    "q9_product_profit", "q12_priority_lines", "q14_promo_revenue",
-    "q16_part_supplier_variety", "q17_small_quantity_revenue",
-    "q19_disjunctive_revenue", "q21_waiting_supplier", "q22_idle_customers",
-    "dedup_embedding_cosine", "dedup_duplicate_rate", "multimodal_chunk_energy",
-    "funnel_analysis", "retention_cohorts", "bursty_users",
-    "daily_active_users", "event_transition_matrix", "event_value_ntiles",
-    "argmax_per_group", "gap_fill_daily_counts", "histogram_value_buckets",
-    "interval_join_left_events", "map_agg_event_counts",
-    "mixture_sampling_weights", "orders_pareto_share",
-    "pack_documents_greedy", "profile_events_table",
-    "quantile_bands_per_type", "robust_outliers_mad", "sliding_dedup_window",
-    "source_overlap_matrix", "span_dedup_rate", "stratified_sample",
-    "window_time_range_avg", "doc_chunk_spans", "embedding_centroids",
-    "embedding_quantize_error",
-    # positions 51-55: the five overflow r03 entries. Justifications --
-    # window_percent_rank: same single-window-shuffle family as window_rank
-    # (position 6 this sweep, same file, untouched since r03);
-    # set_except: sibling of set_intersect (this sweep's head) and
-    # set_union (r05 green), registered two lines apart;
-    # join_anti: single-join plan-shape sibling of join_full_outer (r05
-    # green) with a plan-shape test pinning the anti join;
-    # null_safe_join: stateless single equi-join on <=> , the lowest-risk
-    # join shape, plan-pinned;
-    # doc_length_histogram: stateless single-scan projection+groupBy,
-    # zero joins, same shape as histogram_value_buckets (position ~33).
+    # new this round: misra_gries_topk (seventh sketch family,
+    # deterministic Misra-Gries summary merge -- VERDICT r07 #6)
+    "misra_gries_topk",
+    # the 11 text-family queries whose code changed in r07 with no driver
+    # re-check since (the changed-code rule; delegation made the
+    # expressions identical by construction, but the freshest text code
+    # has never been driver-hashed):
+    "text_token_stats", "term_frequencies", "tfidf_top_terms",
+    "cms_heavy_hitters", "text_repetition", "text_quality_score",
+    "text_pii_scrub", "text_bpe_token_count", "text_lang_id",
+    "text_fingerprint", "doc_length_histogram",
+    # the 4 remaining r03-evidenced holdouts (doc_length_histogram above
+    # covers the fifth) -- four rounds stale, the rotation invariant says
+    # they lead everything except changed code:
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
-    "doc_length_histogram",
+    # 34 of the 43 remaining r04-evidenced queries (1 + 11 + 4 + 34 = 50).
+    # Core reference-parity rows and the ANN family first (the verdict's
+    # named priorities), then the rest:
+    "allowlist_projection", "json_envelope", "minmax_agg", "between_filter",
+    "cte_update_join", "top_limit", "error_truncation",
+    "identifier_normalization", "dedup_exact", "dedup_simhash",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_ivf_recall_sweep",
+    "q1_pricing_summary", "q3_shipping_priority", "q13_order_distribution",
+    "q2_min_cost_supplier", "q11_important_stock", "q15_top_supplier",
+    "q18_large_volume_customer", "q20_potential_promotion",
+    "contamination_check", "count_distinct", "fuzzy_levenshtein_pairs",
+    "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
+    "multimodal_media_metadata", "pandas_udf_quality", "percentiles",
+    "posexplode_terms", "unpivot_part_metrics", "agg_rollup",
+    # The 9 r04 overflow entries below lead the r09 sweep. Deferral
+    # justifications (each has a same-shape sibling IN this sweep or
+    # r05+ evidence, and none had code changes since r04):
+    # agg_cube / agg_grouping_sets: single-scan grouping-variant siblings
+    #   of agg_rollup (position 50, same file, same expression builder);
+    # exists_semi_subquery / in_subquery_large_orders: both rewrite to the
+    #   LeftSemi plan join_semi pins in this sweep;
+    # not_exists_anti_subquery: rewrites to the LeftAnti plan join_anti
+    #   (position 16 this sweep) pins;
+    # correlated_subquery: scalar-subquery decorrelation, plan-pinned,
+    #   zero code churn since r03;
+    # join_left_outer: single equi-join sibling of join_full_outer (r05)
+    #   and join_broadcast_star (this sweep);
+    # multimodal_frame_sample: sibling of multimodal_media_metadata (this
+    #   sweep) and multimodal_chunk_energy (r07) over the same stub;
+    # string_agg_ordered: stateless sort_array aggregate, same shape as
+    #   map_agg_event_counts (r07 green).
+    "agg_cube", "agg_grouping_sets", "exists_semi_subquery",
+    "in_subquery_large_orders", "not_exists_anti_subquery",
+    "correlated_subquery", "join_left_outer", "multimodal_frame_sample",
+    "string_agg_ordered",
 ]
-# Round-7 rotation preview: after the r06 sweep, the 45 r04-evidenced
-# queries plus the 5 overflow entries above are exactly one 50-entry
-# budget. Any planned refactor that touches r04-green query code (e.g. a
-# shared token/vocab stage for the text family) should land in round 7,
-# when those queries re-verify anyway -- doing it earlier would displace
-# rotation slots for no extra evidence.
+# Round-9 rotation preview: after the r08 sweep the ledger is 0 entries
+# older than r05; the r09 head is the 9 r04 overflow entries above, then
+# the 48 r05-evidenced queries fill the rest of the budget (9 + 41 of 48;
+# the ~7 overflow r05 entries lead r10).
 
 
 def _ordered(d: dict) -> dict:

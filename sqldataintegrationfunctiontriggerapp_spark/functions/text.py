@@ -30,11 +30,14 @@ def token_count(text: Column | str) -> Column:
 
 
 # ---- token-ARRAY variants -------------------------------------------------
-# Each *_of_tokens function computes over an existing array<string> column,
-# so a pipeline that tokenizes ONCE (plans/text.py _tokens_stage) can reuse
-# the split instead of re-running the regexp per metric. The text-input
-# functions above stay as the one-shot convenience surface; where both
-# exist, the text version delegates so the two can never drift.
+# Each *_of_tokens function computes over an existing array<string> column.
+# A shared whitespace-token stage was measured and REJECTED (plans/text.py
+# top-of-file note: the split is codegen-fused into the scan, so
+# materializing it loses); these helpers are kept for a future
+# tokenize-once pipeline where tokenization IS expensive -- e.g. a
+# pandas-UDF BPE stage whose array output would be worth reusing. The
+# text-input functions above stay as the one-shot convenience surface;
+# where both exist, the text version delegates so the two can never drift.
 
 
 def mean_token_length_of_tokens(toks: Column) -> Column:

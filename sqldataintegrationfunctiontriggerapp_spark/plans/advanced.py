@@ -871,8 +871,9 @@ def quantile_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cumulative counts stay exact. Guarding loudly would require
     executing the bounds aggregate at BUILD time (this query is otherwise
     fully lazy, unlike the staging helpers that validate eagerly), so the
-    degenerate case degrades instead of raising; pinned by
-    tests/test_property_based.py (constant-column case). The one remaining
+    degenerate case degrades instead of raising; pinned on BOTH engines by
+    tests/test_queries_registry.py
+    (test_quantile_sketch_constant_column_degrades_to_nulls). The one remaining
     documented precondition is non-empty input (an empty table returns one
     all-zero sketch row where the oracle returns zero rows -- like
     _bloom_bitpos's non-null keys, documented not guarded)."""

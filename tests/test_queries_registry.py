@@ -92,12 +92,17 @@ def test_quantile_sketch_matches_numpy_reference(spark, sf_dir):
 
 
 def test_quantile_sketch_constant_column_degrades_to_nulls(spark):
-    """Degenerate-domain guard (ADVICE r06 #4): a constant value column
-    (hi == lo, bucket width 0) must not divide by zero on either engine --
-    every row routes to bucket 0, the counts stay exact, and the estimates
-    come back NULL. The oracle's CASE guards mirror this exactly, so a
-    fixture change to a constant column would surface as matching NULLs,
-    not a DuckDB division-by-zero crash."""
+    """Degenerate-domain guard (ADVICE r06 #4 + r07 #3): a constant value
+    column (hi == lo, bucket width 0) must not divide by zero on EITHER
+    engine -- every row routes to bucket 0, the counts stay exact, and the
+    estimates come back NULL. Both sides are executed here: the Spark
+    quantile_sketch() on a constant DataFrame AND the registered DuckDB
+    oracle on a constant one-column `lineitem` view, asserting they produce
+    the same degenerate row (so a guard regression on the oracle side fails
+    this test, not a future fixture change)."""
+    import duckdb
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans import ORACLES
     from sqldataintegrationfunctiontriggerapp_spark.plans.advanced import (
         quantile_sketch,
     )
@@ -107,3 +112,12 @@ def test_quantile_sketch_constant_column_degrades_to_nulls(spark):
     assert row.n_total == 10
     assert row.est_p50 is None and row.est_p90 is None and row.est_p99 is None
     assert row.n_le_p50 == 10 and row.n_le_p90 == 10 and row.n_le_p99 == 10
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS "
+        "SELECT 7.5 AS l_extendedprice FROM range(10)"
+    )
+    (orow,) = con.execute(ORACLES["quantile_sketch_merge"]).fetchall()
+    cols = [d[0] for d in con.description]
+    assert dict(zip(cols, orow)) == row.asDict()
