@@ -94,3 +94,38 @@ def test_cms_heavy_hitters_sketch_properties(spark, sf_dir):
     # the list really is the global top-20 by exact count (term tiebreak)
     expected_top = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r.term, r.exact_n) for r in got] == expected_top
+
+
+def test_of_tokens_variants_match_text_path(spark):
+    """Direct pin for the *_of_tokens helpers (VERDICT r07 #4): feeding a
+    PRE-TOKENIZED array<string> column must equal the text-input path on
+    the same strings. The text functions delegate to the token variants, so
+    this pins the delegation contract from the caller's side -- a future
+    tokenize-once pipeline (pandas-UDF BPE) hands the helpers an array
+    column directly and relies on exactly this equivalence. Strings are a
+    deterministic pseudo-random mix (seeded md5 word soup) plus the edge
+    rows above; tokenization is replicated in Python with the same
+    split-and-drop-empties semantics."""
+    import re
+
+    rng_words = [
+        hashlib.md5(f"w{i}".encode()).hexdigest()[: (i % 7) + 1] for i in range(40)
+    ]
+    texts = [t for _, t in ROWS] + [
+        " ".join(rng_words[i : i + (i % 9) + 1]) + ("  " if i % 3 else "\t the ")
+        for i in range(0, 40, 3)
+    ]
+    rows = [(i, t, [w for w in re.split(r"\s+", t) if w != ""]) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string, toks array<string>")
+    got = df.select(
+        TX.mean_token_length("text").alias("m_text"),
+        TX.mean_token_length_of_tokens(F.col("toks")).alias("m_toks"),
+        TX.stopword_count("text").alias("s_text"),
+        TX.stopword_count_of_tokens(F.col("toks")).alias("s_toks"),
+        TX.bigrams("text").alias("b_text"),
+        TX.bigrams_of_tokens(F.col("toks")).alias("b_toks"),
+    ).collect()
+    for r in got:
+        assert r.m_text == r.m_toks
+        assert r.s_text == r.s_toks
+        assert r.b_text == r.b_toks
