@@ -324,6 +324,148 @@ def _cms_bucket_case(term_sql: str) -> str:
     return f"CASE depth\n                 {whens}\n               END"
 
 
+# Misra-Gries configuration: k counters kept per summary, terms sharded by
+# md5 so the per-shard summaries are deterministic and disjoint. The shard
+# expression is GENERATED once and pasted into both engines (the cms/SimHash
+# md5-nibble idiom).
+_MG_K = 20
+_MG_SHARDS = 32
+
+
+def _mg_shard(term_sql: str) -> str:
+    h = f"md5({term_sql})"
+    return (
+        f"(instr('0123456789abcdef', substring({h}, 1, 1)) * 16"
+        f" + instr('0123456789abcdef', substring({h}, 2, 1)) - 17)"
+        f" % {_MG_SHARDS}"
+    )
+
+
+@register(
+    "misra_gries_topk",
+    oracle=f"""
+    WITH toks AS (SELECT UNNEST({_TOKS}) AS term FROM documents),
+    counts AS (
+        SELECT term, COUNT(*) AS exact_n, {_mg_shard("term")} AS sh
+        FROM toks GROUP BY term
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER
+            (PARTITION BY sh ORDER BY exact_n DESC, term) AS r
+        FROM counts
+    ),
+    summ AS (
+        SELECT *, COALESCE(MAX(CASE WHEN r = {_MG_K + 1} THEN exact_n END)
+                           OVER (PARTITION BY sh), 0) AS t_shard
+        FROM ranked
+    ),
+    kept AS (
+        SELECT term, exact_n, exact_n - t_shard AS c, t_shard
+        FROM summ WHERE r <= {_MG_K} AND exact_n - t_shard > 0
+    ),
+    r2 AS (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS rr FROM kept
+    ),
+    fin AS (
+        SELECT *, COALESCE(MAX(CASE WHEN rr = {_MG_K + 1} THEN c END)
+                           OVER (), 0) AS t_final
+        FROM r2
+    )
+    SELECT term,
+           CAST(exact_n AS BIGINT) AS exact_n,
+           CAST(c - t_final AS BIGINT) AS mg_n,
+           CAST(t_shard + t_final AS BIGINT) AS err_subtracted,
+           c - t_final <= exact_n AS never_overcounts
+    FROM fin
+    WHERE rr <= {_MG_K} AND c - t_final > 0
+    ORDER BY exact_n DESC, term
+    """,
+)
+def misra_gries_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries heavy hitters -- the seventh sketch family (VERDICT r07
+    #6), the deterministic-counter counterpart to cms_heavy_hitters'
+    hash-cell sketch, and the mergeable-summary contract (Agarwal et al.,
+    "Mergeable Summaries") in its counter form: every summary holds at most
+    k=20 (term, count) counters; reducing a summary subtracts the
+    (k+1)-largest count from every counter and drops the non-positive ones;
+    merging adds counters pointwise and reduces again. Surviving counters
+    are LOWER bounds on the true counts (MG never overcounts -- the dual of
+    CMS, which never undercounts), and the subtracted thresholds are the
+    exact per-term error.
+
+    Determinism is what makes the full result hash-checkable where a
+    streaming MG is arrival-order-dependent: terms are sharded by an md5
+    bucket (shard is a FUNCTION of the term, so the per-shard summaries are
+    disjoint and their merge is a plain union -- commutative by
+    construction), each shard summary is built from the shard's exact
+    counts with a total tie order (count desc, term asc), and the final
+    merge applies one more k-counter reduction to the <= shards*k union.
+    Both engines run the identical generated shard expression and window
+    rule, so estimates, thresholds, and survivors match cell for cell.
+
+    Plan: ONE keyed vocabulary shuffle (token explode -> groupBy term, map-
+    side partial agg), then an exchange by shard where BOTH window
+    expressions (row_number and the (k+1)-th-count threshold) reuse the
+    same partitioning, then a single-partition window over the <= 32*20
+    surviving counters -- bounded metadata, like the quantile sketch's
+    read-off stage. At 100 TB the vocab aggregate is the only data-scale
+    stage; every summary row after it is fixed by (shards, k), not by
+    cardinality. A production stream would instead fold each task's tokens
+    into its k counters map-side (no vocab shuffle at all) at the price of
+    arrival-order-dependent -- un-hash-checkable -- results; the exact
+    per-shard build keeps the identical summary/merge/reduce algebra while
+    letting the driver verify every counter. exact_n rides along as the
+    evaluation harness (same discipline as cms_heavy_hitters /
+    minhash_jaccard_estimate): err_subtracted is the term's EXACT
+    estimation error by construction, so the driver hash-checks not just
+    the top-k set but the precise error MG committed per term."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = d.select(F.explode(TX.tokens("text")).alias("term"))
+    counts = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .withColumn("sh", F.expr(_mg_shard("term")).cast("int"))
+    )
+    w_rank = Window.partitionBy("sh").orderBy(F.desc("exact_n"), "term")
+    w_shard = Window.partitionBy("sh")
+    ranked = counts.withColumn("r", F.row_number().over(w_rank)).withColumn(
+        "t_shard",
+        F.coalesce(
+            F.max(F.when(F.col("r") == _MG_K + 1, F.col("exact_n"))).over(w_shard),
+            F.lit(0).cast("long"),
+        ),
+    )
+    kept = ranked.where(
+        (F.col("r") <= _MG_K) & (F.col("exact_n") - F.col("t_shard") > 0)
+    ).select(
+        "term", "exact_n", (F.col("exact_n") - F.col("t_shard")).alias("c"), "t_shard"
+    )
+    w_rr = Window.orderBy(F.desc("c"), "term")
+    w_all = Window.partitionBy()
+    fin = kept.withColumn("rr", F.row_number().over(w_rr)).withColumn(
+        "t_final",
+        F.coalesce(
+            F.max(F.when(F.col("rr") == _MG_K + 1, F.col("c"))).over(w_all),
+            F.lit(0).cast("long"),
+        ),
+    )
+    return (
+        fin.where((F.col("rr") <= _MG_K) & (F.col("c") - F.col("t_final") > 0))
+        .select(
+            "term",
+            F.col("exact_n").cast("long").alias("exact_n"),
+            (F.col("c") - F.col("t_final")).cast("long").alias("mg_n"),
+            (F.col("t_shard") + F.col("t_final")).cast("long").alias("err_subtracted"),
+            ((F.col("c") - F.col("t_final")) <= F.col("exact_n")).alias(
+                "never_overcounts"
+            ),
+        )
+        .orderBy(F.desc("exact_n"), "term")
+    )
+
+
 @register(
     "cms_heavy_hitters",
     oracle=f"""

@@ -129,3 +129,70 @@ def test_of_tokens_variants_match_text_path(spark):
         assert r.m_text == r.m_toks
         assert r.s_text == r.s_toks
         assert r.b_text == r.b_toks
+
+
+def test_misra_gries_matches_python_reference(spark, sf_dir):
+    """Independent reference for misra_gries_topk: replicate the shard ->
+    reduce -> merge -> reduce algebra in plain Python from the raw parquet
+    and compare every output cell, then assert the MG contracts that hold
+    for ANY input: counters never overcount, err_subtracted is the exact
+    per-term estimation error, and every term whose true count exceeds its
+    shard threshold plus the final threshold survives."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans import QUERIES
+    from sqldataintegrationfunctiontriggerapp_spark.plans.text import (
+        _MG_K,
+        _MG_SHARDS,
+    )
+
+    texts = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])[
+        "text"
+    ].to_pylist()
+    counts = Counter(
+        t for s in texts for t in re.split(r"\s+", s) if t != ""
+    )
+
+    def shard(term: str) -> int:
+        h = hashlib.md5(term.encode()).hexdigest()
+        return (int(h[0], 16) * 16 + int(h[1], 16)) % _MG_SHARDS
+
+    shards: dict[int, list] = {}
+    for term, n in counts.items():
+        shards.setdefault(shard(term), []).append((term, n))
+    kept = []
+    thresholds = {}
+    for sh, items in shards.items():
+        items.sort(key=lambda kv: (-kv[1], kv[0]))
+        t_shard = items[_MG_K][1] if len(items) > _MG_K else 0
+        thresholds[sh] = t_shard
+        kept += [
+            (term, n, n - t_shard, t_shard)
+            for term, n in items[:_MG_K]
+            if n - t_shard > 0
+        ]
+    kept.sort(key=lambda row: (-row[2], row[0]))
+    t_final = kept[_MG_K][2] if len(kept) > _MG_K else 0
+    expected = sorted(
+        (
+            (term, n, c - t_final, t_sh + t_final, c - t_final <= n)
+            for term, n, c, t_sh in kept[:_MG_K]
+            if c - t_final > 0
+        ),
+        key=lambda row: (-row[1], row[0]),
+    )
+
+    got = [tuple(r) for r in QUERIES["misra_gries_topk"](spark, sf_dir).collect()]
+    assert got == expected
+    for term, exact_n, mg_n, err, never_over in got:
+        assert never_over and mg_n <= exact_n
+        assert exact_n - mg_n == err  # the error accounting is exact
+    # completeness: any term beating its shard threshold + the final
+    # threshold is guaranteed to survive both reductions
+    survivors = {r[0] for r in got}
+    for term, n in counts.items():
+        if n > thresholds.get(shard(term), 0) + t_final:
+            assert term in survivors
