@@ -65,7 +65,16 @@ def main() -> None:
     # pools, AQE init) -- measured ~10x on a sub-second query. A stable
     # order keeps per-query times comparable round over round.
     from sqldataintegrationfunctiontriggerapp_spark import plans
-    for name, fn in plans.QUERIES.items():
+    # Optional subset for spot-benches at other scale factors (e.g. the sf1
+    # scaling table in COVERAGE.md): SPARK_GRAFT_BENCH_QUERIES="q1,q7".
+    # The driver's per-round run sets no filter and measures the full suite.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    selected = (
+        {n: plans.QUERIES[n] for n in (s.strip() for s in only.split(",")) if n}
+        if only
+        else plans.QUERIES
+    )
+    for name, fn in selected.items():
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
@@ -90,10 +99,11 @@ def main() -> None:
     # queries from round-over-round comparison -- VERDICT r02 #8). Persist
     # the complete JSON next to the repo so the full suite is always
     # readable regardless of the driver's capture window.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_FULL.json"), "w") as f:
-        json.dump(payload, f, indent=1)
-        f.write("\n")
+    if not only:  # subset spot-benches must not clobber the full-suite record
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_FULL.json"), "w") as f:
+            json.dump(payload, f, indent=1)
+            f.write("\n")
     os.write(real_stdout_fd, (line + "\n").encode())
     os.close(real_stdout_fd)
 

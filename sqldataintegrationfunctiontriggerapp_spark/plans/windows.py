@@ -907,8 +907,9 @@ def streaming_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     HttpPostAction.cs:39); the state store and checkpoint live in driver
     tmp dirs; the sink's A15 sleeper is a no-op and the A12 wait is
     recorded instead of slept (the suite doesn't idle 10 s + 6 min); and the
-    single-partition guard below pins the outage to the batch's first
-    request so redelivery re-posts a fully-unposted batch (at scale a
+    explicit coalesce(1) (verified by the guard below) pins each
+    micro-batch to one task so the outage hits the batch's first request
+    and redelivery re-posts a fully-unposted batch (at scale a
     partially-posted batch redelivers at-least-once instead -- that IS the
     reference's contract, but it would make the delivered-set
     nondeterministic, which a hash row cannot tolerate). Driver-side JSON
@@ -1010,8 +1011,18 @@ def streaming_pipeline_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .option("maxFilesPerTrigger", 1)
                 .parquet(src_dir)
             )
+            # the single-partition concession is EXPLICIT, not an accident
+            # of file size: a parquet scan splits at maxSplitBytes =
+            # max(openCostInBytes, totalBytes/defaultParallelism), so once a
+            # staged half-file passes ~4 MB (sf1 spot-bench: ~10 MB) each
+            # micro-batch arrives as several partitions and the injected
+            # outage would hit a partially-posted batch -- at-least-once
+            # redelivery, which IS the reference contract but breaks the
+            # deterministic hash row. coalesce(1) (narrow, no shuffle) pins
+            # the batch to one task; the fb guard verifies it held.
             q = (
                 with_operation(stream)
+                .coalesce(1)
                 .writeStream.foreachBatch(fb)
                 .option("checkpointLocation", ckpt_dir)
                 .trigger(availableNow=True)

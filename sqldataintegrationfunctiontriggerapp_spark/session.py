@@ -35,10 +35,14 @@ def get_session(
     """Build (or fetch) the engine's SparkSession."""
     cpus = int(DEFAULT_CPUS)
     # NOTE: spark.driver.memory is deliberately NOT set by default. On this
-    # micro-VM, any enlarged heap (16-48g) made CPU-bound stages 10-50x
-    # slower (measured: 32M md5s in 2-3s at the 1g default vs 26-127s with
-    # 16g) -- demand-faulting a big fresh heap dominates runtime. Set
-    # SPARK_GRAFT_DRIVER_MEM only if a workload genuinely spills.
+    # micro-VM, a LARGE heap (16-48g) made CPU-bound stages 10-50x slower
+    # (measured: 32M md5s in 2-3s at the 1g default vs 26-127s with 16g) --
+    # demand-faulting a big fresh heap dominates runtime. A MODERATE bump is
+    # safe: the same md5 probe is 1.07s at 1g vs 1.08s at 4g (r08), so the
+    # pathology starts well above 4g. Set SPARK_GRAFT_DRIVER_MEM (e.g. 4g)
+    # when a workload genuinely needs the heap -- the sf1 spot-bench does:
+    # the shingle-stage columnar cache build OOMs 32 concurrent tasks in
+    # the 1g default (see COVERAGE.md sf1 scaling table).
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{cpus}]")

@@ -122,3 +122,42 @@ def test_connected_components_chain_and_islands(spark):
         (n, 20) for n in (20, 21, 22)
     }
     assert got == want
+
+
+def test_blas_cosine_pairs_match_bruteforce_exactly(spark, sf_dir):
+    """The BLAS prefilter + exact-verify kernel (r08) must be bit-identical
+    to the fold-join baseline: the dgemm only nominates candidates, and the
+    np.add.accumulate re-score replicates the JVM's left-to-right double
+    fold exactly. Also pins the accumulate-equals-sequential-fold premise
+    directly in python, and the zero-norm row exclusion."""
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = {(r.id_a, r.id_b): r.cos for r in S.cosine_pairs_above(e, 0.4).collect()}
+    blas = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.cosine_pairs_above_blas(e, 0.4).collect()
+    }
+    assert brute, "fixtures should contain qualifying pairs"
+    assert set(brute) == set(blas)
+    assert all(brute[k] == blas[k] for k in brute)
+
+    # premise check: accumulate's prefix contract is the sequential fold
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(50, 64))
+    y = rng.normal(size=(50, 64))
+    acc = np.add.accumulate(x * y, axis=1)[:, -1]
+    for i in range(50):
+        s = 0.0
+        for a, b in zip(x[i], y[i]):
+            s = s + float(a) * float(b)
+        assert s == acc[i]
+
+    # zero-norm vectors have undefined cosine and must never pair
+    z = spark.createDataFrame(
+        [(1, [0.0] * 4), (2, [0.0] * 4), (3, [1.0, 0.0, 0.0, 0.0]),
+         (4, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    got = {(r.id_a, r.id_b) for r in S.cosine_pairs_above_blas(z, 0.4).collect()}
+    assert got == {(3, 4)}

@@ -26,8 +26,9 @@ import __spark_entry__ as entrymod
 #          brute-force branch below a row threshold; the scale path is a
 #          bucketed equi-join (operators/similarity.py).
 _BNLJ_ALLOWED = {
+    # dedup_embedding_cosine left this list in r08: its small/medium branch
+    # is now the BLAS mapInPandas kernel (no join at all), so no BNLJ plans
     "ann_cosine_topk":           "gated: exact baseline, query set broadcast",
-    "dedup_embedding_cosine":    "gated: <32k-row broadcast branch, else bucketed",
     "q11_important_stock":       "1-row: nation-total denominator",
     "q22_idle_customers":        "1-row: scalar average threshold",
     "not_exists_anti_subquery":  "1-row: scalar average threshold",
