@@ -36,9 +36,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries as fit the 50 budget. Every entry stays registered regardless of
 # budget.
 _SWEEP_PRIORITY = [
-    # new this round: misra_gries_topk (seventh sketch family,
-    # deterministic Misra-Gries summary merge -- VERDICT r07 #6)
-    "misra_gries_topk",
+    # new/changed this round: misra_gries_topk (seventh sketch family,
+    # deterministic Misra-Gries summary merge -- VERDICT r07 #6);
+    # dedup_embedding_cosine (auto selector now routes <=128k-row corpora
+    # through the new BLAS prefilter + exact-verify kernel);
+    # streaming_pipeline_parity (explicit coalesce(1) replaces the
+    # file-size accident its single-partition determinism relied on)
+    "misra_gries_topk", "dedup_embedding_cosine", "streaming_pipeline_parity",
     # the 11 text-family queries whose code changed in r07 with no driver
     # re-check since (the changed-code rule; delegation made the
     # expressions identical by construction, but the freshest text code
@@ -51,7 +55,7 @@ _SWEEP_PRIORITY = [
     # covers the fifth) -- four rounds stale, the rotation invariant says
     # they lead everything except changed code:
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
-    # 34 of the 43 remaining r04-evidenced queries (1 + 11 + 4 + 34 = 50).
+    # 32 of the 43 remaining r04-evidenced queries (3 + 11 + 4 + 32 = 50).
     # Core reference-parity rows and the ANN family first (the verdict's
     # named priorities), then the rest:
     "allowlist_projection", "json_envelope", "minmax_agg", "between_filter",
@@ -64,8 +68,8 @@ _SWEEP_PRIORITY = [
     "contamination_check", "count_distinct", "fuzzy_levenshtein_pairs",
     "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
     "multimodal_media_metadata", "pandas_udf_quality", "percentiles",
-    "posexplode_terms", "unpivot_part_metrics", "agg_rollup",
-    # The 9 r04 overflow entries below lead the r09 sweep. Deferral
+    "agg_rollup",
+    # The 11 r04 overflow entries below lead the r09 sweep. Deferral
     # justifications (each has a same-shape sibling IN this sweep or
     # r05+ evidence, and none had code changes since r04):
     # agg_cube / agg_grouping_sets: single-scan grouping-variant siblings
@@ -81,11 +85,15 @@ _SWEEP_PRIORITY = [
     # multimodal_frame_sample: sibling of multimodal_media_metadata (this
     #   sweep) and multimodal_chunk_energy (r07) over the same stub;
     # string_agg_ordered: stateless sort_array aggregate, same shape as
-    #   map_agg_event_counts (r07 green).
+    #   map_agg_event_counts (r07 green);
+    # posexplode_terms: explode+aggregate sibling of term_frequencies
+    #   (this sweep's head);
+    # unpivot_part_metrics: stateless stack() reshape, inverse of
+    #   pivot_status (r05 green), zero joins.
     "agg_cube", "agg_grouping_sets", "exists_semi_subquery",
     "in_subquery_large_orders", "not_exists_anti_subquery",
     "correlated_subquery", "join_left_outer", "multimodal_frame_sample",
-    "string_agg_ordered",
+    "string_agg_ordered", "posexplode_terms", "unpivot_part_metrics",
 ]
 # Round-9 rotation preview: after the r08 sweep the ledger is 0 entries
 # older than r05; the r09 head is the 9 r04 overflow entries above, then
