@@ -54,7 +54,15 @@ def get_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # 32 MB, down from the round-1 64 MB (which had no recorded
+        # measurement): the sf1 spot-bench caught Catalyst auto-broadcasting
+        # a ~60 MB orders-x-customer relation in q7 whose single-threaded
+        # hash build LOST 2x to the shuffle-merge join (5.6-8.6 s vs
+        # 2.9-4.3 s warm, r08) -- the reason Spark's own default is 10 MB.
+        # 32 MB keeps every small-fixture plan identical (no join side at
+        # sf<=0.1 crosses it) while stopping pathological big builds; truly
+        # small dims are broadcast explicitly throughout the plans anyway.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # events.parquet stores TIMESTAMP(NANOS); Spark has no ns timestamp
         # type, so read the raw int64 and convert in the catalog (floor to
         # microseconds, matching DuckDB's ns->us coercion).
