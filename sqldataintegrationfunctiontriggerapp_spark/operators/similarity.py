@@ -226,6 +226,97 @@ def cosine_pairs_above_blas(
     )
 
 
+def _angular_stage(
+    vectors: DataFrame,
+    threshold: float,
+    n_pivots: int,
+    id_col: str,
+    vec_col: str,
+):
+    """Shared front half of the pivot-partitioned pair joins: pivot sample,
+    per-row cluster assignment, angular radii + exact cluster sizes (one
+    bounded K-row collect), and the driver-side admissibility grid. Returns
+    (assigned, radius, csize, admissible) or None for an empty/all-zero-norm
+    corpus. Extracted in r08 so the fold-join and blocked-BLAS back ends
+    can never drift in assignment or pruning semantics."""
+    import math
+
+    base = (
+        vectors.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        .withColumn("n2", dot(F.col("v"), F.col("v")))
+        # zero-norm vectors have undefined cosine (NULL on both Spark and
+        # DuckDB, so the oracle's `cos >= t` excludes them too) and would
+        # make every cos-to-pivot NULL, crashing the radius collect
+        .where(F.col("n2") > 0)
+    )
+    pivot_rows = (
+        base.orderBy(F.md5(F.col("vid").cast("string")), "vid")
+        .limit(n_pivots)
+        .collect()
+    )
+    pivots = [[float(x) for x in r.v] for r in pivot_rows]
+    pn2 = [sum(x * x for x in p) for p in pivots]
+    if not pivots:
+        return None
+
+    # nearest pivot by angle == argmax cosine; theta kept for the radius agg.
+    # clamp cos into [-1, 1] before acos (fold roundoff can exceed by 1 ulp).
+    # ONE zip_with over an array-of-arrays pivot literal keeps the
+    # expression tree (and codegen compile time) O(1) in the pivot count
+    # instead of unrolling k fold expressions.
+    cos_arr = F.zip_with(
+        F.lit(pivots),
+        F.lit(pn2),
+        lambda p, pn: dot(F.col("v"), p) / F.sqrt(F.col("n2") * pn),
+    )
+    assigned = (
+        base.withColumn("_cos_arr", cos_arr)
+        .withColumn(
+            "cluster",
+            (F.array_position(F.col("_cos_arr"), F.array_max(F.col("_cos_arr"))) - 1)
+            .cast("int"),
+        )
+        .withColumn(
+            "theta",
+            F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.array_max(F.col("_cos_arr"))))),
+        )
+        .drop("_cos_arr")
+    )
+    # One bounded K-row collect yields BOTH the angular radii (for the
+    # admissibility grid) and the exact cluster sizes (for work sizing in
+    # the back ends) -- no separate count job.
+    radii_rows = (
+        assigned.groupBy("cluster")
+        .agg(F.max("theta").alias("r"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    radius = {int(r.cluster): float(r.r) for r in radii_rows}
+    csize = {int(r.cluster): int(r.n) for r in radii_rows}
+
+    # driver-side K x K admissibility grid (K^2 is tiny; this is metadata,
+    # not data). eps absorbs double roundoff in the acos bounds.
+    eps = 1e-9
+    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
+
+    def angle(i: int, j: int) -> float:
+        d = sum(a * b for a, b in zip(pivots[i], pivots[j]))
+        c = d / math.sqrt(pn2[i] * pn2[j])
+        return math.acos(max(-1.0, min(1.0, c)))
+
+    # Full (i, j) grid; back ends that want each unordered cluster pair
+    # once filter i <= j (the grid predicate is symmetric). The fold join
+    # keeps the full grid to spread each cluster's pair work evenly (a
+    # triangular grid would concentrate cluster j's work in bucket j) and
+    # drops the mirror orientation by filter before the cosine runs.
+    admissible = [
+        (i, j)
+        for i in radius
+        for j in radius
+        if angle(i, j) - radius[i] - radius[j] <= theta_t + eps
+    ]
+    return assigned, radius, csize, admissible
+
+
 def cosine_pairs_above_bucketed(
     vectors: DataFrame,
     threshold: float,
@@ -259,88 +350,18 @@ def cosine_pairs_above_bucketed(
     construction (inequality, not probability), so the DuckDB oracle matches
     exactly; only cost, never the result, depends on pivot quality.
     """
-    import math
-
-    base = (
-        vectors.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
-        .withColumn("n2", dot(F.col("v"), F.col("v")))
-        # zero-norm vectors have undefined cosine (NULL on both Spark and
-        # DuckDB, so the oracle's `cos >= t` excludes them too) and would
-        # make every cos-to-pivot NULL, crashing the radius collect
-        .where(F.col("n2") > 0)
-    )
-    pivot_rows = (
-        base.orderBy(F.md5(F.col("vid").cast("string")), "vid")
-        .limit(n_pivots)
-        .collect()
-    )
-    pivots = [[float(x) for x in r.v] for r in pivot_rows]
-    pn2 = [sum(x * x for x in p) for p in pivots]
-    k = len(pivots)
-    if k == 0:
-        # empty (or all-zero-norm) input: no pivots exist, and an empty
-        # pivot literal would not even analyze -- return a typed empty frame
+    stage = _angular_stage(vectors, threshold, n_pivots, id_col, vec_col)
+    if stage is None:
+        base = vectors.select(
+            F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+        )
         return base.select(
             F.col("vid").alias("id_a"),
             F.col("vid").alias("id_b"),
             F.lit(0.0).alias("cos"),
         ).where(F.lit(False))
-
-    # nearest pivot by angle == argmax cosine; theta kept for the radius agg.
-    # clamp cos into [-1, 1] before acos (fold roundoff can exceed by 1 ulp).
-    # ONE zip_with over an array-of-arrays pivot literal keeps the
-    # expression tree (and codegen compile time) O(1) in the pivot count
-    # instead of unrolling k fold expressions.
-    cos_arr = F.zip_with(
-        F.lit(pivots),
-        F.lit(pn2),
-        lambda p, pn: dot(F.col("v"), p) / F.sqrt(F.col("n2") * pn),
-    )
-    assigned = (
-        base.withColumn("_cos_arr", cos_arr)
-        .withColumn(
-            "cluster",
-            (F.array_position(F.col("_cos_arr"), F.array_max(F.col("_cos_arr"))) - 1)
-            .cast("int"),
-        )
-        .withColumn(
-            "theta",
-            F.acos(F.least(F.lit(1.0), F.greatest(F.lit(-1.0), F.array_max(F.col("_cos_arr"))))),
-        )
-        .drop("_cos_arr")
-    )
-    # One bounded K-row collect yields BOTH the angular radii (for the
-    # admissibility grid) and the exact cluster sizes (for work-driven salt
-    # sizing below) -- no separate count job.
-    radii_rows = (
-        assigned.groupBy("cluster")
-        .agg(F.max("theta").alias("r"), F.count(F.lit(1)).alias("n"))
-        .collect()
-    )
-    radius = {int(r.cluster): float(r.r) for r in radii_rows}
-    csize = {int(r.cluster): int(r.n) for r in radii_rows}
-
-    # driver-side K x K admissibility grid (K^2 is tiny; this is metadata,
-    # not data). eps absorbs double roundoff in the acos bounds.
-    eps = 1e-9
-    theta_t = math.acos(max(-1.0, min(1.0, threshold)))
-
-    def angle(i: int, j: int) -> float:
-        d = sum(a * b for a, b in zip(pivots[i], pivots[j]))
-        c = d / math.sqrt(pn2[i] * pn2[j])
-        return math.acos(max(-1.0, min(1.0, c)))
-
-    # Full (i, j) grid, deduplicated after the join by the orientation filter
-    # below: a triangular i<=j grid would concentrate all of cluster j's pair
-    # work in bucket j (skew over only K join keys), while the full grid
-    # spreads each cluster's work evenly and the filter drops the mirror
-    # orientation BEFORE the expensive cosine is evaluated.
-    admissible = [
-        (i, j)
-        for i in radius
-        for j in radius
-        if angle(i, j) - radius[i] - radius[j] <= theta_t + eps
-    ]
+    assigned, radius, csize, admissible = stage
+    k = len(radius)
     spark = vectors.sparkSession
     adm = spark.createDataFrame(admissible, "ca int, cb int")
 
@@ -410,6 +431,140 @@ def cosine_pairs_above_bucketed(
     )
 
 
+def cosine_pairs_above_bucketed_blas(
+    vectors: DataFrame,
+    threshold: float,
+    n_pivots: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """The bucketed angular join with a blocked-dgemm back end -- the
+    beyond-one-machine regime of the BLAS kernel (corpus too big to
+    broadcast whole), with the same bit-exactness contract.
+
+    Front half is the SHARED `_angular_stage` (pivot sample, cluster
+    assignment, radii, admissibility grid), so pruning semantics cannot
+    drift from the fold join. Back end: each cluster is cut into blocks of
+    ~`block_rows` rows (hash of the id, deterministic), the admissible
+    cluster-pair grid expands driver-side into a block-pair grid (pure
+    metadata: #blocks is corpus/block_rows, the grid is a few thousand
+    rows), each side of a block pair is tagged with its pair id via a
+    broadcast join, and a cogrouped `applyInPandas` scores one BLOCK PAIR
+    per group: one dgemm for candidates (threshold - 1e-6 margin), then
+    the exact `np.add.accumulate` re-score -- identical math to
+    `cosine_pairs_above_blas`, so results match the fold join bit for bit
+    (test-pinned). Per-group memory is 2 x block_rows x dim doubles
+    (~2 MB), independent of corpus size.
+
+    Scale shape: work and shuffle volume are Sum over admissible block
+    pairs of (|A| + |B|) -- the standard distributed block-nested join.
+    Replication factor is the admissible partner-block count, which
+    pruning shrinks when clusters are tight; with no pruning it is the
+    unavoidable all-pairs volume, evaluated at dgemm speed instead of
+    64-step fold chains per pair (measured 200k x 64, full grid: fold
+    join ~extrapolated tens of minutes; blocked dgemm ~2 min -- see
+    COVERAGE.md r08). Orientation: each unordered block pair appears once
+    (ca <= cb, ia <= ib within a cluster); the same-block group masks by
+    id order, cross-block groups emit ids normalized with min/max."""
+    import numpy as np
+    import pandas as pd
+
+    stage = _angular_stage(vectors, threshold, n_pivots, id_col, vec_col)
+    base_empty = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).select(
+        F.col("vid").alias("id_a"), F.col("vid").alias("id_b"),
+        F.lit(0.0).alias("cos"),
+    ).where(F.lit(False))
+    if stage is None:
+        return base_empty
+    assigned, radius, csize, admissible = stage
+    spark = vectors.sparkSession
+
+    nblk = {c: max(1, -(-csize[c] // block_rows)) for c in csize}
+    pairs = []
+    for ca, cb in admissible:
+        if ca > cb:
+            continue  # symmetric grid; each unordered cluster pair once
+        for ia in range(nblk[ca]):
+            for ib in range(nblk[cb]):
+                if ca == cb and ib < ia:
+                    continue
+                pairs.append((len(pairs), ca, ia, cb, ib))
+    if not pairs:
+        return base_empty
+    bp = spark.createDataFrame(
+        pairs, "pair_id long, ca int, ia int, cb int, ib int"
+    )
+    blk_map = F.create_map(
+        *[x for c, n in nblk.items() for x in (F.lit(c), F.lit(n))]
+    )
+    rows = assigned.withColumn(
+        "blk",
+        F.pmod(F.hash("vid"), F.element_at(blk_map, F.col("cluster"))).cast("int"),
+    ).select("vid", "v", "n2", "cluster", "blk")
+    # Side-tagged union instead of a cogroup: both sides derive from the
+    # same (bp x rows) lineage, which the ambiguous-self-join analyzer
+    # rejects as a cogroup; a union has no join to disambiguate. side=0
+    # rows are the block-pair's A block, side=1 its B block; same-block
+    # pairs ship their rows ONCE (side=0) and self-score.
+    same_block_pred = (F.col("ca") == F.col("cb")) & (F.col("ia") == F.col("ib"))
+    left = bp.join(
+        rows, (bp.ca == rows.cluster) & (bp.ia == rows.blk)
+    ).select("pair_id", "ca", "ia", "cb", "ib", "vid", "v", "n2",
+             F.lit(0).alias("side"))
+    right = bp.where(~same_block_pred).join(
+        rows, (bp.cb == rows.cluster) & (bp.ib == rows.blk)
+    ).select("pair_id", "ca", "ia", "cb", "ib", "vid", "v", "n2",
+             F.lit(1).alias("side"))
+    tagged = left.unionByName(right)
+    margin = 1e-6
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        a_pdf = pdf[pdf["side"] == 0]
+        b_pdf = pdf[pdf["side"] == 1]
+        if len(a_pdf) == 0:
+            return empty
+        meta = a_pdf.iloc[0]
+        same_block = meta["ca"] == meta["cb"] and meta["ia"] == meta["ib"]
+        if len(b_pdf) == 0:
+            if not same_block:
+                return empty  # partner block hashed empty -> no pairs
+            b_pdf = a_pdf
+        ids_a = a_pdf["vid"].to_numpy(dtype="int64")
+        A = np.array(a_pdf["v"].tolist(), dtype=np.float64)
+        n2a = a_pdf["n2"].to_numpy(dtype="float64")
+        ids_b = b_pdf["vid"].to_numpy(dtype="int64")
+        B = np.array(b_pdf["v"].tolist(), dtype=np.float64)
+        n2b = b_pdf["n2"].to_numpy(dtype="float64")
+        S = (A / np.sqrt(n2a)[:, None]) @ (B / np.sqrt(n2b)[:, None]).T
+        mask = S >= threshold - margin
+        if same_block:
+            # every unordered pair appears at both (i,j) and (j,i) in the
+            # self product; id order keeps exactly one
+            mask &= ids_b[None, :] > ids_a[:, None]
+        ii, jj = np.nonzero(mask)
+        if len(ii) == 0:
+            return empty
+        dots = np.add.accumulate(A[ii] * B[jj], axis=1)[:, -1]
+        cos = dots / np.sqrt(n2a[ii] * n2b[jj])
+        keep = cos >= threshold
+        ia_, ib_ = ids_a[ii[keep]], ids_b[jj[keep]]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia_, ib_),
+                "id_b": np.maximum(ia_, ib_),
+                "cos": cos[keep],
+            }
+        )
+
+    return tagged.groupby("pair_id").applyInPandas(
+        lambda pdf: score(pdf), "id_a long, id_b long, cos double"
+    )
+
+
 def cosine_pairs_above_auto(
     vectors: DataFrame,
     threshold: float,
@@ -427,18 +582,22 @@ def cosine_pairs_above_auto(
       `cosine_pairs_above` as the small/medium branch in r08 -- measured
       at the sf1 spot-bench (20k x 64): fold-join 87 s, BLAS ~2 s, and it
       is not slower at sf0.01/sf0.1 sizes; or
-    * `cosine_pairs_above_bucketed` otherwise: the exact pivot-partitioned
-      angular equi-join whose work scales with admissible cluster pairs,
-      not n^2, and whose salting is sized from measured cluster sizes.
+    * `cosine_pairs_above_bucketed_blas` otherwise: the pivot-partitioned
+      angular join with the blocked-dgemm back end -- admissibility
+      pruning from the shared `_angular_stage`, block pairs scored at
+      BLAS speed (measured 200k x 64 full grid: 126 s vs ~2.8 h
+      extrapolated for the fold back end, r08).
 
     All branches return bit-identical pairs (each is exact), so the choice
     is pure cost, never semantics -- the same contract as AQE swapping a
-    physical join strategy at runtime.
+    physical join strategy at runtime. The fold back end
+    (`cosine_pairs_above_bucketed`) stays as the all-JVM reference
+    implementation the equivalence tests compare against.
     """
     n = vectors.count()
     if n <= _PAIRS_MATMUL_MAX_ROWS:
         return cosine_pairs_above_blas(vectors, threshold, id_col, vec_col)
-    return cosine_pairs_above_bucketed(
+    return cosine_pairs_above_bucketed_blas(
         vectors, threshold, n_pivots, id_col, vec_col
     )
 

@@ -161,3 +161,26 @@ def test_blas_cosine_pairs_match_bruteforce_exactly(spark, sf_dir):
     )
     got = {(r.id_a, r.id_b) for r in S.cosine_pairs_above_blas(z, 0.4).collect()}
     assert got == {(3, 4)}
+
+
+def test_bucketed_blas_cosine_pairs_match_bruteforce_exactly(spark, sf_dir):
+    """The blocked-dgemm back end of the bucketed angular join (r08) must
+    return the identical pair set and bit-identical cosines as the O(n^2)
+    baseline -- same contract as the fold back end and the broadcast BLAS
+    kernel. block_rows=256 forces multi-block clusters on the fixture so
+    same-block, cross-block and cross-cluster groups all execute."""
+    e = load_table(spark, sf_dir, "embeddings")
+    brute = {(r.id_a, r.id_b): r.cos for r in S.cosine_pairs_above(e, 0.4).collect()}
+    blocked = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.cosine_pairs_above_bucketed_blas(
+            e, 0.4, block_rows=256
+        ).collect()
+    }
+    assert brute, "fixtures should contain qualifying pairs"
+    assert set(brute) == set(blocked)
+    assert all(brute[k] == blocked[k] for k in brute)
+
+    # empty input degrades to a typed empty frame, like the fold back end
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert S.cosine_pairs_above_bucketed_blas(empty, 0.4).count() == 0
