@@ -38,11 +38,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _SWEEP_PRIORITY = [
     # new/changed this round: misra_gries_topk (seventh sketch family,
     # deterministic Misra-Gries summary merge -- VERDICT r07 #6);
+    # quantile_sketch_refined (two-pass 128x-tighter quantile refinement);
     # dedup_embedding_cosine (auto selector now routes <=128k-row corpora
     # through the new BLAS prefilter + exact-verify kernel);
     # streaming_pipeline_parity (explicit coalesce(1) replaces the
     # file-size accident its single-partition determinism relied on)
-    "misra_gries_topk", "dedup_embedding_cosine", "streaming_pipeline_parity",
+    "misra_gries_topk", "quantile_sketch_refined",
+    "dedup_embedding_cosine", "streaming_pipeline_parity",
     # the 11 text-family queries whose code changed in r07 with no driver
     # re-check since (the changed-code rule; delegation made the
     # expressions identical by construction, but the freshest text code
@@ -55,7 +57,7 @@ _SWEEP_PRIORITY = [
     # covers the fifth) -- four rounds stale, the rotation invariant says
     # they lead everything except changed code:
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
-    # 32 of the 43 remaining r04-evidenced queries (3 + 11 + 4 + 32 = 50).
+    # 31 of the 43 remaining r04-evidenced queries (4 + 11 + 4 + 31 = 50).
     # Core reference-parity rows and the ANN family first (the verdict's
     # named priorities), then the rest:
     "allowlist_projection", "json_envelope", "minmax_agg", "between_filter",
@@ -67,9 +69,8 @@ _SWEEP_PRIORITY = [
     "q18_large_volume_customer", "q20_potential_promotion",
     "contamination_check", "count_distinct", "fuzzy_levenshtein_pairs",
     "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
-    "multimodal_media_metadata", "pandas_udf_quality", "percentiles",
-    "agg_rollup",
-    # The 11 r04 overflow entries below lead the r09 sweep. Deferral
+    "multimodal_media_metadata", "pandas_udf_quality", "agg_rollup",
+    # The 12 r04 overflow entries below lead the r09 sweep. Deferral
     # justifications (each has a same-shape sibling IN this sweep or
     # r05+ evidence, and none had code changes since r04):
     # agg_cube / agg_grouping_sets: single-scan grouping-variant siblings
@@ -89,11 +90,14 @@ _SWEEP_PRIORITY = [
     # posexplode_terms: explode+aggregate sibling of term_frequencies
     #   (this sweep's head);
     # unpivot_part_metrics: stateless stack() reshape, inverse of
-    #   pivot_status (r05 green), zero joins.
+    #   pivot_status (r05 green), zero joins;
+    # percentiles: single-scan exact-percentile aggregate, siblings
+    #   percentile_approx (r05) and the two hash-green quantile sketches.
     "agg_cube", "agg_grouping_sets", "exists_semi_subquery",
     "in_subquery_large_orders", "not_exists_anti_subquery",
     "correlated_subquery", "join_left_outer", "multimodal_frame_sample",
     "string_agg_ordered", "posexplode_terms", "unpivot_part_metrics",
+    "percentiles",
 ]
 # Round-9 rotation preview: after the r08 sweep the ledger is 0 entries
 # older than r05; the r09 head is the 9 r04 overflow entries above, then

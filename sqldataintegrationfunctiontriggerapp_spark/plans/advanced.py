@@ -985,3 +985,244 @@ def quantile_sketch(df: DataFrame, value_col: str) -> DataFrame:
         F.col("q99.est").alias("est_p99"),
         F.col("q99.cum").cast("long").alias("n_le_p99"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-pass refined quantile sketch (iterative histogram narrowing)
+# --------------------------------------------------------------------------
+
+_QSK_IDX = (
+    f"CASE WHEN hi > lo THEN LEAST({_QSK_B - 1}, GREATEST(0,"
+    f" CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / {_QSK_B}.0))"
+    f" AS INT))) ELSE 0 END"
+)
+
+
+@register(
+    "quantile_sketch_refined",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM lineitem
+    ),
+    b1 AS (SELECT {_QSK_IDX} AS idx FROM lineitem, bounds),
+    h1 AS (SELECT idx, COUNT(*) AS cnt FROM b1 GROUP BY idx),
+    c1 AS (
+        SELECT idx, cnt, SUM(cnt) OVER (ORDER BY idx) AS cum,
+               SUM(cnt) OVER () AS n
+        FROM h1
+    ),
+    targets(tag, p) AS (
+        SELECT * FROM (VALUES ('p50', 0.5), ('p90', 0.9), ('p99', 0.99))
+    ),
+    sel AS (
+        SELECT t.tag, t.p,
+               MIN(c1.idx) FILTER (WHERE c1.cum >= CEIL(t.p * c1.n)) AS bidx,
+               MAX(c1.n) AS n
+        FROM c1, targets t GROUP BY t.tag, t.p
+    ),
+    selx AS (
+        SELECT s.tag, s.p, s.bidx, s.n, c1.cum - c1.cnt AS cum_before
+        FROM sel s JOIN c1 ON c1.idx = s.bidx
+    ),
+    p2 AS (
+        SELECT s.tag, s.p, s.bidx, s.cum_before, s.n, b.lo, b.hi,
+               CASE WHEN b.hi > b.lo THEN LEAST({_QSK_B - 1}, GREATEST(0,
+                   CAST(FLOOR((l.l_extendedprice
+                        - (b.lo + s.bidx * ((b.hi - b.lo) / {_QSK_B}.0)))
+                       / (((b.hi - b.lo) / {_QSK_B}.0) / {_QSK_B}.0))
+                       AS INT))) ELSE 0 END AS idx2
+        FROM lineitem l, bounds b, selx s
+        WHERE (CASE WHEN b.hi > b.lo THEN LEAST({_QSK_B - 1}, GREATEST(0,
+                   CAST(FLOOR((l.l_extendedprice - b.lo)
+                        / ((b.hi - b.lo) / {_QSK_B}.0)) AS INT)))
+               ELSE 0 END) = s.bidx
+    ),
+    h2 AS (
+        SELECT tag, idx2, COUNT(*) AS c2,
+               MAX(p) AS p, MAX(bidx) AS bidx, MAX(cum_before) AS cum_before,
+               MAX(n) AS n, MAX(lo) AS lo, MAX(hi) AS hi
+        FROM p2 GROUP BY tag, idx2
+    ),
+    c2 AS (
+        SELECT h2.*, SUM(c2) OVER (PARTITION BY tag ORDER BY idx2) AS cum2
+        FROM h2
+    ),
+    fin AS (
+        SELECT tag,
+               MAX(n) AS n,
+               MAX(CASE WHEN hi > lo
+                   THEN lo + (bidx + 1) * ((hi - lo) / {_QSK_B}.0) END)
+                   AS est_coarse,
+               MIN(CASE WHEN cum2 >= CEIL(p * n) - cum_before AND hi > lo
+                   THEN lo + bidx * ((hi - lo) / {_QSK_B}.0)
+                        + (idx2 + 1) * (((hi - lo) / {_QSK_B}.0) / {_QSK_B}.0)
+                   END) AS est_refined,
+               MIN(CASE WHEN cum2 >= CEIL(p * n) - cum_before
+                   THEN cum_before + cum2 END) AS n_le,
+               MAX(CASE WHEN hi > lo
+                   THEN ((hi - lo) / {_QSK_B}.0) / {_QSK_B}.0 END)
+                   AS bound_width
+        FROM c2 GROUP BY tag
+    )
+    SELECT tag AS quantile, CAST(n AS BIGINT) AS n_total,
+           est_coarse, est_refined, CAST(n_le AS BIGINT) AS n_le, bound_width
+    FROM fin
+    """,
+)
+def quantile_sketch_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass refined quantiles -- the iterative-narrowing refinement of
+    quantile_sketch_merge (VERDICT r07 #6's second option, the t-digest-
+    style accuracy upgrade): pass 1 builds the fixed-domain B=128 histogram
+    and locates, for each target p, the bucket holding the p-th value;
+    pass 2 re-histograms ONLY that bucket's rows over the bucket's own
+    [start, end) domain with another 128 cells, tightening the estimate's
+    guarantee from (hi-lo)/128 to (hi-lo)/128^2 -- two scans buy 128x
+    accuracy with the same fixed sketch memory, the classic multi-round
+    refinement a production quantile service runs when one-pass error is
+    too wide.
+
+    Everything stays deterministic IEEE arithmetic (same lo/hi, same
+    bucket edges, computed identically in both engines), so the oracle
+    hash-checks coarse AND refined estimates, the within-bucket cumulative
+    counts, and the refined bound width exactly -- no tolerance. Output is
+    one row per quantile (p50/p90/p99): n_total, est_coarse (pass-1 upper
+    edge), est_refined (pass-2 upper edge), n_le (exact count at or below
+    the refined estimate), bound_width.
+
+    Plan shape: pass 1 is the quantile_sketch aggregate (map-side partial
+    agg to <=B cells, bounded metadata read-off); its ONE-ROW result melts
+    into a 3-row (tag, p, bucket, cum_before) params frame that broadcasts
+    back into the second scan (the allowlisted 1-row/bounded
+    BroadcastNestedLoopJoin idiom, twice). Pass 2 filters each row against
+    its tag's bucket BEFORE shuffling -- only the three target buckets'
+    rows (~3/128 of the data) reach the second aggregate, which again
+    collapses to <=3*B cells. Degenerate constant column (hi == lo)
+    degrades like the base sketch: every row routes to bucket 0, counts
+    stay exact, all estimates and the bound come back NULL (guarded CASE
+    on both engines)."""
+    return quantile_refine(load_table(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
+def quantile_refine(df: DataFrame, value_col: str) -> DataFrame:
+    """The two-pass construction behind quantile_sketch_refined, over any
+    DataFrame/column (extracted like quantile_sketch so degenerate-input
+    property tests can drive it directly)."""
+    from pyspark.sql import Window
+
+    B = _QSK_B
+    li = df.select(F.col(value_col).alias("x"))
+    bounds = li.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    w = (F.col("hi") - F.col("lo")) / F.lit(float(B))
+
+    def idx_of(col):
+        return F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(B - 1),
+                F.greatest(F.lit(0), F.floor((col - F.col("lo")) / w).cast("int")),
+            ),
+        ).otherwise(F.lit(0))
+
+    tagged = li.crossJoin(F.broadcast(bounds)).select(
+        "x", idx_of(F.col("x")).alias("idx"), "lo", "hi"
+    )
+    h1 = tagged.groupBy("idx").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+    w_cum = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.orderBy("idx").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c1 = h1.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "n", F.sum("cnt").over(w_all)
+    )
+
+    def pick(p: float):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        return F.min(
+            F.when(F.col("cum") >= target, F.struct("idx", "cum", "cnt"))
+        )
+
+    p1 = c1.agg(
+        F.max("n").alias("n"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+        pick(0.5).alias("s50"),
+        pick(0.9).alias("s90"),
+        pick(0.99).alias("s99"),
+    )
+    params = p1.select(
+        "n",
+        "lo",
+        "hi",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tag).alias("tag"),
+                        F.lit(p).alias("p"),
+                        F.col(s + ".idx").alias("bidx"),
+                        (F.col(s + ".cum") - F.col(s + ".cnt")).alias("cum_before"),
+                    )
+                    for tag, p, s in (
+                        ("p50", 0.5, "s50"),
+                        ("p90", 0.9, "s90"),
+                        ("p99", 0.99, "s99"),
+                    )
+                ]
+            )
+        ).alias("t"),
+    ).select("n", "lo", "hi", "t.tag", "t.p", "t.bidx", "t.cum_before")
+
+    bstart = F.col("lo") + F.col("bidx") * w
+    w2 = w / F.lit(float(B))
+    idx2 = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(B - 1),
+            F.greatest(
+                F.lit(0), F.floor((F.col("x") - bstart) / w2).cast("int")
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    pass2 = (
+        li.crossJoin(F.broadcast(params))
+        .where(idx_of(F.col("x")) == F.col("bidx"))
+        .select("tag", "p", "bidx", "cum_before", "n", "lo", "hi", idx2.alias("idx2"))
+    )
+    h2 = pass2.groupBy("tag", "idx2").agg(
+        F.count(F.lit(1)).alias("c2"),
+        F.first("p").alias("p"),
+        F.first("bidx").alias("bidx"),
+        F.first("cum_before").alias("cum_before"),
+        F.first("n").alias("n"),
+        F.first("lo").alias("lo"),
+        F.first("hi").alias("hi"),
+    )
+    w_tag = (
+        Window.partitionBy("tag").orderBy("idx2").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c2 = h2.withColumn("cum2", F.sum("c2").over(w_tag))
+    hit = F.col("cum2") >= F.ceil(F.col("p") * F.col("n")) - F.col("cum_before")
+    nondeg = F.col("hi") > F.col("lo")
+    est_refined = bstart + (F.col("idx2") + 1) * w2
+    fin = c2.groupBy("tag").agg(
+        F.max("n").alias("n"),
+        F.max(F.when(nondeg, F.col("lo") + (F.col("bidx") + 1) * w)).alias(
+            "est_coarse"
+        ),
+        F.min(F.when(hit & nondeg, est_refined)).alias("est_refined"),
+        F.min(F.when(hit, F.col("cum_before") + F.col("cum2"))).alias("n_le"),
+        F.max(F.when(nondeg, w2)).alias("bound_width"),
+    )
+    return fin.select(
+        F.col("tag").alias("quantile"),
+        F.col("n").cast("long").alias("n_total"),
+        "est_coarse",
+        "est_refined",
+        F.col("n_le").cast("long").alias("n_le"),
+        "bound_width",
+    )

@@ -121,3 +121,97 @@ def test_quantile_sketch_constant_column_degrades_to_nulls(spark):
     (orow,) = con.execute(ORACLES["quantile_sketch_merge"]).fetchall()
     cols = [d[0] for d in con.description]
     assert dict(zip(cols, orow)) == row.asDict()
+
+
+def test_quantile_refined_matches_numpy_and_tightens_bound(spark, sf_dir):
+    """Independent numpy reference for quantile_sketch_refined: replicate
+    both histogram passes from the raw parquet and compare every output
+    cell; then assert the refinement CONTRACT -- the refined estimate's
+    bucket is 128x narrower than the coarse one and the true p-th value
+    lies within (est_refined - bound_width, est_refined]."""
+    import math
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans import QUERIES
+
+    x = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"])[
+        "l_extendedprice"
+    ].to_numpy()
+    lo, hi = float(x.min()), float(x.max())
+    B = 128
+    w = (hi - lo) / B
+    w2 = w / B
+    idx = np.clip(np.floor((x - lo) / w).astype("int64"), 0, B - 1)
+    hist = np.bincount(idx, minlength=B)
+    cum = hist.cumsum()
+    n = int(cum[-1])
+    exp = {}
+    xs = np.sort(x)
+    for p, tag in ((0.5, "p50"), (0.9, "p90"), (0.99, "p99")):
+        target = math.ceil(p * n)
+        b = int(np.argmax(cum >= target))
+        cum_before = int(cum[b - 1]) if b else 0
+        bstart = lo + b * w
+        inb = x[idx == b]
+        idx2 = np.clip(np.floor((inb - bstart) / w2).astype("int64"), 0, B - 1)
+        h2 = np.bincount(idx2, minlength=B)
+        c2 = h2.cumsum()
+        j = int(np.argmax(c2 >= target - cum_before))
+        exp[tag] = {
+            "n_total": n,
+            "est_coarse": lo + (b + 1) * w,
+            "est_refined": bstart + (j + 1) * w2,
+            "n_le": cum_before + int(c2[j]),
+            "bound_width": w2,
+        }
+        # contract: the true p-th smallest value sits in the refined bucket
+        true_p = xs[target - 1]
+        assert true_p <= exp[tag]["est_refined"]
+        assert true_p > exp[tag]["est_refined"] - w2 - 1e-9
+    got = {
+        r.quantile: r
+        for r in QUERIES["quantile_sketch_refined"](spark, sf_dir).collect()
+    }
+    for tag, e in exp.items():
+        r = got[tag]
+        assert (r.n_total, r.est_coarse, r.est_refined, r.n_le, r.bound_width) == (
+            e["n_total"], e["est_coarse"], e["est_refined"], e["n_le"],
+            e["bound_width"],
+        )
+
+
+def test_quantile_refined_constant_column_degrades_to_nulls(spark):
+    """Degenerate-domain guard for the two-pass sketch, BOTH engines: a
+    constant column yields exact counts, NULL estimates and NULL bound on
+    the Spark side and the identical rows from the DuckDB oracle."""
+    import duckdb
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans import ORACLES
+    from sqldataintegrationfunctiontriggerapp_spark.plans.advanced import (
+        quantile_refine,
+    )
+
+    df = spark.createDataFrame([(7.5,)] * 10, "v double").repartition(3)
+    rows = {r.quantile: r for r in quantile_refine(df, "v").collect()}
+    assert set(rows) == {"p50", "p90", "p99"}
+    for r in rows.values():
+        assert r.n_total == 10 and r.n_le == 10
+        assert r.est_coarse is None and r.est_refined is None
+        assert r.bound_width is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT 7.5 AS l_extendedprice FROM range(10)"
+    )
+    orows = con.execute(ORACLES["quantile_sketch_refined"]).fetchall()
+    cols = [d[0] for d in con.description]
+    for orow in orows:
+        d = dict(zip(cols, orow))
+        r = rows[d["quantile"]]
+        assert d == {
+            "quantile": r.quantile, "n_total": r.n_total,
+            "est_coarse": r.est_coarse, "est_refined": r.est_refined,
+            "n_le": r.n_le, "bound_width": r.bound_width,
+        }
