@@ -237,3 +237,43 @@ def test_throttle_time_ordered_batches_equal_global_greedy():
                 exp.append(t)
                 last = t
         assert got == exp, (trial, gap, ts)
+
+
+def test_throttle_walk_matches_naive_loop():
+    """The searchsorted quiet-window walk (r08) must equal the row-at-a-time
+    reference on random data: same emissions, same final last_emit, across
+    gap sizes, duplicate timestamps, and carried-in state."""
+    import numpy as np
+    import pandas as pd
+
+    from sqldataintegrationfunctiontriggerapp_spark.streaming.stateful import (
+        _throttle_walk,
+    )
+
+    rng = np.random.default_rng(13)
+    base = np.datetime64("2024-01-01T00:00:00")
+    for trial in range(30):
+        n = int(rng.integers(0, 400))
+        ts = np.sort(
+            base + rng.integers(0, 3_000_000, size=n).astype("timedelta64[s]")
+        )
+        if n and trial % 3 == 0:
+            ts = np.sort(np.concatenate([ts, ts[: n // 3]]))  # duplicates
+        gap_s = int(rng.integers(1, 100_000))
+        gap = np.timedelta64(gap_s, "s")
+        carried = (
+            None
+            if trial % 2
+            else pd.Timestamp(base + np.timedelta64(int(rng.integers(0, 2_000_000)), "s"))
+        )
+        exp, exp_last = [], carried
+        for t in ts:
+            if exp_last is None or t - exp_last >= gap:
+                exp.append(t)
+                exp_last = t
+        got, got_last = _throttle_walk(ts, carried, gap)
+        assert [pd.Timestamp(x) for x in got] == [pd.Timestamp(x) for x in exp]
+        if exp_last is None:
+            assert got_last is None
+        else:
+            assert pd.Timestamp(got_last) == pd.Timestamp(exp_last)
