@@ -42,9 +42,13 @@ _SWEEP_PRIORITY = [
     # dedup_embedding_cosine (auto selector now routes <=128k-row corpora
     # through the new BLAS prefilter + exact-verify kernel);
     # streaming_pipeline_parity (explicit coalesce(1) replaces the
-    # file-size accident its single-partition determinism relied on)
+    # file-size accident its single-partition determinism relied on);
+    # streaming_throttle_parity + streaming_entity_stats_parity (the
+    # fused stateful replay's quiet-window walk is now the searchsorted
+    # jump -- streaming/stateful.py changed)
     "misra_gries_topk", "quantile_sketch_refined",
     "dedup_embedding_cosine", "streaming_pipeline_parity",
+    "streaming_throttle_parity", "streaming_entity_stats_parity",
     # the 11 text-family queries whose code changed in r07 with no driver
     # re-check since (the changed-code rule; delegation made the
     # expressions identical by construction, but the freshest text code
@@ -57,7 +61,7 @@ _SWEEP_PRIORITY = [
     # covers the fifth) -- four rounds stale, the rotation invariant says
     # they lead everything except changed code:
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
-    # 31 of the 43 remaining r04-evidenced queries (4 + 11 + 4 + 31 = 50).
+    # 29 of the 43 remaining r04-evidenced queries (6 + 11 + 4 + 29 = 50).
     # Core reference-parity rows and the ANN family first (the verdict's
     # named priorities), then the rest:
     "allowlist_projection", "json_envelope", "minmax_agg", "between_filter",
@@ -69,8 +73,8 @@ _SWEEP_PRIORITY = [
     "q18_large_volume_customer", "q20_potential_promotion",
     "contamination_check", "count_distinct", "fuzzy_levenshtein_pairs",
     "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
-    "multimodal_media_metadata", "pandas_udf_quality", "agg_rollup",
-    # The 12 r04 overflow entries below lead the r09 sweep. Deferral
+    "agg_rollup",
+    # The 14 r04 overflow entries below lead the r09 sweep. Deferral
     # justifications (each has a same-shape sibling IN this sweep or
     # r05+ evidence, and none had code changes since r04):
     # agg_cube / agg_grouping_sets: single-scan grouping-variant siblings
@@ -83,8 +87,11 @@ _SWEEP_PRIORITY = [
     #   zero code churn since r03;
     # join_left_outer: single equi-join sibling of join_full_outer (r05)
     #   and join_broadcast_star (this sweep);
-    # multimodal_frame_sample: sibling of multimodal_media_metadata (this
-    #   sweep) and multimodal_chunk_energy (r07) over the same stub;
+    # multimodal_frame_sample + multimodal_media_metadata: siblings of
+    #   multimodal_chunk_energy (r07) and multimodal_feature_extract (r05)
+    #   over the same stub;
+    # pandas_udf_quality: Arrow-UDF sibling of grouped_applyinpandas_scale
+    #   (this sweep) with an expression-twin oracle;
     # string_agg_ordered: stateless sort_array aggregate, same shape as
     #   map_agg_event_counts (r07 green);
     # posexplode_terms: explode+aggregate sibling of term_frequencies
@@ -96,6 +103,7 @@ _SWEEP_PRIORITY = [
     "agg_cube", "agg_grouping_sets", "exists_semi_subquery",
     "in_subquery_large_orders", "not_exists_anti_subquery",
     "correlated_subquery", "join_left_outer", "multimodal_frame_sample",
+    "multimodal_media_metadata", "pandas_udf_quality",
     "string_agg_ordered", "posexplode_terms", "unpivot_part_metrics",
     "percentiles",
 ]
