@@ -45,10 +45,13 @@ _SWEEP_PRIORITY = [
     # file-size accident its single-partition determinism relied on);
     # streaming_throttle_parity + streaming_entity_stats_parity (the
     # fused stateful replay's quiet-window walk is now the searchsorted
-    # jump -- streaming/stateful.py changed)
+    # jump -- streaming/stateful.py changed);
+    # quantile_sketch_merge (oracle now interpolates the shared _QSK_IDX
+    # bucket rule -- whitespace-identical SQL, but the string changed)
     "misra_gries_topk", "quantile_sketch_refined",
     "dedup_embedding_cosine", "streaming_pipeline_parity",
     "streaming_throttle_parity", "streaming_entity_stats_parity",
+    "quantile_sketch_merge",
     # the 11 text-family queries whose code changed in r07 with no driver
     # re-check since (the changed-code rule; delegation made the
     # expressions identical by construction, but the freshest text code
@@ -61,7 +64,7 @@ _SWEEP_PRIORITY = [
     # covers the fifth) -- four rounds stale, the rotation invariant says
     # they lead everything except changed code:
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
-    # 29 of the 43 remaining r04-evidenced queries (6 + 11 + 4 + 29 = 50).
+    # 28 of the 43 remaining r04-evidenced queries (7 + 11 + 4 + 28 = 50).
     # Core reference-parity rows and the ANN family first (the verdict's
     # named priorities), then the rest:
     "allowlist_projection", "json_envelope", "minmax_agg", "between_filter",
@@ -71,10 +74,10 @@ _SWEEP_PRIORITY = [
     "q1_pricing_summary", "q3_shipping_priority", "q13_order_distribution",
     "q2_min_cost_supplier", "q11_important_stock", "q15_top_supplier",
     "q18_large_volume_customer", "q20_potential_promotion",
-    "contamination_check", "count_distinct", "fuzzy_levenshtein_pairs",
+    "contamination_check", "fuzzy_levenshtein_pairs",
     "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
     "agg_rollup",
-    # The 14 r04 overflow entries below lead the r09 sweep. Deferral
+    # The 15 r04 overflow entries below lead the r09 sweep. Deferral
     # justifications (each has a same-shape sibling IN this sweep or
     # r05+ evidence, and none had code changes since r04):
     # agg_cube / agg_grouping_sets: single-scan grouping-variant siblings
@@ -99,7 +102,10 @@ _SWEEP_PRIORITY = [
     # unpivot_part_metrics: stateless stack() reshape, inverse of
     #   pivot_status (r05 green), zero joins;
     # percentiles: single-scan exact-percentile aggregate, siblings
-    #   percentile_approx (r05) and the two hash-green quantile sketches.
+    #   percentile_approx (r05) and the two hash-green quantile sketches;
+    # count_distinct: single-scan distinct aggregate, sibling
+    #   approx_count_distinct (r05 green, stricter contract).
+    "count_distinct",
     "agg_cube", "agg_grouping_sets", "exists_semi_subquery",
     "in_subquery_large_orders", "not_exists_anti_subquery",
     "correlated_subquery", "join_left_outer", "multimodal_frame_sample",
@@ -107,10 +113,10 @@ _SWEEP_PRIORITY = [
     "string_agg_ordered", "posexplode_terms", "unpivot_part_metrics",
     "percentiles",
 ]
-# Round-9 rotation preview: after the r08 sweep the ledger is 0 entries
-# older than r05; the r09 head is the 9 r04 overflow entries above, then
-# the 48 r05-evidenced queries fill the rest of the budget (9 + 41 of 48;
-# the ~7 overflow r05 entries lead r10).
+# Round-9 rotation preview: after the r08 sweep the oldest evidence is the
+# 14 r04 overflow entries above -- they lead the r09 head, then the
+# r05-evidenced queries fill the rest of the budget (14 + 36 of the 48
+# r05 entries not re-checked in r08; the overflow r05 entries lead r10).
 
 
 def _ordered(d: dict) -> dict:

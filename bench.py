@@ -34,6 +34,18 @@ def _warm_fn(s: pd.Series) -> pd.Series:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Validate any query-subset filter BEFORE the expensive session/warmup
+    # startup, and name the offenders (a typo used to surface as a bare
+    # KeyError after ~20 s of JVM warmup).
+    from sqldataintegrationfunctiontriggerapp_spark import plans as _plans
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    if only:
+        wanted = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in _plans.QUERIES]
+        if unknown:
+            raise SystemExit(
+                f"SPARK_GRAFT_BENCH_QUERIES names not in the registry: {unknown}"
+            )
     # The JVM child inherits fd 1 and can write banners/progress into stdout,
     # which breaks the driver's json.loads of our one-line contract. Save the
     # real stdout, point fd 1 (and sys.stdout) at stderr for the whole run,
@@ -66,13 +78,11 @@ def main() -> None:
     # order keeps per-query times comparable round over round.
     from sqldataintegrationfunctiontriggerapp_spark import plans
     # Optional subset for spot-benches at other scale factors (e.g. the sf1
-    # scaling table in COVERAGE.md): SPARK_GRAFT_BENCH_QUERIES="q1,q7".
-    # The driver's per-round run sets no filter and measures the full suite.
-    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    # scaling table in COVERAGE.md): SPARK_GRAFT_BENCH_QUERIES="q1,q7",
+    # validated against the registry above BEFORE session startup. The
+    # driver's per-round run sets no filter and measures the full suite.
     selected = (
-        {n: plans.QUERIES[n] for n in (s.strip() for s in only.split(",")) if n}
-        if only
-        else plans.QUERIES
+        {n: plans.QUERIES[n] for n in wanted} if only else plans.QUERIES
     )
     for name, fn in selected.items():
         t0 = time.time()

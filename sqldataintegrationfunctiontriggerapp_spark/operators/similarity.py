@@ -116,15 +116,6 @@ def cosine_pairs_above(
 # (calibrated at sf0.1, round 2 -> 3).
 _SALT_TARGET_PAIRS = 100_000
 
-# Corpus-size cutover for cosine_pairs_above_auto: below this the whole
-# corpus of 64-dim doubles broadcasts in ~16 MB (well under Spark's own
-# 10 MB-per-table autoBroadcast default only because it is ONE table) and a
-# single-scan broadcast nested loop beats the angular join's two metadata
-# jobs; above it the O(n^2) scan loses and the bucketed equi-join takes
-# over. Same selection-by-estimated-size principle as Spark's broadcast
-# join threshold. Measured at sf0.1 (2k rows: 1.4 s vs 6.5 s) round 3.
-_PAIRS_BROADCAST_MAX_ROWS = 32_768
-
 # Corpus-size cutover for the BLAS pair kernel: the whole corpus matrix is
 # collected to the driver and broadcast (sc.broadcast, one torrent transfer
 # per executor), so the bound is a MEMORY bound, not a work bound --

@@ -783,6 +783,16 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QSK_B = 128  # buckets per sketch; the one knob -- oracle derives from it too
 
+# The pass-1 bucket-index rule, shared VERBATIM by the quantile_sketch_merge
+# oracle and quantile_sketch_refined's (whose pass-1 buckets must match the
+# base sketch by construction) -- one definition so the clamp/divisor can
+# never desynchronize between the base sketch and its refinement.
+_QSK_IDX = (
+    f"CASE WHEN hi > lo THEN LEAST({_QSK_B - 1}, GREATEST(0,"
+    f" CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / {_QSK_B}.0))"
+    f" AS INT))) ELSE 0 END"
+)
+
 
 @register(
     "quantile_sketch_merge",
@@ -792,9 +802,7 @@ _QSK_B = 128  # buckets per sketch; the one knob -- oracle derives from it too
         FROM lineitem
     ),
     bkt AS (
-        SELECT CASE WHEN hi > lo THEN LEAST({_QSK_B - 1}, GREATEST(0,
-            CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / {_QSK_B}.0))
-                 AS INT))) ELSE 0 END AS idx
+        SELECT {_QSK_IDX} AS idx
         FROM lineitem, bounds
     ),
     hist AS (SELECT idx, COUNT(*) AS cnt FROM bkt GROUP BY idx),
@@ -989,13 +997,8 @@ def quantile_sketch(df: DataFrame, value_col: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Two-pass refined quantile sketch (iterative histogram narrowing)
+# -- pass-1 bucket rule is the shared _QSK_IDX defined beside _QSK_B above
 # --------------------------------------------------------------------------
-
-_QSK_IDX = (
-    f"CASE WHEN hi > lo THEN LEAST({_QSK_B - 1}, GREATEST(0,"
-    f" CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / {_QSK_B}.0))"
-    f" AS INT))) ELSE 0 END"
-)
 
 
 @register(

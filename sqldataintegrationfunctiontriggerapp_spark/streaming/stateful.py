@@ -121,6 +121,11 @@ def _throttle_walk(ts_sorted, last_emit, gap):
         # GroupState hands timestamps back as plain datetime (object dtype);
         # normalize so the datetime64 arithmetic below resolves
         last_emit = np.datetime64(pd.Timestamp(last_emit))
+    # a NULL event time can neither be emitted nor arm the window -- drop it
+    # (SQL-comparison semantics). Load-bearing: NaT sorts last and compares
+    # False in the binary search, so one null timestamp would stall the
+    # searchsorted jump below and hang the streaming task (r08 self-review).
+    ts_sorted = ts_sorted[~np.isnat(ts_sorted)]
     out = []
     i, n = 0, len(ts_sorted)
     while i < n:

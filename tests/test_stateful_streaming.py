@@ -277,3 +277,32 @@ def test_throttle_walk_matches_naive_loop():
             assert got_last is None
         else:
             assert pd.Timestamp(got_last) == pd.Timestamp(exp_last)
+
+
+def test_throttle_walk_drops_null_timestamps():
+    """A NULL event time can neither be emitted nor arm the quiet window
+    (SQL-comparison semantics) -- and it must not stall the searchsorted
+    jump (NaT sorts last and compares False in the binary search; r08
+    self-review found the hang)."""
+    import numpy as np
+    import pandas as pd
+
+    from sqldataintegrationfunctiontriggerapp_spark.streaming.stateful import (
+        _throttle_walk,
+    )
+
+    ts = np.sort(
+        np.array(
+            ["2024-01-01T00:00", "2024-01-01T01:00", "NaT", "NaT"],
+            dtype="datetime64[ns]",
+        )
+    )
+    out, last = _throttle_walk(ts, None, np.timedelta64(3600, "s"))
+    assert [pd.Timestamp(x) for x in out] == [
+        pd.Timestamp("2024-01-01T00:00"), pd.Timestamp("2024-01-01T01:00")
+    ]
+    assert pd.Timestamp(last) == pd.Timestamp("2024-01-01T01:00")
+    out, last = _throttle_walk(
+        np.array(["NaT"], dtype="datetime64[ns]"), None, np.timedelta64(60, "s")
+    )
+    assert out == [] and last is None
