@@ -184,3 +184,29 @@ def test_bucketed_blas_cosine_pairs_match_bruteforce_exactly(spark, sf_dir):
     # empty input degrades to a typed empty frame, like the fold back end
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert S.cosine_pairs_above_bucketed_blas(empty, 0.4).count() == 0
+
+
+def test_blas_topk_matches_bruteforce_exactly(spark, sf_dir):
+    """brute_force_topk_blas (r08) must reproduce the JVM baseline bit for
+    bit: same neighbors, same ranks, same cosine doubles -- the margin-
+    buffered candidate cut provably contains the exact top-k and the
+    accumulate re-score replicates the fold."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    jvm = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in S.brute_force_topk(e, q, k=5).collect()
+    )
+    blas = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in S.brute_force_topk_blas(e, q, k=5).collect()
+    )
+    assert jvm and jvm == blas
+
+    # k exceeding the corpus: every query still gets corpus-1 ranked rows
+    small = e.limit(4)
+    got = S.brute_force_topk_blas(small, small, k=10).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
