@@ -66,7 +66,12 @@ _SWEEP_PRIORITY = [
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
     # 28 of the 43 remaining r04-evidenced queries (7 + 11 + 4 + 28 = 50).
     # Core reference-parity rows and the ANN family first (the verdict's
-    # named priorities), then the rest:
+    # named priorities). The ANN entries also ride the changed-code rule a
+    # second time: operators/similarity.py switched every cosine division
+    # to try_divide with zero-norm exclusion on all entry points (the
+    # ANSI-mode DIVIDE_BY_ZERO latent bug hypothesis found in r08), so the
+    # whole cosine family (these four + dedup_embedding_cosine at the
+    # head) re-hashes against its oracles this sweep. Then the rest:
     "allowlist_projection", "json_envelope", "minmax_agg", "between_filter",
     "cte_update_join", "top_limit", "error_truncation",
     "identifier_normalization", "dedup_exact", "dedup_simhash",

@@ -33,7 +33,14 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / F.sqrt(dot(a, a) * dot(b, b))
+    # try_divide: NULL (not DIVIDE_BY_ZERO under Spark 4's default ANSI
+    # mode) when either side is zero-norm. Every caller also excludes
+    # zero-norm rows up front, but the filter alone is NOT enough: Catalyst
+    # combines it with later predicates (`cos >= t`) into one conjunction
+    # and evaluates the division subexpression without short-circuit
+    # ordering, so the expression itself must be total (hypothesis-found,
+    # r08 -- test_cosine_pair_kernels_agree_bitwise).
+    return F.try_divide(dot(a, b), F.sqrt(dot(a, a) * dot(b, b)))
 
 
 def _as_double(col: str | Column) -> Column:
@@ -53,20 +60,34 @@ def brute_force_topk(
     itself (only k rows per query move). Self-matches are excluded."""
     # Precompute each side's squared norm once (N + Q dots) instead of per
     # pair (3*N*Q dots); cos = dot/sqrt(na2*nb2) is bit-identical either way.
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn2", dot(F.col("qv"), F.col("qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("cn2", dot(F.col("cv"), F.col("cv")))
+    # Zero-norm vectors have undefined cosine and are EXCLUDED on both
+    # sides (the oracle's NULL-comparison semantics; under Spark 4's
+    # default ANSI mode the division would otherwise raise DIVIDE_BY_ZERO
+    # -- hypothesis-found, r08).
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+        .withColumn("qn2", dot(F.col("qv"), F.col("qv")))
+        .where(F.col("qn2") > 0)
+    )
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        )
+        .withColumn("cn2", dot(F.col("cv"), F.col("cv")))
+        .where(F.col("cn2") > 0)
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv"))
-             / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos"),
+            F.try_divide(
+                dot(F.col("qv"), F.col("cv")),
+                F.sqrt(F.col("qn2") * F.col("cn2")),
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
@@ -105,10 +126,10 @@ def brute_force_topk_blas(
     to a few thousand. Measured 200k x 64 corpus, 100 queries:
     18.2 s -> ~2 s warm.
 
-    Divergence note (documented, fixture-irrelevant): zero-norm rows have
-    undefined cosine; they are never candidates here, while the JVM
-    window would emit them as NULL-cos rows when a query has fewer than k
-    finite matches."""
+    Zero-norm rows have undefined cosine and are never candidates --
+    identical to the JVM baseline, which filters them at norm
+    computation (since r08; ANSI mode would otherwise raise
+    DIVIDE_BY_ZERO on the all-zero pair)."""
     import numpy as np
     import pandas as pd
 
@@ -182,9 +203,13 @@ def cosine_pairs_above(
     """Embedding-cosine near-dup pairs (dedup path): all pairs >= threshold.
     O(n^2) by construction -- correct baseline; the LSH variant below is the
     scale path."""
-    base = vectors.select(
-        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
-    ).withColumn("n2", dot(F.col("v"), F.col("v")))
+    # zero-norm rows excluded: undefined cosine, and ANSI mode would raise
+    # DIVIDE_BY_ZERO on the all-zero pair (hypothesis-found, r08)
+    base = (
+        vectors.select(F.col(id_col).alias("vid"), _as_double(vec_col).alias("v"))
+        .withColumn("n2", dot(F.col("v"), F.col("v")))
+        .where(F.col("n2") > 0)
+    )
     a = base.select(F.col("vid").alias("id_a"), F.col("v").alias("va"),
                     F.col("n2").alias("na2"))
     b = base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"),
@@ -199,8 +224,10 @@ def cosine_pairs_above(
         .select(
             "id_a",
             "id_b",
-            (dot(F.col("va"), F.col("vb"))
-             / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cos"),
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")),
+                F.sqrt(F.col("na2") * F.col("nb2")),
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -354,7 +381,7 @@ def _angular_stage(
     cos_arr = F.zip_with(
         F.lit(pivots),
         F.lit(pn2),
-        lambda p, pn: dot(F.col("v"), p) / F.sqrt(F.col("n2") * pn),
+        lambda p, pn: F.try_divide(dot(F.col("v"), p), F.sqrt(F.col("n2") * pn)),
     )
     assigned = (
         base.withColumn("_cos_arr", cos_arr)
@@ -511,8 +538,10 @@ def cosine_pairs_above_bucketed(
             # cluster numbering, not id order; cosine is symmetric)
             F.least("id_a", "id_b").alias("id_a"),
             F.greatest("id_a", "id_b").alias("id_b"),
-            (dot(F.col("va"), F.col("vb"))
-             / F.sqrt(F.col("na2") * F.col("nb2"))).alias("cos"),
+            F.try_divide(
+                dot(F.col("va"), F.col("vb")),
+                F.sqrt(F.col("na2") * F.col("nb2")),
+            ).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
@@ -811,9 +840,15 @@ def ivf_assign(
         d2s = _d2s_to_pivots(pivots, vec, n2)
         return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-    ).withColumn("cn2", dot(F.col("cv"), F.col("cv")))
+    # zero-norm vectors excluded from the index: undefined cosine, and
+    # ANSI mode would raise DIVIDE_BY_ZERO at probe time
+    c = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+        )
+        .withColumn("cn2", dot(F.col("cv"), F.col("cv")))
+        .where(F.col("cn2") > 0)
+    )
     return c.withColumn("list_id", nearest_list(F.col("cv"), F.col("cn2")))
 
 
@@ -832,9 +867,16 @@ def ivf_probe_pairs(
     expressions (the dot fold) placed in a broadcast-join projection when
     that join is evaluated as its own tiny plan (localCheckpoint), so the
     HOF cosine is applied AFTER materialization as a single-side map."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-    ).withColumn("qn2", dot(F.col("qv"), F.col("qv")))
+    # zero-norm queries excluded: undefined cosine, and ANSI mode would
+    # raise DIVIDE_BY_ZERO in score_pairs (the corpus side is filtered the
+    # same way by ivf_assign)
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+        .withColumn("qn2", dot(F.col("qv"), F.col("qv")))
+        .where(F.col("qn2") > 0)
+    )
     # n_probe nearest lists per query: sort an array of (d2, list_id)
     # structs, slice, explode -- still a pure map over the (small) query set
     probe_structs = F.transform(
@@ -870,8 +912,10 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     return pairs.select(
         "query_id",
         "neighbor_id",
-        (dot(F.col("qv"), F.col("cv"))
-         / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos"),
+        F.try_divide(
+            dot(F.col("qv"), F.col("cv")),
+            F.sqrt(F.col("qn2") * F.col("cn2")),
+        ).alias("cos"),
         "probe_rank",
     )
 
@@ -927,12 +971,15 @@ def lsh_topk(
     At scale, corpus bucketing is a one-off shuffle (or a bucketed table
     layout) reused by every query batch."""
     planes = _hyperplanes(dim, nbits)
+    # zero-norm rows excluded on both sides (undefined cosine; ANSI mode
+    # would raise DIVIDE_BY_ZERO)
     c = (
         corpus.select(
             F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
         )
         .withColumn("bucket", srp_bucket(F.col("cv"), planes))
         .withColumn("cn2", dot(F.col("cv"), F.col("cv")))
+        .where(F.col("cn2") > 0)
     )
     q = (
         queries.select(
@@ -940,6 +987,7 @@ def lsh_topk(
         )
         .withColumn("bucket", srp_bucket(F.col("qv"), planes))
         .withColumn("qn2", dot(F.col("qv"), F.col("qv")))
+        .where(F.col("qn2") > 0)
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
@@ -947,8 +995,10 @@ def lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qv"), F.col("cv"))
-             / F.sqrt(F.col("qn2") * F.col("cn2"))).alias("cos"),
+            F.try_divide(
+                dot(F.col("qv"), F.col("cv")),
+                F.sqrt(F.col("qn2") * F.col("cn2")),
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")

@@ -355,3 +355,73 @@ def test_simhash_invariant_under_partitioning(spark, texts, n_parts):
     assert a == b
     for h in a.values():
         assert 0 <= h < 2 ** 16
+
+
+vectors_strategy = st.lists(
+    st.lists(
+        st.floats(
+            min_value=-4.0, max_value=4.0,
+            allow_nan=False, allow_infinity=False, width=32,
+        ),
+        min_size=3, max_size=3,
+    ),
+    min_size=0, max_size=14,
+)
+
+
+@PROP
+@given(vecs=vectors_strategy, threshold=st.sampled_from([-0.5, 0.0, 0.4, 0.9, 1.0]))
+def test_cosine_pair_kernels_agree_bitwise(spark, vecs, threshold):
+    """All four exact pair back ends -- the JVM fold crossJoin, the fold
+    bucketed angular join, the broadcast dgemm kernel, and the blocked
+    dgemm bucketed join -- must return the identical pair set with
+    bit-identical cosines on arbitrary vectors: negatives, zeros
+    (zero-norm rows never pair), exact duplicates (cos exactly 1.0), and
+    thresholds at the +/-1 boundaries where the margin buffer must not
+    admit or drop a pair."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    # seed exact duplicates and a zero vector into every non-trivial case
+    if len(vecs) >= 2:
+        vecs = vecs + [list(vecs[0]), [0.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).repartition(3)
+    ref = {
+        (r.id_a, r.id_b): r.cos
+        for r in S.cosine_pairs_above(df, threshold).collect()
+    }
+    for fn in (
+        lambda: S.cosine_pairs_above_blas(df, threshold),
+        lambda: S.cosine_pairs_above_bucketed(df, threshold, n_pivots=4),
+        lambda: S.cosine_pairs_above_bucketed_blas(
+            df, threshold, n_pivots=4, block_rows=4
+        ),
+    ):
+        got = {(r.id_a, r.id_b): r.cos for r in fn().collect()}
+        assert got == ref
+
+
+@PROP
+@given(
+    vecs=vectors_strategy,
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_quantile_refine_invariant_under_partitioning(spark, vecs, n_parts):
+    """quantile_refine must be a pure function of the VALUE multiset --
+    no spark_partition_id anywhere in the two-pass construction -- so any
+    repartitioning yields identical rows (estimates, counts, bound)."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans.advanced import (
+        quantile_refine,
+    )
+
+    values = [float(v[0]) for v in vecs]
+    if not values:
+        return  # documented non-empty precondition (as the base sketch)
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    base = sorted(map(tuple, quantile_refine(df.repartition(1), "x").collect()))
+    alt = sorted(map(tuple, quantile_refine(df.repartition(n_parts), "x").collect()))
+    assert base == alt
