@@ -48,6 +48,9 @@ _SWEEP_PRIORITY = [
     # jump -- streaming/stateful.py changed);
     # quantile_sketch_merge (oracle now interpolates the shared _QSK_IDX
     # bucket rule -- whitespace-identical SQL, but the string changed)
+    # lm_bigram_score: NEW in r08 -- bigram-LM fluency score (CCNet-style
+    # quality filter, transcendental-free so it hash-matches DuckDB)
+    "lm_bigram_score",
     "misra_gries_topk", "quantile_sketch_refined",
     "dedup_embedding_cosine", "streaming_pipeline_parity",
     "streaming_throttle_parity", "streaming_entity_stats_parity",

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.functions import text as TX
 from sqldataintegrationfunctiontriggerapp_spark.operators.dedup import word_shingles
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import davg, sql_davg
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 from sqldataintegrationfunctiontriggerapp_spark.plans.text import _docs, _TOKS
 
@@ -273,4 +274,86 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
+    )
+
+
+@register(
+    "lm_bigram_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    bg AS (
+        SELECT doc_id,
+               UNNEST([tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))])
+                 AS bigram
+        FROM t WHERE len(tk) >= 2
+    ),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS c1
+           FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT u.tok) AS v
+          FROM (SELECT UNNEST(tk) AS tok FROM t) u),
+    p AS (
+        SELECT bg.doc_id,
+               CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE) AS p
+        FROM bg
+        JOIN c2 USING (bigram)
+        JOIN c1 ON c1.w1 = split_part(bg.bigram, ' ', 1)
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {sql_davg('p', 'mean_p')}
+    FROM p GROUP BY doc_id
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model fluency score per document -- the n-gram-LM
+    quality filter of CCNet-style pipelines ("CCNet: Extracting High
+    Quality Monolingual Datasets from Web Crawl Data"), re-expressed
+    transcendental-free: instead of perplexity exp(-mean log p), the score
+    is the mean Laplace-smoothed bigram probability
+    mean((c(w1,w2)+1) / (c(w1.)+V)) over the document's bigram
+    OCCURRENCES, with the model trained on the corpus itself. The mean-p
+    and mean-log-p orderings differ in general, but both rank predictable,
+    in-distribution text above gibberish, and avoiding ln() keeps the
+    Spark and DuckDB results bit-identical (no libm divergence; the
+    per-bigram p is one integer-ratio double division, and the per-doc
+    mean routes through the DECIMAL(18,6) accumulator convention of
+    plans/_util.py).
+
+    Plan shape: tokenize+explode (codegen-fused into the scan), two keyed
+    count aggregates (the bigram table c2 and the context table c1), one
+    1-row vocabulary aggregate broadcast onto every row (the Laplace
+    denominator), two equi-joins back onto the occurrence stream, one
+    per-doc aggregate. At 100 TB every join is a keyed shuffle AQE can
+    plan (c2/c1 are Zipf-headed but far smaller than the corpus; no
+    broadcast assumption on either count table) and the only state is the
+    counts themselves -- no driver-side model object at any scale."""
+    d = _docs(spark, sf_dir)
+    bg = d.select("doc_id", F.explode(TX.bigrams("text")).alias("bigram"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = d.select(F.explode(TX.tokens("text")).alias("tok")).agg(
+        F.countDistinct("tok").alias("v")
+    )
+    p = (
+        bg.join(c2, "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                (F.col("c2") + F.lit(1)).cast("double")
+                / (F.col("c1") + F.col("v")).cast("double")
+            ).alias("p"),
+        )
+    )
+    return p.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        davg("p", "mean_p"),
     )
