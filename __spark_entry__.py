@@ -85,11 +85,14 @@ _SWEEP_PRIORITY = [
     "contamination_check", "fuzzy_levenshtein_pairs",
     "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
     "agg_rollup",
-    # The 15 r04 overflow entries below lead the r09 sweep. Deferral
-    # justifications (each has a same-shape sibling IN this sweep or
-    # r05+ evidence, and none had code changes since r04):
+    # The overflow entries below lead the r09 sweep (16 once
+    # lm_bigram_score joined the head: 8 + 11 + 4 + 27 = 50, so
+    # agg_rollup at position 51 now overflows with its grouping-variant
+    # siblings). Deferral justifications (each has a same-shape sibling
+    # IN this sweep or r05+ evidence, and none had code changes since
+    # r04):
     # agg_cube / agg_grouping_sets: single-scan grouping-variant siblings
-    #   of agg_rollup (position 50, same file, same expression builder);
+    #   of agg_rollup (position 51, same file, same expression builder);
     # exists_semi_subquery / in_subquery_large_orders: both rewrite to the
     #   LeftSemi plan join_semi pins in this sweep;
     # not_exists_anti_subquery: rewrites to the LeftAnti plan join_anti

@@ -288,8 +288,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM t WHERE len(tk) >= 2
     ),
     c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY bigram),
-    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, COUNT(*) AS c1
-           FROM bg GROUP BY 1),
+    c1 AS (SELECT split_part(bigram, ' ', 1) AS w1, SUM(c2) AS c1
+           FROM c2 GROUP BY 1),
     v AS (SELECT COUNT(DISTINCT u.tok) AS v
           FROM (SELECT UNNEST(tk) AS tok FROM t) u),
     p AS (
@@ -321,21 +321,28 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean routes through the DECIMAL(18,6) accumulator convention of
     plans/_util.py).
 
-    Plan shape: tokenize+explode (codegen-fused into the scan), two keyed
-    count aggregates (the bigram table c2 and the context table c1), one
-    1-row vocabulary aggregate broadcast onto every row (the Laplace
-    denominator), two equi-joins back onto the occurrence stream, one
-    per-doc aggregate. At 100 TB every join is a keyed shuffle AQE can
-    plan (c2/c1 are Zipf-headed but far smaller than the corpus; no
+    Plan shape: tokenize+explode (codegen-fused into the scan), ONE keyed
+    count aggregate over bigram occurrences (c2); the context table c1 is
+    a re-aggregation of c2 (c1(w1) = sum of c2 over bigrams starting with
+    w1), so it shuffles |bigram types| rows, not a second pass over the
+    corpus; a 1-row vocabulary aggregate broadcast onto every row (the
+    Laplace denominator); two equi-joins back onto the occurrence stream;
+    one per-doc aggregate. At 100 TB every join is a keyed shuffle AQE
+    can plan (c2/c1 are Zipf-headed but far smaller than the corpus; no
     broadcast assumption on either count table) and the only state is the
     counts themselves -- no driver-side model object at any scale."""
     d = _docs(spark, sf_dir)
     bg = d.select("doc_id", F.explode(TX.bigrams("text")).alias("bigram"))
     c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    # c1(w1) = sum of c2 over bigrams starting with w1: re-aggregating the
+    # (Zipf-bounded) bigram-count table instead of a second full corpus
+    # explode+shuffle -- one fewer scan of `documents`, and the context
+    # shuffle moves |bigram types| rows instead of |bigram occurrences|
     c1 = (
-        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
-        .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("c1"))
+        c2.groupBy(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
+        )
+        .agg(F.sum("c2").alias("c1"))
     )
     vocab = d.select(F.explode(TX.tokens("text")).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
