@@ -196,3 +196,52 @@ def test_misra_gries_matches_python_reference(spark, sf_dir):
     for term, n in counts.items():
         if n > thresholds.get(shard(term), 0) + t_final:
             assert term in survivors
+
+
+def test_lm_bigram_score_matches_python_reference(spark, sf_dir):
+    """Independent reference for lm_bigram_score: rebuild the corpus-trained
+    Laplace-smoothed bigram model in plain Python from the raw parquet and
+    compare every output cell bit-for-bit, including the DECIMAL(18,6)
+    accumulator rounding of the per-doc mean. Independent of BOTH engines:
+    a shared semantic mistake in the Spark plan and its translated oracle
+    SQL would survive the hash gate but fail here."""
+    import re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pyarrow.parquet as pq
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans import QUERIES
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    toks = {
+        i: [t for t in re.split(r"\s+", s) if t != ""]
+        for i, s in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+    }
+    c2: Counter = Counter()
+    vocab: set = set()
+    for tk in toks.values():
+        vocab.update(tk)
+        c2.update(zip(tk, tk[1:]))
+    c1: Counter = Counter()
+    for (w1, _), n in c2.items():
+        c1[w1] += n
+    v = len(vocab)
+    q6 = Decimal("0.000001")
+    expected = {}
+    for i, tk in toks.items():
+        if len(tk) < 2:  # no bigrams -> no output row (explode drops it)
+            continue
+        ps = [(c2[(a, b)] + 1) / (c1[a] + v) for a, b in zip(tk, tk[1:])]
+        # the engines cast each double p to DECIMAL(18,6) (half-up on the
+        # exact binary value), sum exactly, then divide the double-cast
+        # sum by the count
+        s = sum(Decimal(p).quantize(q6, ROUND_HALF_UP) for p in ps)
+        expected[i] = (len(ps), float(s) / len(ps))
+    got = {
+        r.doc_id: (r.n_bigrams, r.mean_p)
+        for r in QUERIES["lm_bigram_score"](spark, sf_dir).collect()
+    }
+    assert got == expected
