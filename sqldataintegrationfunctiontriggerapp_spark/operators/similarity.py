@@ -852,6 +852,51 @@ def ivf_assign(
     return c.withColumn("list_id", nearest_list(F.col("cv"), F.col("cn2")))
 
 
+def _probe_frame(
+    queries: DataFrame,
+    pivots: list[list[float]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Each query's n_probe nearest inverted lists as (query_id, qv, qn2,
+    list_id, probe_rank) rows -- a pure map over the (small) query set.
+    Extracted (r08) so the JVM probe join and the BLAS probe kernel share
+    one list-selection expression and can never drift on which lists a
+    query probes (the argmin arithmetic is the JVM fold in both paths).
+
+    Zero-norm queries are excluded: undefined cosine, and ANSI mode would
+    raise DIVIDE_BY_ZERO at scoring time (the corpus side is filtered the
+    same way by ivf_assign)."""
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+        .withColumn("qn2", dot(F.col("qv"), F.col("qv")))
+        .where(F.col("qn2") > 0)
+    )
+    # n_probe nearest lists per query: sort an array of (d2, list_id)
+    # structs, slice, explode
+    probe_structs = F.transform(
+        _d2s_to_pivots(pivots, F.col("qv"), F.col("qn2")),
+        lambda d, i: F.struct(
+            d.alias("d2"), i.cast("int").alias("list_id")
+        ),
+    )
+    return (
+        q.select(
+            "query_id", "qv", "qn2",
+            F.posexplode(F.slice(F.array_sort(probe_structs), 1, n_probe))
+            .alias("_pos", "_probe"),
+        )
+        .select(
+            "query_id", "qv", "qn2",
+            F.col("_probe.list_id").alias("list_id"),
+            (F.col("_pos") + 1).cast("int").alias("probe_rank"),
+        )
+    )
+
+
 def ivf_probe_pairs(
     assigned: DataFrame,
     queries: DataFrame,
@@ -867,37 +912,7 @@ def ivf_probe_pairs(
     expressions (the dot fold) placed in a broadcast-join projection when
     that join is evaluated as its own tiny plan (localCheckpoint), so the
     HOF cosine is applied AFTER materialization as a single-side map."""
-    # zero-norm queries excluded: undefined cosine, and ANSI mode would
-    # raise DIVIDE_BY_ZERO in score_pairs (the corpus side is filtered the
-    # same way by ivf_assign)
-    q = (
-        queries.select(
-            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
-        )
-        .withColumn("qn2", dot(F.col("qv"), F.col("qv")))
-        .where(F.col("qn2") > 0)
-    )
-    # n_probe nearest lists per query: sort an array of (d2, list_id)
-    # structs, slice, explode -- still a pure map over the (small) query set
-    probe_structs = F.transform(
-        _d2s_to_pivots(pivots, F.col("qv"), F.col("qn2")),
-        lambda d, i: F.struct(
-            d.alias("d2"), i.cast("int").alias("list_id")
-        ),
-    )
-    probes = (
-        q.select(
-            "query_id", "qv", "qn2",
-            F.posexplode(F.slice(F.array_sort(probe_structs), 1, n_probe))
-            .alias("_pos", "_probe"),
-        )
-        .select(
-            "query_id", "qv", "qn2",
-            F.col("_probe.list_id").alias("list_id"),
-            (F.col("_pos") + 1).cast("int").alias("probe_rank"),
-        )
-    )
-
+    probes = _probe_frame(queries, pivots, n_probe, id_col, vec_col)
     return (
         assigned.join(F.broadcast(probes), "list_id")
         .where(F.col("neighbor_id") != F.col("query_id"))
@@ -954,6 +969,144 @@ def ivf_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_probe_topk_blas(
+    assigned: DataFrame,
+    queries: DataFrame,
+    pivots: list[list[float]],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe at dgemm speed -- the BLAS treatment of the probe scoring
+    that the 200k ANN comparison named as IVF's natural extension: the JVM
+    probe path streams every same-list (query, neighbor) pair through the
+    fold cosine and a rank window, which at tens of millions of vectors is
+    the same per-row bottleneck `brute_force_topk_blas` removed from the
+    exact baseline. Bit-identical to
+    ivf_topk(...) == window(ivf_probe(assigned, ...)) (test-pinned):
+
+    - LIST SELECTION is the shared `_probe_frame` JVM expression (the same
+      argmin fold arithmetic as the probe join -- cannot drift); its
+      bounded |Q| x n_probe output is collected and broadcast as a per-list
+      query pack.
+    - SCORING mirrors brute_force_topk_blas: one mapInPandas pass over the
+      assigned corpus (fresh from ivf_assign or re-read from a bucketed
+      list_id layout -- the input partitioning is preserved, so a bucketed
+      index is scored in place with zero shuffle), each Arrow batch
+      grouped by list_id and scored against that list's probing queries in
+      one dgemm; a margin-buffered per-(query, batch) candidate cut
+      (dgemm true error ~1e-14, margin 2e-6) provably retains every
+      global top-k member, and survivors are re-scored with the exact
+      `np.add.accumulate` fold -- bit-identical cosines to the JVM fold.
+    - Only ~(#batches x |Q| x k) candidate rows reach the final JVM rank
+      window (the identical window as ivf_topk, so ordering/tie semantics
+      match by construction).
+
+    Self-matches are excluded (as the probe join does); zero-norm rows are
+    absent on both sides (ivf_assign / _probe_frame filter them)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = assigned.sparkSession
+    ppdf = (
+        _probe_frame(queries, pivots, n_probe, id_col, vec_col)
+        .select("query_id", "qv", "qn2", "list_id")
+        .toPandas()
+    )
+    out_schema = "query_id long, neighbor_id long, cos double"
+    if len(ppdf) == 0:
+        cand = assigned.select(
+            F.col("neighbor_id").alias("query_id"),
+            "neighbor_id",
+            F.lit(0.0).alias("cos"),
+        ).where(F.lit(False))
+    else:
+        by_list: dict = {}
+        for lid, grp in ppdf.groupby("list_id"):
+            qids = grp["query_id"].to_numpy(dtype="int64")
+            Q = np.array(grp["qv"].tolist(), dtype=np.float64)
+            qn2 = grp["qn2"].to_numpy(dtype=np.float64)
+            by_list[int(lid)] = (qids, Q, Q / np.sqrt(qn2)[:, None], qn2)
+        bc = spark.sparkContext.broadcast(by_list)
+        margin = 1e-6
+
+        def gen(batches):
+            packs = bc.value
+            for b in batches:
+                if len(b) == 0:
+                    continue
+                rows = {"query_id": [], "neighbor_id": [], "cos": []}
+                for lid, sub in b.groupby("list_id"):
+                    pack = packs.get(int(lid))
+                    if pack is None:
+                        continue
+                    qids_g, Q_g, Qn_g, qn2_g = pack
+                    nids = sub["neighbor_id"].to_numpy(dtype="int64")
+                    C = np.array(sub["cv"].tolist(), dtype=np.float64)
+                    cn2 = sub["cn2"].to_numpy(dtype=np.float64)
+                    S = Qn_g @ (C / np.sqrt(cn2)[:, None]).T  # (m, rows)
+                    for r in range(len(qids_g)):
+                        s = S[r].copy()
+                        s[nids == qids_g[r]] = -np.inf  # self-match
+                        kk = min(k, int(np.isfinite(s).sum()))
+                        if kk == 0:
+                            continue
+                        kth = np.partition(s, -kk)[-kk]
+                        cand_ix = np.nonzero(s >= kth - 2 * margin)[0]
+                        dots = np.add.accumulate(
+                            Q_g[r][None, :] * C[cand_ix], axis=1
+                        )[:, -1]
+                        cos = dots / np.sqrt(qn2_g[r] * cn2[cand_ix])
+                        rows["query_id"] += [qids_g[r]] * len(cand_ix)
+                        rows["neighbor_id"] += list(nids[cand_ix])
+                        rows["cos"] += list(cos)
+                if rows["query_id"]:
+                    yield pd.DataFrame(rows)
+
+        # JVM-side filter to the probed lists BEFORE the Arrow transfer:
+        # only ~n_probe/n_lists of the corpus crosses into Python, and on
+        # a list_id-partitioned/bucketed index layout this prunes whole
+        # files (codegen isin over a bounded literal set)
+        cand = (
+            assigned.where(F.col("list_id").isin(sorted(by_list)))
+            .select("neighbor_id", "cv", "cn2", "list_id")
+            .mapInPandas(gen, out_schema)
+        )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos")
+    )
+
+
+def ivf_topk_blas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk with the BLAS probe kernel: same index construction
+    (ivf_pivots + ivf_assign), dgemm probe scoring. Bit-identical to
+    ivf_topk (test-pinned); see ivf_probe_topk_blas."""
+    pivots = ivf_pivots(corpus, n_lists, id_col, vec_col)
+    if not pivots:
+        return queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(id_col).alias("neighbor_id"),
+            F.lit(1).cast("int").alias("rank"),
+            F.lit(0.0).alias("cos"),
+        ).where(F.lit(False))
+    assigned = ivf_assign(corpus, pivots, id_col, vec_col)
+    return ivf_probe_topk_blas(
+        assigned, queries, pivots, k, n_probe, id_col, vec_col
     )
 
 

@@ -210,3 +210,40 @@ def test_blas_topk_matches_bruteforce_exactly(spark, sf_dir):
     for r in got:
         per_q.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in per_q.values())
+
+
+def test_blas_ivf_probe_matches_jvm_probe_exactly(spark, sf_dir):
+    """ivf_topk_blas (r08) must reproduce ivf_topk bit for bit: the list
+    selection is the SAME _probe_frame JVM expression, the margin-buffered
+    per-(query, list-group) candidate cut provably contains every global
+    top-k member, and the accumulate re-score replicates the fold -- so
+    neighbors, ranks AND cosine doubles are identical. Also pinned on the
+    amortized split-index path (ivf_probe_topk_blas over a standing
+    ivf_assign frame) and on empty inputs."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5)
+    jvm = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in S.ivf_topk(e, q, k=5, n_lists=8, n_probe=3).collect()
+    )
+    blas = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in S.ivf_topk_blas(e, q, k=5, n_lists=8, n_probe=3).collect()
+    )
+    assert jvm and jvm == blas
+
+    # amortized path: standing index, separate probe call
+    pivots = S.ivf_pivots(e, n_lists=8)
+    assigned = S.ivf_assign(e, pivots)
+    split = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in S.ivf_probe_topk_blas(
+            assigned, q, pivots, k=5, n_probe=3
+        ).collect()
+    )
+    assert split == jvm
+
+    # empty corpus and empty query set both yield typed empty results
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert S.ivf_topk_blas(empty, q, k=5).count() == 0
+    assert S.ivf_topk_blas(e, empty, k=5).count() == 0

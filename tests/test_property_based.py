@@ -425,3 +425,33 @@ def test_quantile_refine_invariant_under_partitioning(spark, vecs, n_parts):
     base = sorted(map(tuple, quantile_refine(df.repartition(1), "x").collect()))
     alt = sorted(map(tuple, quantile_refine(df.repartition(n_parts), "x").collect()))
     assert base == alt
+
+
+@PROP
+@given(vecs=vectors_strategy, k=st.integers(min_value=1, max_value=4))
+def test_topk_kernels_agree_bitwise(spark, vecs, k):
+    """The two EXACT top-k back ends -- the JVM fold crossJoin window and
+    the map-side dgemm kernel -- must return identical (query, rank,
+    neighbor, cos) rows on arbitrary vectors: negatives, zero-norm rows
+    (excluded on both sides on both back ends), exact duplicates (cos
+    exactly 1.0 plus rank ties broken by neighbor_id), and k exceeding
+    the corpus."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    if len(vecs) >= 2:
+        vecs = vecs + [list(vecs[0]), [0.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    ).repartition(3)
+    jvm = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in S.brute_force_topk(df, df, k=k).collect()
+    )
+    blas = sorted(
+        (r.query_id, r.rank, r.neighbor_id, r.cos)
+        for r in S.brute_force_topk_blas(df, df, k=k).collect()
+    )
+    assert jvm == blas
