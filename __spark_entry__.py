@@ -49,8 +49,10 @@ _SWEEP_PRIORITY = [
     # quantile_sketch_merge (oracle now interpolates the shared _QSK_IDX
     # bucket rule -- whitespace-identical SQL, but the string changed)
     # lm_bigram_score: NEW in r08 -- bigram-LM fluency score (CCNet-style
-    # quality filter, transcendental-free so it hash-matches DuckDB)
-    "lm_bigram_score",
+    # quality filter, transcendental-free so it hash-matches DuckDB).
+    # ann_ivf_blas_topk: NEW in r08 -- the BLAS IVF probe kernel under
+    # ann_ivf_topk's exact oracle (bit-identical by construction)
+    "lm_bigram_score", "ann_ivf_blas_topk",
     "misra_gries_topk", "quantile_sketch_refined",
     "dedup_embedding_cosine", "streaming_pipeline_parity",
     "streaming_throttle_parity", "streaming_entity_stats_parity",
@@ -85,12 +87,14 @@ _SWEEP_PRIORITY = [
     "contamination_check", "fuzzy_levenshtein_pairs",
     "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
     "agg_rollup",
-    # The overflow entries below lead the r09 sweep (16 once
-    # lm_bigram_score joined the head: 8 + 11 + 4 + 27 = 50, so
-    # agg_rollup at position 51 now overflows with its grouping-variant
-    # siblings). Deferral justifications (each has a same-shape sibling
-    # IN this sweep or r05+ evidence, and none had code changes since
-    # r04):
+    # The overflow entries below lead the r09 sweep (17 once
+    # lm_bigram_score and ann_ivf_blas_topk joined the head:
+    # 9 + 11 + 4 + 26 = 50, so join_broadcast_star is the last in-budget
+    # entry and join_semi + agg_rollup overflow; join_semi's LeftSemi
+    # plan shape is pinned by tests/test_plan_shapes.py meanwhile).
+    # Deferral
+    # justifications (each has a same-shape sibling IN this sweep or
+    # r05+ evidence, and none had code changes since r04):
     # agg_cube / agg_grouping_sets: single-scan grouping-variant siblings
     #   of agg_rollup (position 51, same file, same expression builder);
     # exists_semi_subquery / in_subquery_large_orders: both rewrite to the

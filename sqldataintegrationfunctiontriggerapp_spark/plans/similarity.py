@@ -186,6 +186,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ann_ivf_blas_topk",
+    oracle=f"""
+    WITH {_IVF_ORACLE_CTES}
+    SELECT query_id, neighbor_id, CAST(rnk AS INTEGER) AS rank, cos
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored WHERE probe_rank <= 4
+    ) WHERE rnk <= 5
+    """,
+)
+def ann_ivf_blas_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BLAS probe kernel (r08) as driver-hashed evidence: the same IVF
+    semantics as ann_ivf_topk (n_lists=16, n_probe=4, k=5, queries
+    vec_id < 5) scored by ivf_probe_topk_blas' per-list dgemm instead of
+    the JVM fold join. Bit-identical by construction -- list selection is
+    the shared _probe_frame expression and the margin-buffered cut +
+    exact accumulate re-score reproduce the fold cosine doubles
+    (operators/similarity.py ivf_probe_topk_blas; test-pinned) -- so it
+    shares ann_ivf_topk's oracle verbatim and the driver hashes the
+    mapInPandas kernel against it directly. Builds its own index (one
+    pivots collect + argmin map) rather than riding the shared
+    full-probe pair stage, which memoizes the JOINED stream the BLAS
+    path exists to avoid."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_topk_blas(
+        e, e.where(F.col("vec_id") < 5), k=5, n_lists=16, n_probe=4
+    )
+
+
 # Shared IVF stage (same memo pattern as plans/dedup.py): ONE pivots
 # collect + argmin assignment + full-probe JOIN per session+sf_dir,
 # materialized as raw (qv, cv, norms, probe_rank) pairs. The join is
