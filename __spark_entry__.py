@@ -69,7 +69,8 @@ _SWEEP_PRIORITY = [
     # covers the fifth) -- four rounds stale, the rotation invariant says
     # they lead everything except changed code:
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
-    # 28 of the 43 remaining r04-evidenced queries (7 + 11 + 4 + 28 = 50).
+    # 26 of the 43 remaining r04-evidenced queries fit the 50 budget
+    # (9 + 11 + 4 + 26 -- see the overflow note below).
     # Core reference-parity rows and the ANN family first (the verdict's
     # named priorities). The ANN entries also ride the changed-code rule a
     # second time: operators/similarity.py switched every cosine division
@@ -96,7 +97,8 @@ _SWEEP_PRIORITY = [
     # justifications (each has a same-shape sibling IN this sweep or
     # r05+ evidence, and none had code changes since r04):
     # agg_cube / agg_grouping_sets: single-scan grouping-variant siblings
-    #   of agg_rollup (position 51, same file, same expression builder);
+    #   of agg_rollup (position 52, itself an overflow entry this round --
+    #   same file, same expression builder);
     # exists_semi_subquery / in_subquery_large_orders: both rewrite to the
     #   LeftSemi plan join_semi pins in this sweep;
     # not_exists_anti_subquery: rewrites to the LeftAnti plan join_anti
@@ -129,8 +131,9 @@ _SWEEP_PRIORITY = [
     "percentiles",
 ]
 # Round-9 rotation preview: after the r08 sweep the oldest evidence is the
-# 14 r04 overflow entries above -- they lead the r09 head, then the
-# r05-evidenced queries fill the rest of the budget (14 + 36 of the 48
+# 17 r04 overflow entries past the 50 budget (the 15 listed above plus
+# join_semi and agg_rollup) -- they lead the r09 head, then the
+# r05-evidenced queries fill the rest of the budget (17 + 33 of the 48
 # r05 entries not re-checked in r08; the overflow r05 entries lead r10).
 
 

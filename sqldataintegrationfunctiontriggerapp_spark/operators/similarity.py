@@ -1030,7 +1030,11 @@ def ivf_probe_topk_blas(
             qids = grp["query_id"].to_numpy(dtype="int64")
             Q = np.array(grp["qv"].tolist(), dtype=np.float64)
             qn2 = grp["qn2"].to_numpy(dtype=np.float64)
-            by_list[int(lid)] = (qids, Q, Q / np.sqrt(qn2)[:, None], qn2)
+            # qn2 > 0 is guaranteed by _probe_frame's filter; the errstate
+            # guard only mirrors the exact kernel's defensive shape
+            with np.errstate(divide="ignore", invalid="ignore"):
+                qn = Q / np.sqrt(qn2)[:, None]
+            by_list[int(lid)] = (qids, Q, qn, qn2)
         bc = spark.sparkContext.broadcast(by_list)
         margin = 1e-6
 
@@ -1048,9 +1052,16 @@ def ivf_probe_topk_blas(
                     nids = sub["neighbor_id"].to_numpy(dtype="int64")
                     C = np.array(sub["cv"].tolist(), dtype=np.float64)
                     cn2 = sub["cn2"].to_numpy(dtype=np.float64)
-                    S = Qn_g @ (C / np.sqrt(cn2)[:, None]).T  # (m, rows)
+                    # guards mirror brute_force_topk_blas: a fresh
+                    # ivf_assign never emits zero-norm rows, but a
+                    # standing index written BEFORE the r08 exclusion may
+                    # -- divide quietly and mask the NaNs to -inf so such
+                    # rows are never candidates rather than relying on
+                    # NaN-comparison luck
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        S = Qn_g @ (C / np.sqrt(cn2)[:, None]).T  # (m, rows)
                     for r in range(len(qids_g)):
-                        s = S[r].copy()
+                        s = np.where(np.isnan(S[r]), -np.inf, S[r])
                         s[nids == qids_g[r]] = -np.inf  # self-match
                         kk = min(k, int(np.isfinite(s).sum()))
                         if kk == 0:

@@ -27,12 +27,15 @@ _IVF_ORACLE_CTES = """
         LIMIT 16
     ),
     cvec AS (
+        -- zero-norm exclusion mirrors ivf_assign (r08); pivots stay
+        -- UNFILTERED, matching ivf_pivots' raw md5 sample
         SELECT vec_id AS neighbor_id, v AS cv, list_dot_product(v, v) AS cn2
-        FROM corpus
+        FROM corpus WHERE list_dot_product(v, v) > 0
     ),
     qvec AS (
+        -- zero-norm exclusion mirrors _probe_frame (r08)
         SELECT vec_id AS query_id, v AS qv, list_dot_product(v, v) AS qn2
-        FROM corpus WHERE vec_id < 5
+        FROM corpus WHERE vec_id < 5 AND list_dot_product(v, v) > 0
     ),
     assigned AS (
         SELECT neighbor_id, cv, cn2, pidx AS list_id
@@ -81,10 +84,14 @@ def _srp_bucket_sql(col: str, nbits: int = 4, dim: int = 64) -> str:
 @register(
     "ann_cosine_topk",
     oracle="""
-    WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-               FROM embeddings WHERE vec_id < 5),
-    c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-          FROM embeddings),
+    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings
+                 -- zero-norm exclusion mirrors the Spark side (r08): a
+                 -- NULL cos would otherwise still take a rank here
+                 WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) > 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM raw WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM raw),
     scored AS (
         SELECT query_id, neighbor_id,
                list_dot_product(qv, cv)
@@ -124,6 +131,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT neighbor_id, cv, list_dot_product(cv, cv) AS cn2,
                {_srp_bucket_sql('cv')} AS bucket
         FROM c
+        -- zero-norm exclusion mirrors the Spark side (r08); qb inherits it
+        WHERE list_dot_product(cv, cv) > 0
     ),
     qb AS (
         SELECT neighbor_id AS query_id, cv AS qv, cn2 AS qn2, bucket

@@ -235,10 +235,14 @@ def test_lm_bigram_score_matches_python_reference(spark, sf_dir):
         if len(tk) < 2:  # no bigrams -> no output row (explode drops it)
             continue
         ps = [(c2[(a, b)] + 1) / (c1[a] + v) for a, b in zip(tk, tk[1:])]
-        # the engines cast each double p to DECIMAL(18,6) (half-up on the
-        # exact binary value), sum exactly, then divide the double-cast
-        # sum by the count
-        s = sum(Decimal(p).quantize(q6, ROUND_HALF_UP) for p in ps)
+        # the engines cast each double p to DECIMAL(18,6) by rounding the
+        # SHORTEST decimal representation of the double (Spark routes the
+        # cast through Double.toString -> BigDecimal, and DuckDB agrees),
+        # NOT the exact binary expansion -- Decimal(repr(p)) models that
+        # (repr is Python's shortest round-trip form); Decimal(p) would
+        # diverge on values like 7/2e6 whose exact expansion sits below
+        # the .5 boundary their shortest form is exactly on
+        s = sum(Decimal(repr(p)).quantize(q6, ROUND_HALF_UP) for p in ps)
         expected[i] = (len(ps), float(s) / len(ps))
     got = {
         r.doc_id: (r.n_bigrams, r.mean_p)
