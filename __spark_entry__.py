@@ -51,8 +51,10 @@ _SWEEP_PRIORITY = [
     # lm_bigram_score: NEW in r08 -- bigram-LM fluency score (CCNet-style
     # quality filter, transcendental-free so it hash-matches DuckDB).
     # ann_ivf_blas_topk: NEW in r08 -- the BLAS IVF probe kernel under
-    # ann_ivf_topk's exact oracle (bit-identical by construction)
-    "lm_bigram_score", "ann_ivf_blas_topk",
+    # ann_ivf_topk's exact oracle (bit-identical by construction).
+    # weighted_systematic_sample: NEW in r08 -- integer-only PPS
+    # systematic sampling per source
+    "lm_bigram_score", "ann_ivf_blas_topk", "weighted_systematic_sample",
     "misra_gries_topk", "quantile_sketch_refined",
     "dedup_embedding_cosine", "streaming_pipeline_parity",
     "streaming_throttle_parity", "streaming_entity_stats_parity",

@@ -249,3 +249,78 @@ def mixture_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sqrt("n_docs") / F.col("z")).alias("sample_p"),
         (F.sqrt("n_docs") / F.col("z") * F.col("total")).alias("expected_docs"),
     )
+
+
+@register(
+    "weighted_systematic_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, source, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ROWS UNBOUNDED PRECEDING) AS cum_after,
+               SUM(n_chars) OVER (PARTITION BY source) AS total
+        FROM documents
+    ),
+    b AS (SELECT *, cum_after - n_chars AS cum_before FROM t)
+    SELECT source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST((cum_after * 5) // total AS INTEGER) AS pick_idx
+    FROM b
+    WHERE total > 0 AND (cum_after * 5) // total > (cum_before * 5) // total
+    """,
+)
+def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic size-proportional sampling, k=5 docs per source:
+    systematic (fixed-interval) selection over an md5-shuffled order with
+    selection probability proportional to n_chars -- the classic
+    probability-proportional-to-size design used to draw inspection /
+    eval samples from a training mixture where long documents should be
+    proportionally represented. Selected are exactly the docs whose
+    cumulative-weight interval crosses a multiple of total/k; a document
+    longer than total/k can absorb several boundaries and is still
+    emitted once (so a source can yield fewer than k rows -- inherent to
+    PPS systematic sampling, not a defect).
+
+    Determinism without ANY floating point: the cumulative weights are
+    BIGINT sums and the boundary test compares integer divisions
+    (cum*k) div total -- bit-exact on both engines by construction, no
+    decimal accumulator needed. The md5 order is the same engine-
+    independent shuffle as the split/quota operators above.
+
+    Plan: one keyed window partition per source (the per-source running
+    sum parallelizes across sources; no global sort), a same-partition
+    total, and a filter -- one shuffle on source at any corpus size. The
+    `total > 0` CASE guards mirror the cosine family's lesson: ANSI-mode
+    integer div-by-zero must be impossible in the EXPRESSION, not just
+    filtered upstream."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    wo = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wall = Window.partitionBy("source")
+    k = F.lit(5)
+    t = (
+        d.withColumn(
+            "cum_after",
+            F.sum("n_chars").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn("total", F.sum("n_chars").over(wall))
+        .withColumn("cum_before", F.col("cum_after") - F.col("n_chars"))
+    )
+    pick_after = F.when(
+        F.col("total") > 0, F.expr("(cum_after * 5) div total")
+    ).otherwise(F.lit(-1))
+    pick_before = F.when(
+        F.col("total") > 0, F.expr("(cum_before * 5) div total")
+    ).otherwise(F.lit(-1))
+    return (
+        t.withColumn("pick_idx", pick_after.cast("int"))
+        .where((F.col("total") > 0) & (pick_after > pick_before))
+        .select(
+            "source", "doc_id", F.col("n_chars").cast("long").alias("n_chars"),
+            "pick_idx",
+        )
+    )

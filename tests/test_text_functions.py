@@ -249,3 +249,55 @@ def test_lm_bigram_score_matches_python_reference(spark, sf_dir):
         for r in QUERIES["lm_bigram_score"](spark, sf_dir).collect()
     }
     assert got == expected
+
+
+def test_weighted_systematic_sample_matches_python_reference(spark, sf_dir):
+    """Independent reference for weighted_systematic_sample: replicate the
+    md5-ordered cumulative-weight boundary walk in plain Python (pure
+    integer arithmetic, like both engines) and compare every row. Also
+    asserts the PPS contracts: at most k picks per source, every pick has
+    positive weight, and pick_idx is strictly increasing within a source."""
+    import hashlib as _hl
+    from collections import defaultdict
+
+    import pyarrow.parquet as pq
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans import QUERIES
+
+    tbl = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "n_chars"]
+    )
+    rows = list(
+        zip(
+            tbl["doc_id"].to_pylist(),
+            tbl["source"].to_pylist(),
+            tbl["n_chars"].to_pylist(),
+        )
+    )
+    by_source = defaultdict(list)
+    for doc_id, source, n_chars in rows:
+        by_source[source].append((doc_id, n_chars))
+    k = 5
+    expected = set()
+    for source, items in by_source.items():
+        items.sort(key=lambda r: (_hl.md5(str(r[0]).encode()).hexdigest(), r[0]))
+        total = sum(n for _, n in items)
+        if total <= 0:
+            continue
+        cum = 0
+        for doc_id, n_chars in items:
+            before, after = cum, cum + n_chars
+            cum = after
+            if (after * k) // total > (before * k) // total:
+                expected.add((source, doc_id, n_chars, (after * k) // total))
+    got = {
+        (r.source, r.doc_id, r.n_chars, r.pick_idx)
+        for r in QUERIES["weighted_systematic_sample"](spark, sf_dir).collect()
+    }
+    assert got == expected
+    per_source = defaultdict(list)
+    for source, _, n_chars, idx in got:
+        assert n_chars > 0
+        per_source[source].append(idx)
+    for idxs in per_source.values():
+        assert len(idxs) <= k and sorted(set(idxs)) == sorted(idxs)
