@@ -71,8 +71,8 @@ _SWEEP_PRIORITY = [
     # covers the fifth) -- four rounds stale, the rotation invariant says
     # they lead everything except changed code:
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
-    # 26 of the 43 remaining r04-evidenced queries fit the 50 budget
-    # (9 + 11 + 4 + 26 -- see the overflow note below).
+    # 25 of the 43 remaining r04-evidenced queries fit the 50 budget
+    # (10 + 11 + 4 + 25 -- see the overflow note below).
     # Core reference-parity rows and the ANN family first (the verdict's
     # named priorities). The ANN entries also ride the changed-code rule a
     # second time: operators/similarity.py switched every cosine division
@@ -90,25 +90,27 @@ _SWEEP_PRIORITY = [
     "contamination_check", "fuzzy_levenshtein_pairs",
     "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
     "agg_rollup",
-    # The overflow entries below lead the r09 sweep (17 once
-    # lm_bigram_score and ann_ivf_blas_topk joined the head:
-    # 9 + 11 + 4 + 26 = 50, so join_broadcast_star is the last in-budget
-    # entry and join_semi + agg_rollup overflow; join_semi's LeftSemi
-    # plan shape is pinned by tests/test_plan_shapes.py meanwhile).
+    # The overflow entries below lead the r09 sweep (18 once
+    # lm_bigram_score, ann_ivf_blas_topk and weighted_systematic_sample
+    # joined the head: 10 + 11 + 4 + 25 = 50, so
+    # grouped_applyinpandas_scale is the last in-budget entry and
+    # join_broadcast_star + join_semi + agg_rollup overflow; the two
+    # joins' plan shapes (broadcast star, LeftSemi) are pinned by
+    # tests/test_plan_shapes.py meanwhile).
     # Deferral
     # justifications (each has a same-shape sibling IN this sweep or
     # r05+ evidence, and none had code changes since r04):
     # agg_cube / agg_grouping_sets: single-scan grouping-variant siblings
-    #   of agg_rollup (position 52, itself an overflow entry this round --
-    #   same file, same expression builder);
+    #   of agg_rollup (itself an overflow entry this round -- same file,
+    #   same expression builder);
     # exists_semi_subquery / in_subquery_large_orders: both rewrite to the
     #   LeftSemi plan join_semi pins in this sweep;
     # not_exists_anti_subquery: rewrites to the LeftAnti plan join_anti
-    #   (position 16 this sweep) pins;
+    #   (in this sweep's r03 block) pins;
     # correlated_subquery: scalar-subquery decorrelation, plan-pinned,
     #   zero code churn since r03;
     # join_left_outer: single equi-join sibling of join_full_outer (r05)
-    #   and join_broadcast_star (this sweep);
+    #   and join_broadcast_star (r09 head, plan-pinned meanwhile);
     # multimodal_frame_sample + multimodal_media_metadata: siblings of
     #   multimodal_chunk_energy (r07) and multimodal_feature_extract (r05)
     #   over the same stub;
@@ -133,10 +135,11 @@ _SWEEP_PRIORITY = [
     "percentiles",
 ]
 # Round-9 rotation preview: after the r08 sweep the oldest evidence is the
-# 17 r04 overflow entries past the 50 budget (the 15 listed above plus
-# join_semi and agg_rollup) -- they lead the r09 head, then the
-# r05-evidenced queries fill the rest of the budget (17 + 33 of the 48
-# r05 entries not re-checked in r08; the overflow r05 entries lead r10).
+# 18 r04 overflow entries past the 50 budget (the 15 listed above plus
+# join_broadcast_star, join_semi and agg_rollup) -- they lead the r09
+# head, then the r05-evidenced queries fill the rest of the budget
+# (18 + 32 of the 48 r05 entries not re-checked in r08; the overflow
+# r05 entries lead r10).
 
 
 def _ordered(d: dict) -> dict:
