@@ -54,6 +54,17 @@ _SWEEP_PRIORITY = [
     # ann_ivf_topk's exact oracle (bit-identical by construction).
     # weighted_systematic_sample: NEW in r08 -- integer-only PPS
     # systematic sampling per source
+    # pagerank_nations: NEW in r08 -- weighted PageRank power iteration
+    # (fixed-point BIGINT contributions so the float recurrence is
+    # bit-identical across engines; chained-CTE oracle).
+    # skew_salted_agg / skew_salted_join: NEW in r08 -- the explicit skew
+    # mitigations (operators/skew.py), previously test-only, now under the
+    # hash gate with plain-op oracles (semantics-preservation proof).
+    # kmeans_clusters: code changed r08 -- hypothesis found the zero-norm
+    # hardening silently dropping zero vectors from the Euclidean k-means
+    # assignment; ivf_assign grew include_zero_norm and kmeans opts in.
+    "pagerank_nations", "skew_salted_agg", "skew_salted_join",
+    "kmeans_clusters",
     "lm_bigram_score", "ann_ivf_blas_topk", "weighted_systematic_sample",
     "misra_gries_topk", "quantile_sketch_refined",
     "dedup_embedding_cosine", "streaming_pipeline_parity",
@@ -71,8 +82,8 @@ _SWEEP_PRIORITY = [
     # covers the fifth) -- four rounds stale, the rotation invariant says
     # they lead everything except changed code:
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
-    # 25 of the 43 remaining r04-evidenced queries fit the 50 budget
-    # (10 + 11 + 4 + 25 -- see the overflow note below).
+    # 21 of the 43 remaining r04-evidenced queries fit the 50 budget
+    # (14 + 11 + 4 + 21 -- see the overflow note below).
     # Core reference-parity rows and the ANN family first (the verdict's
     # named priorities). The ANN entries also ride the changed-code rule a
     # second time: operators/similarity.py switched every cosine division
@@ -90,13 +101,16 @@ _SWEEP_PRIORITY = [
     "contamination_check", "fuzzy_levenshtein_pairs",
     "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
     "agg_rollup",
-    # The overflow entries below lead the r09 sweep (18 once
-    # lm_bigram_score, ann_ivf_blas_topk and weighted_systematic_sample
-    # joined the head: 10 + 11 + 4 + 25 = 50, so
-    # grouped_applyinpandas_scale is the last in-budget entry and
+    # The overflow entries below lead the r09 sweep (22 once
+    # pagerank_nations, skew_salted_agg, skew_salted_join and
+    # kmeans_clusters joined the seven earlier r08 head entries:
+    # 14 + 11 + 4 + 21 = 50, so q18_large_volume_customer is the last
+    # in-budget entry and q20_potential_promotion + contamination_check +
+    # fuzzy_levenshtein_pairs + grouped_applyinpandas_scale +
     # join_broadcast_star + join_semi + agg_rollup overflow; the two
     # joins' plan shapes (broadcast star, LeftSemi) are pinned by
-    # tests/test_plan_shapes.py meanwhile).
+    # tests/test_plan_shapes.py meanwhile, and
+    # grouped_applyinpandas_scale's Arrow path stays exercised by pytest).
     # Deferral
     # justifications (each has a same-shape sibling IN this sweep or
     # r05+ evidence, and none had code changes since r04):
@@ -135,11 +149,13 @@ _SWEEP_PRIORITY = [
     "percentiles",
 ]
 # Round-9 rotation preview: after the r08 sweep the oldest evidence is the
-# 18 r04 overflow entries past the 50 budget (the 15 listed above plus
+# 22 r04 overflow entries past the 50 budget (the 15 deferral-justified
+# entries listed above plus q20_potential_promotion, contamination_check,
+# fuzzy_levenshtein_pairs, grouped_applyinpandas_scale,
 # join_broadcast_star, join_semi and agg_rollup) -- they lead the r09
 # head, then the r05-evidenced queries fill the rest of the budget
-# (18 + 32 of the 48 r05 entries not re-checked in r08; the overflow
-# r05 entries lead r10).
+# (22 + 28 of the 48 r05 entries not re-checked in r08; the overflow r05
+# entries lead r10).
 
 
 def _ordered(d: dict) -> dict:

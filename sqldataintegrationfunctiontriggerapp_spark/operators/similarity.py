@@ -829,26 +829,35 @@ def ivf_assign(
     pivots: list[list[float]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    include_zero_norm: bool = False,
 ) -> DataFrame:
     """Assign each corpus vector to its nearest inverted list: a pure map
     (argmin distance against broadcast pivot literals) -- no shuffle, no
     iterative fit. The returned (neighbor_id, cv, cn2, list_id) frame is
     the persistable index: written bucketed by list_id (sinks/table_sink
-    write_bucketed) it is re-queried by ivf_probe without re-assignment."""
+    write_bucketed) it is re-queried by ivf_probe without re-assignment.
+
+    ``include_zero_norm``: the squared-distance argmin itself is
+    division-free, so a zero vector assigns fine; what it cannot do is be
+    cosine-SCORED at probe time (undefined cosine -- the probe paths
+    divide by the norm). Index builds therefore exclude zero-norm rows by
+    default, while kmeans_lloyd -- a Euclidean use of the same assignment
+    map, where the zero vector is a legitimate point -- opts in. Found by
+    hypothesis (test_kmeans_invariant_under_partitioning): the r08
+    zero-norm hardening silently dropped zero vectors from the k-means
+    output until this flag restored them."""
 
     def nearest_list(vec: Column, n2: Column) -> Column:
         d2s = _d2s_to_pivots(pivots, vec, n2)
         return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
-    # zero-norm vectors excluded from the index: undefined cosine, and
-    # ANSI mode would raise DIVIDE_BY_ZERO at probe time
-    c = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
-        )
-        .withColumn("cn2", dot(F.col("cv"), F.col("cv")))
-        .where(F.col("cn2") > 0)
-    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    ).withColumn("cn2", dot(F.col("cv"), F.col("cv")))
+    if not include_zero_norm:
+        # excluded from the cosine index: undefined cosine, and ANSI mode
+        # would raise DIVIDE_BY_ZERO at probe time
+        c = c.where(F.col("cn2") > 0)
     return c.withColumn("list_id", nearest_list(F.col("cv"), F.col("cn2")))
 
 
@@ -1212,7 +1221,10 @@ def kmeans_lloyd(
     k = len(cents)
     dim = len(cents[0])
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        # include_zero_norm: k-means is Euclidean -- the zero vector is a
+        # legitimate point and must stay in the assignment (see ivf_assign)
+        assigned = ivf_assign(corpus, cents, id_col, vec_col,
+                              include_zero_norm=True)
         mean_rows = (
             assigned.select("list_id", F.posexplode("cv").alias("dim", "x"))
             .groupBy("list_id", "dim")
@@ -1228,7 +1240,8 @@ def kmeans_lloyd(
         for r in mean_rows:
             means.setdefault(r.list_id, [0.0] * dim)[r.dim] = r.mu
         cents = [means.get(c, cents[c]) for c in range(k)]
-    final = ivf_assign(corpus, cents, id_col, vec_col)
+    final = ivf_assign(corpus, cents, id_col, vec_col,
+                       include_zero_norm=True)
     return final.select(
         F.col("neighbor_id").alias(id_col),
         F.col("list_id").alias("cluster_id"),

@@ -13,10 +13,12 @@ from sqldataintegrationfunctiontriggerapp_spark.plans import (  # noqa: E402,F40
     cdc,
     cleaning,
     dedup,
+    graph,
     multimodal,
     relational,
     sampling,
     similarity,
+    skew,
     text,
     tpch,
     windows,

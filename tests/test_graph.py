@@ -1,0 +1,91 @@
+"""Unit pins for the PageRank power-iteration operator (operators/graph.py).
+
+The registered query (plans/graph.py pagerank_nations) is hash-checked
+against a chained-CTE DuckDB oracle; these tests pin the operator's
+semantics directly on hand-sized graphs where the recurrence can be
+replicated in plain Python, including the corners the fixture graph never
+exercises (dangling nodes, isolated nodes, empty graphs).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.operators.graph import (
+    RANK_SCALE,
+    pagerank,
+)
+
+
+def _reference_pagerank(edges, nodes, iterations, damping):
+    """Plain-Python replica of the operator's recurrence, fixed-point floor
+    included, so expected values are bit-identical, not approximate."""
+    n = len(nodes)
+    out_w = {}
+    for src, _dst, w in edges:
+        out_w[src] = out_w.get(src, 0) + w
+    ranks = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        in_sum = {v: 0 for v in nodes}
+        for src, dst, w in edges:
+            share = float(w) / float(out_w[src])
+            in_sum[dst] += math.floor((ranks[src] * share) * RANK_SCALE)
+        ranks = {v: base + damping * (in_sum[v] / RANK_SCALE) for v in nodes}
+    return ranks
+
+
+def _run(spark, edges, nodes, iterations=3, damping=0.85):
+    edf = spark.createDataFrame(edges, "src int, dst int, weight bigint")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node int")
+    got = pagerank(edf, ndf, iterations=iterations, damping=damping)
+    return {r["node"]: r["rank"] for r in got.collect()}
+
+
+def test_pagerank_matches_python_reference_bit_identical(spark):
+    edges = [(0, 1, 3), (0, 2, 1), (1, 2, 2), (2, 0, 1), (3, 0, 5)]
+    nodes = [0, 1, 2, 3]
+    got = _run(spark, edges, nodes)
+    want = _reference_pagerank(edges, nodes, 3, 0.85)
+    assert got == want  # exact equality: the fixed-point contract
+
+
+def test_pagerank_dangling_node_receives_but_leaks(spark):
+    # 0 -> 1, and 1 has no out-edges: 1 keeps receiving, its mass leaks
+    # (simplified PageRank), so total mass drops below 1 after iteration 1.
+    edges = [(0, 1, 1)]
+    nodes = [0, 1]
+    got = _run(spark, edges, nodes, iterations=2)
+    want = _reference_pagerank(edges, nodes, 2, 0.85)
+    assert got == want
+    assert got[1] > got[0]  # the dangling sink still accumulates rank
+    assert sum(got.values()) < 1.0  # leaked mass, as documented
+
+
+def test_pagerank_isolated_node_sits_at_base(spark):
+    edges = [(0, 1, 1), (1, 0, 1)]
+    nodes = [0, 1, 2]  # 2 has no edges at all
+    got = _run(spark, edges, nodes, iterations=4)
+    assert got[2] == pytest.approx((1.0 - 0.85) / 3, abs=0)
+
+
+def test_pagerank_empty_node_set_returns_empty(spark):
+    edf = spark.createDataFrame([], "src int, dst int, weight bigint")
+    ndf = spark.createDataFrame([], "node int")
+    out = pagerank(edf, ndf)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["node", "rank"]
+
+
+def test_pagerank_uniform_cycle_stays_uniform(spark):
+    # A weighted 3-cycle with equal weights is rank-preserving: every node
+    # forwards its whole mass to exactly one successor, so the uniform
+    # distribution is the fixed point (up to the 1e-15 floor truncation).
+    edges = [(0, 1, 7), (1, 2, 7), (2, 0, 7)]
+    nodes = [0, 1, 2]
+    got = _run(spark, edges, nodes, iterations=5)
+    for v in nodes:
+        assert got[v] == pytest.approx(1.0 / 3, abs=1e-12)

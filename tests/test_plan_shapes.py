@@ -446,3 +446,29 @@ def test_quantile_sketch_shuffles_only_bounded_metadata(spark, sf_dir):
     assert "Aggregate" in plan[window_at:], plan[window_at:]
     agg_at = plan.index("Aggregate", window_at)
     assert "Exchange" not in plan[window_at:agg_at]
+
+
+def test_salted_agg_is_two_phase_with_map_side_combine(spark, sf_dir):
+    """skew_salted_agg's whole point is the two-phase shape: a (key, salt)
+    exchange where the hot key spreads over n_salt reducers, then a key-only
+    exchange over the <= keys x n_salt partials. Pin both exchanges (and
+    only those two), and pin map-side partial aggregation before each --
+    without the partials the salting just renames the straggler."""
+    plan = plan_of(spark, sf_dir, "skew_salted_agg")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "_salt" in plan.split("Exchange hashpartitioning")[1]
+    # key-only second exchange: the partial-combine phase ends at the key
+    assert "partial" in plan  # map-side combine in both phases
+    assert "CartesianProduct" not in plan
+
+
+def test_salted_join_spreads_on_key_and_salt(spark, sf_dir):
+    """skew_salted_join must join on (key, salt) -- if the salt column falls
+    out of the join keys the explode-replication was pure overhead and the
+    hot key still lands on one reducer. The replicated dimension side stays
+    an explode (Generate), never a cartesian."""
+    plan = plan_of(spark, sf_dir, "skew_salted_join")
+    assert "Generate explode" in plan
+    assert "_salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
