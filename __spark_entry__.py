@@ -63,6 +63,16 @@ _SWEEP_PRIORITY = [
     # kmeans_clusters: code changed r08 -- hypothesis found the zero-norm
     # hardening silently dropping zero vectors from the Euclidean k-means
     # assignment; ivf_assign grew include_zero_norm and kmeans opts in.
+    # Later the same round its Lloyd fit moved into the session-memoized
+    # _kmeans_assignment stage dedup_semantic shares.
+    # dedup_semantic: NEW in r08 -- SemDeDup (cluster-then-pair semantic
+    # dedup over the memoized k-means assignment, min-id survivor).
+    # zorder_layout: NEW in r08 -- z-order vs linear layout audit
+    # (integer-only quantize + bit-interleave, per-bucket skip envelopes).
+    # join_bucketed_colocated: NEW in r08 -- the shuffle-free bucket-local
+    # sort-merge join under the hash gate with a plain-join oracle
+    # (layout changes the physical plan and nothing else).
+    "dedup_semantic", "zorder_layout", "join_bucketed_colocated",
     "pagerank_nations", "skew_salted_agg", "skew_salted_join",
     "kmeans_clusters",
     "lm_bigram_score", "ann_ivf_blas_topk", "weighted_systematic_sample",
@@ -82,8 +92,8 @@ _SWEEP_PRIORITY = [
     # covers the fifth) -- four rounds stale, the rotation invariant says
     # they lead everything except changed code:
     "window_percent_rank", "set_except", "join_anti", "null_safe_join",
-    # 21 of the 43 remaining r04-evidenced queries fit the 50 budget
-    # (14 + 11 + 4 + 21 -- see the overflow note below).
+    # 18 of the 43 remaining r04-evidenced queries fit the 50 budget
+    # (17 + 11 + 4 + 18 -- see the overflow note below).
     # Core reference-parity rows and the ANN family first (the verdict's
     # named priorities). The ANN entries also ride the changed-code rule a
     # second time: operators/similarity.py switched every cosine division
@@ -101,11 +111,12 @@ _SWEEP_PRIORITY = [
     "contamination_check", "fuzzy_levenshtein_pairs",
     "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
     "agg_rollup",
-    # The overflow entries below lead the r09 sweep (22 once
-    # pagerank_nations, skew_salted_agg, skew_salted_join and
-    # kmeans_clusters joined the seven earlier r08 head entries:
-    # 14 + 11 + 4 + 21 = 50, so q18_large_volume_customer is the last
-    # in-budget entry and q20_potential_promotion + contamination_check +
+    # The overflow entries below lead the r09 sweep (25 once
+    # dedup_semantic, zorder_layout and join_bucketed_colocated joined the
+    # twelve earlier r08 head entries: 17 + 11 + 4 + 18 = 50, so
+    # q2_min_cost_supplier is the last in-budget entry and
+    # q11_important_stock + q15_top_supplier + q18_large_volume_customer +
+    # q20_potential_promotion + contamination_check +
     # fuzzy_levenshtein_pairs + grouped_applyinpandas_scale +
     # join_broadcast_star + join_semi + agg_rollup overflow; the two
     # joins' plan shapes (broadcast star, LeftSemi) are pinned by
@@ -149,12 +160,13 @@ _SWEEP_PRIORITY = [
     "percentiles",
 ]
 # Round-9 rotation preview: after the r08 sweep the oldest evidence is the
-# 22 r04 overflow entries past the 50 budget (the 15 deferral-justified
-# entries listed above plus q20_potential_promotion, contamination_check,
+# 25 r04 overflow entries past the 50 budget (the 15 deferral-justified
+# entries listed above plus q11_important_stock, q15_top_supplier,
+# q18_large_volume_customer, q20_potential_promotion, contamination_check,
 # fuzzy_levenshtein_pairs, grouped_applyinpandas_scale,
 # join_broadcast_star, join_semi and agg_rollup) -- they lead the r09
 # head, then the r05-evidenced queries fill the rest of the budget
-# (22 + 28 of the 48 r05 entries not re-checked in r08; the overflow r05
+# (25 + 25 of the 48 r05 entries not re-checked in r08; the overflow r05
 # entries lead r10).
 
 

@@ -1,0 +1,184 @@
+"""Data-layout queries: multi-dimensional clustering for file skipping.
+
+At 100 TB the cheapest predicate is the one that never reads a file:
+parquet footers carry per-file min/max column stats, and a writer that
+clusters rows so those ranges are TIGHT in every filtered dimension lets a
+box query (date range x key range) prune most of the corpus at planning
+time. Sorting by one column makes that column's ranges tight and every
+other column's ranges full-width; Z-ORDER (bit-interleaving the quantized
+dimensions, the Delta/Iceberg OPTIMIZE ZORDER technique) trades a little
+tightness in each dimension for tight ranges in ALL of them.
+
+`zorder_layout` quantifies exactly that trade on lineitem: it simulates a
+256-file layout under (a) z-order on (ship-day, partkey) and (b) a plain
+date sort, reports each simulated file's min/max envelope in both
+dimensions, and marks which files a reference box query could skip. The
+whole computation is integer arithmetic (quantize via integer division,
+interleave via shift/and/or), so the DuckDB oracle is bit-exact by
+construction. The write-side recipe this models is one line:
+``df.repartitionByRange(n, zcol).sortWithinPartitions(zcol).write...``.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+
+_ZBITS = 8  # 8 bits per dimension -> 16-bit z-value, 256 top-level buckets
+
+
+def z_interleave_col(x: Column, y: Column, nbits: int = _ZBITS) -> Column:
+    """Bit-interleave two already-quantized non-negative columns: bit i of
+    ``x`` lands at position 2i, bit i of ``y`` at 2i+1. Pure shift/and
+    arithmetic -- whole-stage codegen, no UDF."""
+    terms = []
+    for i in range(nbits):
+        terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(add, terms)
+
+
+def z_interleave_sql(xe: str, ye: str, nbits: int = _ZBITS) -> str:
+    """The DuckDB mirror of z_interleave_col -- same bit rule, operator
+    syntax. Both are pinned against a Python reference in tests."""
+    terms = []
+    for i in range(nbits):
+        terms.append(f"(((({xe}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({ye}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+# Quantize x in [lo, hi] onto the 8-bit grid with pure integer division --
+# identical rule interpolated into both engines (Spark DIV / DuckDB //).
+_Q8_SPARK = (
+    "CASE WHEN {hi} > {lo} THEN (({x} - {lo}) * 255) DIV ({hi} - {lo})"
+    " ELSE CAST(0 AS BIGINT) END"
+)
+_Q8_DUCK = (
+    "CASE WHEN {hi} > {lo} THEN (({x} - {lo}) * 255) // ({hi} - {lo})"
+    " ELSE 0 END"
+)
+
+# The reference box query both layouts are judged against: the middle
+# quarter of the date range x the lowest 1/16th of the partkey range --
+# the "recent-ish window over a narrow key family" shape where a
+# date-sorted layout prunes on the date predicate only and z-order prunes
+# on both. All bounds derive from the same global min/max row, integer
+# arithmetic end to end.
+_BOX = {
+    "box_d_lo": "day_lo + (day_hi - day_lo) {div} 2",
+    "box_d_hi": "day_lo + ((day_hi - day_lo) * 3) {div} 4",
+    "box_p_lo": "p_lo",
+    "box_p_hi": "p_lo + (p_hi - p_lo) {div} 16",
+}
+
+_PRUNABLE = (
+    "(max_day < {box_d_lo} OR min_day > {box_d_hi}"
+    " OR max_part < {box_p_lo} OR min_part > {box_p_hi})"
+)
+
+
+def _box_exprs(div: str) -> dict[str, str]:
+    return {k: "(" + v.format(div=div) + ")" for k, v in _BOX.items()}
+
+
+@register(
+    "zorder_layout",
+    oracle=f"""
+    WITH src AS (
+        SELECT CAST(datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+                    AS BIGINT) AS day,
+               l_partkey AS part
+        FROM lineitem
+    ),
+    b AS (
+        SELECT MIN(day) AS day_lo, MAX(day) AS day_hi,
+               MIN(part) AS p_lo, MAX(part) AS p_hi
+        FROM src
+    ),
+    q AS (
+        SELECT day, part, day_lo, day_hi, p_lo, p_hi,
+               {_Q8_DUCK.format(x='day', lo='day_lo', hi='day_hi')} AS day8,
+               {_Q8_DUCK.format(x='part', lo='p_lo', hi='p_hi')} AS part8
+        FROM src CROSS JOIN b
+    ),
+    z AS (
+        SELECT *, {z_interleave_sql('day8', 'part8')} AS zval FROM q
+    ),
+    tagged AS (
+        SELECT 'zorder' AS layout, zval // 256 AS bucket, * FROM z
+        UNION ALL
+        SELECT 'linear' AS layout, day8 AS bucket, * FROM z
+    ),
+    stats AS (
+        SELECT layout, bucket,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               MIN(day) AS min_day, MAX(day) AS max_day,
+               MIN(part) AS min_part, MAX(part) AS max_part,
+               MIN(day_lo) AS day_lo, MIN(day_hi) AS day_hi,
+               MIN(p_lo) AS p_lo, MIN(p_hi) AS p_hi
+        FROM tagged GROUP BY layout, bucket
+    )
+    SELECT layout, CAST(bucket AS INTEGER) AS bucket, n_rows,
+           min_day, max_day, min_part, max_part,
+           {_PRUNABLE.format(**_box_exprs('//'))} AS prunable
+    FROM stats
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order vs linear layout audit (module docstring): simulate 256
+    output files per layout, report each file's (day, partkey) min/max
+    envelope and whether the reference box query can skip it.
+
+    Plan shape: one lineitem scan projecting two columns; a 1-row global
+    min/max aggregate broadcast back (the only BNLJ -- allowlisted, 1-row
+    class); quantize + interleave + both bucket ids as pure codegen
+    arithmetic; stack() fans each row to its two layout tags ON the scan
+    (no second read); ONE hash aggregate on (layout, bucket) -- shuffle
+    carries <=512 groups regardless of table size. The box bounds ride the
+    aggregate as MIN() of per-row constants, so no second pass over the
+    bounds. At 100 TB the expensive part is the scan itself; everything
+    else is bounded metadata."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("day"),
+        F.col("l_partkey").alias("part"),
+    )
+    bounds = li.agg(
+        F.min("day").alias("day_lo"), F.max("day").alias("day_hi"),
+        F.min("part").alias("p_lo"), F.max("part").alias("p_hi"),
+    )
+    q = li.crossJoin(F.broadcast(bounds)).selectExpr(
+        "day", "part", "day_lo", "day_hi", "p_lo", "p_hi",
+        _Q8_SPARK.format(x="day", lo="day_lo", hi="day_hi") + " AS day8",
+        _Q8_SPARK.format(x="part", lo="p_lo", hi="p_hi") + " AS part8",
+    )
+    z = q.withColumn("zval", z_interleave_col(F.col("day8"), F.col("part8")))
+    tagged = z.select(
+        F.expr(
+            "stack(2, 'zorder', zval DIV 256, 'linear', day8)"
+            " AS (layout, bucket)"
+        ),
+        "day", "part", "day_lo", "day_hi", "p_lo", "p_hi",
+    )
+    stats = tagged.groupBy("layout", "bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("day").alias("min_day"), F.max("day").alias("max_day"),
+        F.min("part").alias("min_part"), F.max("part").alias("max_part"),
+        F.min("day_lo").alias("day_lo"), F.min("day_hi").alias("day_hi"),
+        F.min("p_lo").alias("p_lo"), F.min("p_hi").alias("p_hi"),
+    )
+    return stats.selectExpr(
+        "layout", "CAST(bucket AS INT) AS bucket", "n_rows",
+        "min_day", "max_day", "min_part", "max_part",
+        _PRUNABLE.format(**_box_exprs("DIV")) + " AS prunable",
+    )

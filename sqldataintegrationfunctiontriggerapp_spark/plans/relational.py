@@ -1188,3 +1188,71 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("promo_revenue_pct"),
         dsum(promo, "promo_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join (layout-driven shuffle elimination)
+# --------------------------------------------------------------------------
+
+def _colocated_tables(spark: SparkSession, sf_dir: str):
+    """Session-memoized bucketed copies of customer and orders, both
+    bucketed 8 ways on the customer key (sinks/table_sink.write_bucketed).
+    The one-time write is the layout investment; every subsequent join on
+    the key is bucket-local. The StagedDir cleans the files up on stage
+    eviction; table names embed an sf_dir tag so fixture switches never
+    collide in the session catalog."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        StagedDir,
+        session_stage,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.sinks.table_sink import (
+        write_bucketed,
+    )
+
+    def build():
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        base = tempfile.mkdtemp(prefix=f"colocated_{tag}_")
+        tc, to = f"colocated_cust_{tag}", f"colocated_ord_{tag}"
+        c = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_mktsegment"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+        )
+        write_bucketed(c, tc, "c_custkey", 8, path=os.path.join(base, "c"))
+        write_bucketed(o, to, "c_custkey", 8, path=os.path.join(base, "o"))
+        return (StagedDir(base), tc, to)
+
+    return session_stage(spark, sf_dir, "colocated_cust_ord_8", build)
+
+
+@register(
+    "join_bucketed_colocated",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {sql_dsum('o.o_totalprice', 'total_price')}
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The layout-driven join: both sides pre-bucketed 8 ways on the
+    customer key, so the equi-join runs bucket-local sort-merge with ZERO
+    exchange on either side (plan-shape pinned) -- the co-location strategy
+    that turns the biggest recurring cost of a 100 TB star join (the
+    fact-table shuffle) into a one-time write-side investment. The merge
+    hint only rules out broadcast; the bucket layout is what satisfies the
+    join's distribution requirement. The oracle is the PLAIN join over the
+    raw parquet -- the hash match proves the bucketed layout changed the
+    physical plan and nothing else (the skew_salted_* evidence pattern)."""
+    _, tc, to = _colocated_tables(spark, sf_dir)
+    j = spark.table(tc).hint("merge").join(spark.table(to), "c_custkey")
+    return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )

@@ -534,8 +534,10 @@ def _km_update_sql(t: int, prev_a: str, prev_c: str, dim: int = 64) -> str:
     """
 
 
-_KMEANS_ORACLE = f"""
-    WITH corpus AS (
+# The unrolled 2-iteration k-means CTE chain, shared by the kmeans_clusters
+# oracle and the dedup_semantic oracle (which scores within-cluster pairs
+# over the same final assignment a2).
+_KMEANS_CTES = f"""corpus AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     c0 AS (
@@ -550,9 +552,30 @@ _KMEANS_ORACLE = f"""
     {_km_update_sql(1, 'a0', 'c0')},
     a1 AS ({_km_assign_sql('c1')}),
     {_km_update_sql(2, 'a1', 'c1')},
-    a2 AS ({_km_assign_sql('c2')})
+    a2 AS ({_km_assign_sql('c2')})"""
+
+_KMEANS_ORACLE = f"""
+    WITH {_KMEANS_CTES}
     SELECT vec_id, CAST(cid AS INTEGER) AS cluster_id FROM a2
 """
+
+
+def _kmeans_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-memoized final k-means assignment (k=8, iters=2) -- the
+    (vec_id, cluster_id) frame kmeans_clusters returns and dedup_semantic
+    builds its within-cluster pair join on. The EXPENSIVE part of the fit
+    (each iteration's mean-update jobs, <=k*dim driver metadata per
+    collect) runs once at build time; the memoized value is deliberately
+    NOT checkpointed -- it is the LAZY final argmin map with the fitted
+    centroids embedded as literals, so its plan stays the pure
+    scan-plus-map the plan-shape test pins, and a re-action re-runs only
+    that one cheap map."""
+
+    def build():
+        e = load_table(spark, sf_dir, "embeddings")
+        return S.kmeans_lloyd(e, k=8, iters=2)
+
+    return session_stage(spark, sf_dir, "kmeans_a2_k8_i2", build)
 
 
 @register("kmeans_clusters", oracle=_KMEANS_ORACLE)
@@ -570,5 +593,106 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same evidence discipline connected-components gets from its
     recursive-CTE oracle. The oracle's CROSS JOIN corpus x centroids is
     oracle-side only; Spark's per-row cost is a k-term array expression."""
+    return _kmeans_assignment(spark, sf_dir)
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    vec AS (
+        SELECT vec_id, v, list_dot_product(v, v) AS n2 FROM corpus
+    ),
+    member AS (
+        -- zero-norm vectors stay in the OUTPUT (they are legitimate
+        -- k-means points) but never enter the pair scoring: their cosine
+        -- is undefined, matching the engine's try_divide/exclusion rule
+        SELECT a.vec_id, a.cid, v.v, v.n2
+        FROM a2 a JOIN vec v USING (vec_id)
+        WHERE v.n2 > 0
+    ),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS cos
+        FROM member a JOIN member b
+          ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ),
+    dups AS (
+        SELECT id_b AS vec_id, MIN(id_a) AS dup_of,
+               COUNT(*) AS n_dups, MAX(cos) AS max_cos
+        FROM pairs WHERE cos >= 0.4
+        GROUP BY id_b
+    )
+    SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster_id,
+           d.dup_of,
+           CAST(COALESCE(d.n_dups, 0) AS BIGINT) AS n_dups,
+           d.max_cos,
+           (d.dup_of IS NOT NULL) AS is_dup
+    FROM a2 a LEFT JOIN dups d USING (vec_id)
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication = cluster the embedding corpus, then score cosine pairs
+    ONLY within clusters -- a document is a duplicate if a smaller-id
+    same-cluster neighbor scores >= tau (min-id survivor, deterministic).
+    Output is one row per vector: its cluster, the canonical survivor it
+    duplicates (NULL if kept), how many in-cluster near-dups it has, and
+    the strongest of those cosines.
+
+    Composes two hash-green stages: the memoized k-means assignment
+    (_kmeans_assignment -- shared with kmeans_clusters, one Lloyd fit per
+    session) and the cosine kernel discipline (try_divide + zero-norm
+    exclusion from the pair stream; zero vectors stay in the output with
+    is_dup = false).
+
+    Scale shape (100 TB): this is SemDeDup's entire reason to exist -- the
+    all-pairs O(n^2) cosine join becomes an EQUI-join on cluster_id, so
+    work is sum over clusters of c_i^2; production keeps CLUSTER SIZE
+    roughly constant (the paper uses 50k clusters for LAION, k ~ n/1000),
+    which makes the pair stage LINEAR in corpus size. The pair stream
+    shuffles both sides by cluster_id (AQE splits a skewed mega-cluster),
+    the per-dup aggregate is a keyed hash agg, and the final left join
+    returns to the assignment grain. k=8 here is oracle-bound (the
+    unrolled k-means CTE chain), not the production setting; a cluster too
+    large for the JVM fold join is the shape the blocked-dgemm pair kernel
+    (cosine_pairs_above_bucketed_blas) was measured 80x faster on, keyed
+    by cluster instead of angular block."""
+    assign = _kmeans_assignment(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
-    return S.kmeans_lloyd(e, k=8, iters=2)
+    v = S._as_double("embedding")
+    vec = e.select("vec_id", v.alias("v")).withColumn(
+        "n2", S.dot(F.col("v"), F.col("v"))
+    )
+    member = assign.join(vec.where(F.col("n2") > 0), "vec_id")
+    a = member.select(
+        F.col("vec_id").alias("id_a"), "cluster_id",
+        F.col("v").alias("va"), F.col("n2").alias("na"),
+    )
+    b = member.select(
+        F.col("vec_id").alias("id_b"), "cluster_id",
+        F.col("v").alias("vb"), F.col("n2").alias("nb"),
+    )
+    cos = F.try_divide(
+        S.dot(F.col("va"), F.col("vb")), F.sqrt(F.col("na") * F.col("nb"))
+    )
+    dups = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= 0.4)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(
+            F.min("id_a").alias("dup_of"),
+            F.count(F.lit(1)).alias("n_dups"),
+            F.max("cos").alias("max_cos"),
+        )
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster_id",
+        "dup_of",
+        F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
+        "max_cos",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )

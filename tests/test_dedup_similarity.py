@@ -247,3 +247,63 @@ def test_blas_ivf_probe_matches_jvm_probe_exactly(spark, sf_dir):
     empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert S.ivf_topk_blas(empty, q, k=5).count() == 0
     assert S.ivf_topk_blas(e, empty, k=5).count() == 0
+
+
+def test_semantic_dedup_matches_python_reference(spark, sf_dir):
+    """dedup_semantic (plans/similarity.py): replicate the within-cluster
+    pair stage in Python over the SAME k-means assignment and pin the
+    min-id-survivor / n_dups / max_cos algebra exactly. The cosine fold is
+    the identical left-to-right double accumulation, so comparisons against
+    tau cannot flip between the replica and the engine."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans.similarity import (
+        _kmeans_assignment,
+        dedup_semantic,
+    )
+
+    out = {r.vec_id: r for r in dedup_semantic(spark, sf_dir).collect()}
+    assign = {
+        r.vec_id: r.cluster_id
+        for r in _kmeans_assignment(spark, sf_dir).collect()
+    }
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    assert set(out) == set(assign) == set(vecs)
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    import math
+
+    norms = {i: fold_dot(v, v) for i, v in vecs.items()}
+    expected = {}
+    for j in vecs:
+        hits = []
+        for i in vecs:
+            if i >= j or assign[i] != assign[j]:
+                continue
+            if norms[i] <= 0 or norms[j] <= 0:
+                continue  # undefined cosine: never a candidate
+            cos = fold_dot(vecs[i], vecs[j]) / math.sqrt(norms[i] * norms[j])
+            if cos >= 0.4:
+                hits.append((i, cos))
+        expected[j] = hits
+
+    n_flagged = 0
+    for j, row in out.items():
+        hits = expected[j]
+        assert row.cluster_id == assign[j]
+        assert row.is_dup == bool(hits), j
+        assert row.n_dups == len(hits), j
+        if hits:
+            n_flagged += 1
+            assert row.dup_of == min(i for i, _ in hits), j
+            assert row.max_cos == max(c for _, c in hits), j
+        else:
+            assert row.dup_of is None and row.max_cos is None, j
+    # the fixture must actually exercise the dup path
+    assert n_flagged > 0

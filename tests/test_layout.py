@@ -1,0 +1,105 @@
+"""zorder_layout: the bit-interleave rule, pruning soundness, and the
+layout comparison itself (plans/layout.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.plans.layout import (
+    z_interleave_col,
+    z_interleave_sql,
+    zorder_layout,
+)
+
+
+def _z_ref(x: int, y: int, nbits: int = 8) -> int:
+    z = 0
+    for i in range(nbits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=20, deadline=None)
+def test_duckdb_interleave_matches_python_reference(pairs):
+    con = duckdb.connect()
+    expr = z_interleave_sql("x", "y")
+    vals = ", ".join(f"({x}, {y})" for x, y in pairs)
+    got = con.sql(
+        f"SELECT {expr} AS z FROM (VALUES {vals}) AS t(x, y)"
+    ).fetchall()
+    assert [r[0] for r in got] == [_z_ref(x, y) for x, y in pairs]
+
+
+def test_spark_interleave_matches_python_reference(spark):
+    pairs = [(0, 0), (255, 255), (255, 0), (0, 255), (1, 2), (170, 85),
+             (200, 13), (7, 249)]
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = df.select(z_interleave_col(F.col("x"), F.col("y")).alias("z"))
+    assert [r.z for r in got.orderBy("x", "y").collect()] == [
+        z for _, _, z in sorted((x, y, _z_ref(x, y)) for x, y in pairs)
+    ]
+    # z-order curve property: interleaving is a bijection on the 16-bit grid
+    assert _z_ref(255, 255) == 65535 and _z_ref(0, 0) == 0
+
+
+@pytest.fixture(scope="module")
+def layout_rows(spark, sf_dir):
+    return zorder_layout(spark, sf_dir).collect()
+
+
+def test_layout_conserves_rows_and_bounds(spark, sf_dir, layout_rows):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    by_layout = {}
+    for r in layout_rows:
+        by_layout.setdefault(r.layout, []).append(r)
+    assert set(by_layout) == {"zorder", "linear"}
+    for layout, rows in by_layout.items():
+        assert sum(r.n_rows for r in rows) == n, layout
+        assert all(0 <= r.bucket <= 255 for r in rows), layout
+        assert all(r.min_day <= r.max_day and r.min_part <= r.max_part
+                   for r in rows), layout
+
+
+def test_prunable_buckets_really_contain_no_box_rows(spark, sf_dir,
+                                                     layout_rows):
+    """Soundness of the skip decision: re-derive the box from the global
+    bounds and check every PRUNABLE bucket's envelope truly misses it --
+    a false skip would silently drop query results at 100 TB."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long").alias("day"),
+        F.col("l_partkey").alias("part"),
+    )
+    b = li.agg(F.min("day"), F.max("day"), F.min("part"), F.max("part"))
+    day_lo, day_hi, p_lo, p_hi = b.collect()[0]
+    box_d = (day_lo + (day_hi - day_lo) // 2,
+             day_lo + ((day_hi - day_lo) * 3) // 4)
+    box_p = (p_lo, p_lo + (p_hi - p_lo) // 16)
+    for r in layout_rows:
+        misses = (r.max_day < box_d[0] or r.min_day > box_d[1]
+                  or r.max_part < box_p[0] or r.min_part > box_p[1])
+        assert r.prunable == misses, r
+
+
+def test_zorder_skips_at_least_as_much_as_linear(layout_rows):
+    """The point of the operator: for a box narrow in the NON-sort
+    dimension, the z-order layout must let the box query skip at least as
+    many rows as the date-sorted layout (strictly more on the fixtures)."""
+    skipped = {"zorder": 0, "linear": 0}
+    for r in layout_rows:
+        if r.prunable:
+            skipped[r.layout] += r.n_rows
+    assert skipped["zorder"] >= skipped["linear"], skipped

@@ -472,3 +472,20 @@ def test_salted_join_spreads_on_key_and_salt(spark, sf_dir):
     assert "_salt" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bucketed_colocated_join_is_shuffle_free(spark, sf_dir):
+    """join_bucketed_colocated's whole claim: the bucket layout satisfies
+    the sort-merge join's distribution requirement, so NEITHER side
+    exchanges -- the only Exchange in the plan is the final <=5-group
+    aggregate. Losing this (bucket-count drift, a lost sortBy, bucketing
+    disabled) silently reintroduces the 100 TB fact shuffle."""
+    plan = plan_of(spark, sf_dir, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    join_at = plan.index("SortMergeJoin")
+    # nothing below the join exchanges: both inputs come straight off the
+    # bucketed scans
+    assert "Exchange hashpartitioning" not in plan[join_at:]
+    # exactly one exchange anywhere -- the partial/final aggregate above
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SelectedBucketsCount" in plan  # both scans read bucket layout
