@@ -547,56 +547,34 @@ def cosine_pairs_above_bucketed(
     )
 
 
-def cosine_pairs_above_bucketed_blas(
-    vectors: DataFrame,
+def _blocked_pairs_dgemm(
+    spark,
+    assigned: DataFrame,
+    csize: dict,
+    admissible,
     threshold: float,
-    n_pivots: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    block_rows: int = 2048,
+    block_rows: int,
+    base_empty: DataFrame,
 ) -> DataFrame:
-    """The bucketed angular join with a blocked-dgemm back end -- the
-    beyond-one-machine regime of the BLAS kernel (corpus too big to
-    broadcast whole), with the same bit-exactness contract.
+    """Shared blocked-dgemm pair back end (extracted r09 so the angular
+    join and SemDeDup's cluster-keyed pair stage share one kernel and can
+    never drift in scoring math). `assigned` carries (vid, v, n2, cluster)
+    with zero-norm rows already excluded; `csize` the exact per-cluster
+    sizes (bounded driver metadata); `admissible` the cluster-pair grid to
+    score (symmetric grids allowed -- each unordered pair is taken once).
 
-    Front half is the SHARED `_angular_stage` (pivot sample, cluster
-    assignment, radii, admissibility grid), so pruning semantics cannot
-    drift from the fold join. Back end: each cluster is cut into blocks of
-    ~`block_rows` rows (hash of the id, deterministic), the admissible
-    cluster-pair grid expands driver-side into a block-pair grid (pure
-    metadata: #blocks is corpus/block_rows, the grid is a few thousand
-    rows), each side of a block pair is tagged with its pair id via a
-    broadcast join, and a cogrouped `applyInPandas` scores one BLOCK PAIR
-    per group: one dgemm for candidates (threshold - 1e-6 margin), then
-    the exact `np.add.accumulate` re-score -- identical math to
+    Each cluster is cut into blocks of ~`block_rows` rows (hash of the id,
+    deterministic), the admissible cluster-pair grid expands driver-side
+    into a block-pair grid (pure metadata: #blocks is corpus/block_rows),
+    each side of a block pair is tagged with its pair id via a broadcast
+    join, and a grouped `applyInPandas` scores one BLOCK PAIR per group:
+    one dgemm for candidates (threshold - 1e-6 margin), then the exact
+    `np.add.accumulate` re-score -- identical math to
     `cosine_pairs_above_blas`, so results match the fold join bit for bit
     (test-pinned). Per-group memory is 2 x block_rows x dim doubles
-    (~2 MB), independent of corpus size.
-
-    Scale shape: work and shuffle volume are Sum over admissible block
-    pairs of (|A| + |B|) -- the standard distributed block-nested join.
-    Replication factor is the admissible partner-block count, which
-    pruning shrinks when clusters are tight; with no pruning it is the
-    unavoidable all-pairs volume, evaluated at dgemm speed instead of
-    64-step fold chains per pair (measured 200k x 64, full grid: fold
-    join ~extrapolated tens of minutes; blocked dgemm ~2 min -- see
-    COVERAGE.md r08). Orientation: each unordered block pair appears once
-    (ca <= cb, ia <= ib within a cluster); the same-block group masks by
-    id order, cross-block groups emit ids normalized with min/max."""
+    (~2 MB), independent of corpus size."""
     import numpy as np
     import pandas as pd
-
-    stage = _angular_stage(vectors, threshold, n_pivots, id_col, vec_col)
-    base_empty = vectors.select(
-        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
-    ).select(
-        F.col("vid").alias("id_a"), F.col("vid").alias("id_b"),
-        F.lit(0.0).alias("cos"),
-    ).where(F.lit(False))
-    if stage is None:
-        return base_empty
-    assigned, radius, csize, admissible = stage
-    spark = vectors.sparkSession
 
     nblk = {c: max(1, -(-csize[c] // block_rows)) for c in csize}
     pairs = []
@@ -678,6 +656,168 @@ def cosine_pairs_above_bucketed_blas(
 
     return tagged.groupby("pair_id").applyInPandas(
         lambda pdf: score(pdf), "id_a long, id_b long, cos double"
+    )
+
+
+def cosine_pairs_above_bucketed_blas(
+    vectors: DataFrame,
+    threshold: float,
+    n_pivots: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 2048,
+) -> DataFrame:
+    """The bucketed angular join with a blocked-dgemm back end -- the
+    beyond-one-machine regime of the BLAS kernel (corpus too big to
+    broadcast whole), with the same bit-exactness contract.
+
+    Front half is the SHARED `_angular_stage` (pivot sample, cluster
+    assignment, radii, admissibility grid), so pruning semantics cannot
+    drift from the fold join. Back end: each cluster is cut into blocks of
+    ~`block_rows` rows (hash of the id, deterministic), the admissible
+    cluster-pair grid expands driver-side into a block-pair grid (pure
+    metadata: #blocks is corpus/block_rows, the grid is a few thousand
+    rows), each side of a block pair is tagged with its pair id via a
+    broadcast join, and a cogrouped `applyInPandas` scores one BLOCK PAIR
+    per group: one dgemm for candidates (threshold - 1e-6 margin), then
+    the exact `np.add.accumulate` re-score -- identical math to
+    `cosine_pairs_above_blas`, so results match the fold join bit for bit
+    (test-pinned). Per-group memory is 2 x block_rows x dim doubles
+    (~2 MB), independent of corpus size.
+
+    Scale shape: work and shuffle volume are Sum over admissible block
+    pairs of (|A| + |B|) -- the standard distributed block-nested join.
+    Replication factor is the admissible partner-block count, which
+    pruning shrinks when clusters are tight; with no pruning it is the
+    unavoidable all-pairs volume, evaluated at dgemm speed instead of
+    64-step fold chains per pair (measured 200k x 64, full grid: fold
+    join ~extrapolated tens of minutes; blocked dgemm ~2 min -- see
+    COVERAGE.md r08). Orientation: each unordered block pair appears once
+    (ca <= cb, ia <= ib within a cluster); the same-block group masks by
+    id order, cross-block groups emit ids normalized with min/max.
+
+    The block-pair back end itself lives in `_blocked_pairs_dgemm`
+    (extracted r09), shared with SemDeDup's cluster-keyed pair stage
+    (`cluster_pairs_above_blas`)."""
+    stage = _angular_stage(vectors, threshold, n_pivots, id_col, vec_col)
+    base_empty = vectors.select(
+        F.col(id_col).alias("vid"), _as_double(vec_col).alias("v")
+    ).select(
+        F.col("vid").alias("id_a"), F.col("vid").alias("id_b"),
+        F.lit(0.0).alias("cos"),
+    ).where(F.lit(False))
+    if stage is None:
+        return base_empty
+    assigned, radius, csize, admissible = stage
+    return _blocked_pairs_dgemm(
+        vectors.sparkSession, assigned, csize, admissible,
+        threshold, block_rows, base_empty,
+    )
+
+
+# SemDeDup pair-stage routing bound: a cluster at the fold-join comfort
+# limit contributes c^2/2 pairs each priced as a 64-step interpreted fold
+# chain -- the r08 sf1 spot-bench measured that at ~87 s for 2x10^8 pairs
+# (20k-row corpus), i.e. the fold is comfortable to roughly 8M pairs per
+# cluster (~2-3 s). 4096^2/2 = 8.4M pairs; beyond that the per-cluster
+# blocked-dgemm kernel wins (same crossover logic as cosine_pairs_above_auto,
+# keyed by cluster instead of angular block).
+_SEMANTIC_FOLD_MAX_CLUSTER = 4096
+
+
+def cluster_pairs_above_blas(
+    member: DataFrame,
+    threshold: float,
+    block_rows: int = 2048,
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+    vec_col: str = "v",
+    n2_col: str = "n2",
+) -> DataFrame:
+    """Within-cluster cosine pairs at dgemm speed -- SemDeDup's pair stage
+    when a k-means cluster outgrows the fold join (VERDICT r08 #3).
+
+    `member` carries (id, cluster, v, n2) with zero-norm rows already
+    excluded (the SemDeDup zero-norm rule). The cluster assignment plays
+    the role `_angular_stage` plays for the angular join: the admissible
+    grid is simply the diagonal (each cluster only pairs with itself --
+    that is SemDeDup's semantics), sizes come from one bounded k-row
+    aggregate, and the scoring back end is the SHARED `_blocked_pairs_dgemm`
+    kernel, so results are bit-identical to the fold equi-join on
+    cluster_id (test-pinned, same exact-verify discipline).
+
+    Scale shape: work is Sum over clusters of c_i^2 evaluated at dgemm
+    speed with per-group memory bounded by 2 x block_rows x dim doubles;
+    an oversized cluster becomes many block pairs that spread across the
+    cluster, so one mega-cluster cannot serialize on a single task."""
+    rows = member.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("v"),
+        F.col(n2_col).alias("n2"),
+        F.col(cluster_col).cast("int").alias("cluster"),
+    )
+    base_empty = rows.select(
+        F.col("vid").alias("id_a"), F.col("vid").alias("id_b"),
+        F.lit(0.0).alias("cos"),
+    ).where(F.lit(False))
+    # bounded driver metadata: one row per cluster (k rows, k is the
+    # k-means k -- same bounded-collect idiom as the IVF pivot sample)
+    sizes = {
+        int(r["cluster"]): int(r["n"])
+        for r in rows.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not sizes:
+        return base_empty
+    admissible = [(c, c) for c in sizes]
+    return _blocked_pairs_dgemm(
+        member.sparkSession, rows, sizes, admissible,
+        threshold, block_rows, base_empty,
+    )
+
+
+def semantic_pairs_auto(
+    member: DataFrame,
+    threshold: float,
+    fold_max_cluster: int = _SEMANTIC_FOLD_MAX_CLUSTER,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Cost-based routing for SemDeDup's within-cluster pair stream --
+    mirrors `cosine_pairs_above_auto`'s contract: every branch is exact,
+    so the choice is pure cost, never semantics.
+
+    `member` carries (vec_id, cluster_id, v, n2), zero-norm excluded.
+    One bounded k-row aggregate reads the cluster histogram; if the
+    LARGEST cluster fits the fold-join comfort bound the pair stream is
+    the all-JVM codegen equi-join on cluster_id (no Python at all --
+    right answer for the common small-cluster regime, and the plan the
+    registered sf0.01 oracle hashes); one oversized cluster anywhere
+    routes the WHOLE stage through the blocked-dgemm kernel (bit-identical
+    by the shared-kernel pin, ~80x faster on the mega-cluster shape the
+    SemDeDup paper's k ~ n/1000 setting tries to avoid but skew creates).
+    Returns (id_a, id_b, cos) with id_a < id_b and cos >= threshold."""
+    sizes = [
+        int(r["n"])
+        for r in member.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    if sizes and max(sizes) > fold_max_cluster:
+        return cluster_pairs_above_blas(member, threshold, block_rows)
+    a = member.select(
+        F.col("vec_id").alias("id_a"), "cluster_id",
+        F.col("v").alias("va"), F.col("n2").alias("na"),
+    )
+    b = member.select(
+        F.col("vec_id").alias("id_b"), "cluster_id",
+        F.col("v").alias("vb"), F.col("n2").alias("nb"),
+    )
+    cos = F.try_divide(
+        dot(F.col("va"), F.col("vb")), F.sqrt(F.col("na") * F.col("nb"))
+    )
+    return (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
     )
 
 

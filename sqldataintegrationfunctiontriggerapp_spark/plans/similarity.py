@@ -654,10 +654,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles both sides by cluster_id (AQE splits a skewed mega-cluster),
     the per-dup aggregate is a keyed hash agg, and the final left join
     returns to the assignment grain. k=8 here is oracle-bound (the
-    unrolled k-means CTE chain), not the production setting; a cluster too
-    large for the JVM fold join is the shape the blocked-dgemm pair kernel
-    (cosine_pairs_above_bucketed_blas) was measured 80x faster on, keyed
-    by cluster instead of angular block."""
+    unrolled k-means CTE chain), not the production setting.
+
+    Pair-stage routing (r09, VERDICT r08 #3): the stream comes from
+    S.semantic_pairs_auto -- the all-JVM codegen fold equi-join when every
+    cluster fits the fold comfort bound (the plan this registered oracle
+    hashes at sf0.01, where max cluster ~ 100), auto-switching the stage
+    to the per-cluster blocked-dgemm kernel (the SHARED _blocked_pairs_dgemm
+    back end, bit-identical by the kernel-sharing test pin) when any
+    cluster exceeds _SEMANTIC_FOLD_MAX_CLUSTER -- the mega-cluster shape
+    measured ~80x faster under dgemm in the r08 sf1 sweep."""
     assign = _kmeans_assignment(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     v = S._as_double("embedding")
@@ -665,22 +671,8 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2", S.dot(F.col("v"), F.col("v"))
     )
     member = assign.join(vec.where(F.col("n2") > 0), "vec_id")
-    a = member.select(
-        F.col("vec_id").alias("id_a"), "cluster_id",
-        F.col("v").alias("va"), F.col("n2").alias("na"),
-    )
-    b = member.select(
-        F.col("vec_id").alias("id_b"), "cluster_id",
-        F.col("v").alias("vb"), F.col("n2").alias("nb"),
-    )
-    cos = F.try_divide(
-        S.dot(F.col("va"), F.col("vb")), F.sqrt(F.col("na") * F.col("nb"))
-    )
     dups = (
-        a.join(b, "cluster_id")
-        .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cos)
-        .where(F.col("cos") >= 0.4)
+        S.semantic_pairs_auto(member, 0.4)
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(
             F.min("id_a").alias("dup_of"),
