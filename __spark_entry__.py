@@ -26,148 +26,19 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Sweep priority: the driver checks queries in this dict's insertion order
-# and has a finite per-round budget (~50/round). Round-8 order (VERDICT r07
-# "Next round" #1 -- the rotation r07 promised and did not execute): first
-# the queries that are new or whose code changed this round (changed code
-# ALWAYS jumps to the head), then the 11 text-family queries whose
-# implementation changed in r07 (functions/text.py *_of_tokens delegation)
-# AFTER their latest driver check, then the 4 remaining r03-evidenced
-# holdouts (four rounds stale), then as many of the 45 r04-evidenced
-# queries as fit the 50 budget. Every entry stays registered regardless of
-# budget.
-_SWEEP_PRIORITY = [
-    # new/changed this round: misra_gries_topk (seventh sketch family,
-    # deterministic Misra-Gries summary merge -- VERDICT r07 #6);
-    # quantile_sketch_refined (two-pass 128x-tighter quantile refinement);
-    # dedup_embedding_cosine (auto selector now routes <=128k-row corpora
-    # through the new BLAS prefilter + exact-verify kernel);
-    # streaming_pipeline_parity (explicit coalesce(1) replaces the
-    # file-size accident its single-partition determinism relied on);
-    # streaming_throttle_parity + streaming_entity_stats_parity (the
-    # fused stateful replay's quiet-window walk is now the searchsorted
-    # jump -- streaming/stateful.py changed);
-    # quantile_sketch_merge (oracle now interpolates the shared _QSK_IDX
-    # bucket rule -- whitespace-identical SQL, but the string changed)
-    # lm_bigram_score: NEW in r08 -- bigram-LM fluency score (CCNet-style
-    # quality filter, transcendental-free so it hash-matches DuckDB).
-    # ann_ivf_blas_topk: NEW in r08 -- the BLAS IVF probe kernel under
-    # ann_ivf_topk's exact oracle (bit-identical by construction).
-    # weighted_systematic_sample: NEW in r08 -- integer-only PPS
-    # systematic sampling per source
-    # pagerank_nations: NEW in r08 -- weighted PageRank power iteration
-    # (fixed-point BIGINT contributions so the float recurrence is
-    # bit-identical across engines; chained-CTE oracle).
-    # skew_salted_agg / skew_salted_join: NEW in r08 -- the explicit skew
-    # mitigations (operators/skew.py), previously test-only, now under the
-    # hash gate with plain-op oracles (semantics-preservation proof).
-    # kmeans_clusters: code changed r08 -- hypothesis found the zero-norm
-    # hardening silently dropping zero vectors from the Euclidean k-means
-    # assignment; ivf_assign grew include_zero_norm and kmeans opts in.
-    # Later the same round its Lloyd fit moved into the session-memoized
-    # _kmeans_assignment stage dedup_semantic shares.
-    # dedup_semantic: NEW in r08 -- SemDeDup (cluster-then-pair semantic
-    # dedup over the memoized k-means assignment, min-id survivor).
-    # zorder_layout: NEW in r08 -- z-order vs linear layout audit
-    # (integer-only quantize + bit-interleave, per-bucket skip envelopes).
-    # join_bucketed_colocated: NEW in r08 -- the shuffle-free bucket-local
-    # sort-merge join under the hash gate with a plain-join oracle
-    # (layout changes the physical plan and nothing else).
-    "dedup_semantic", "zorder_layout", "join_bucketed_colocated",
-    "pagerank_nations", "skew_salted_agg", "skew_salted_join",
-    "kmeans_clusters",
-    "lm_bigram_score", "ann_ivf_blas_topk", "weighted_systematic_sample",
-    "misra_gries_topk", "quantile_sketch_refined",
-    "dedup_embedding_cosine", "streaming_pipeline_parity",
-    "streaming_throttle_parity", "streaming_entity_stats_parity",
-    "quantile_sketch_merge",
-    # the 11 text-family queries whose code changed in r07 with no driver
-    # re-check since (the changed-code rule; delegation made the
-    # expressions identical by construction, but the freshest text code
-    # has never been driver-hashed):
-    "text_token_stats", "term_frequencies", "tfidf_top_terms",
-    "cms_heavy_hitters", "text_repetition", "text_quality_score",
-    "text_pii_scrub", "text_bpe_token_count", "text_lang_id",
-    "text_fingerprint", "doc_length_histogram",
-    # the 4 remaining r03-evidenced holdouts (doc_length_histogram above
-    # covers the fifth) -- four rounds stale, the rotation invariant says
-    # they lead everything except changed code:
-    "window_percent_rank", "set_except", "join_anti", "null_safe_join",
-    # 18 of the 43 remaining r04-evidenced queries fit the 50 budget
-    # (17 + 11 + 4 + 18 -- see the overflow note below).
-    # Core reference-parity rows and the ANN family first (the verdict's
-    # named priorities). The ANN entries also ride the changed-code rule a
-    # second time: operators/similarity.py switched every cosine division
-    # to try_divide with zero-norm exclusion on all entry points (the
-    # ANSI-mode DIVIDE_BY_ZERO latent bug hypothesis found in r08), so the
-    # whole cosine family (these four + dedup_embedding_cosine at the
-    # head) re-hashes against its oracles this sweep. Then the rest:
-    "allowlist_projection", "json_envelope", "minmax_agg", "between_filter",
-    "cte_update_join", "top_limit", "error_truncation",
-    "identifier_normalization", "dedup_exact", "dedup_simhash",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_lsh_topk", "ann_ivf_recall_sweep",
-    "q1_pricing_summary", "q3_shipping_priority", "q13_order_distribution",
-    "q2_min_cost_supplier", "q11_important_stock", "q15_top_supplier",
-    "q18_large_volume_customer", "q20_potential_promotion",
-    "contamination_check", "fuzzy_levenshtein_pairs",
-    "grouped_applyinpandas_scale", "join_broadcast_star", "join_semi",
-    "agg_rollup",
-    # The overflow entries below lead the r09 sweep (25 once
-    # dedup_semantic, zorder_layout and join_bucketed_colocated joined the
-    # twelve earlier r08 head entries: 17 + 11 + 4 + 18 = 50, so
-    # q2_min_cost_supplier is the last in-budget entry and
-    # q11_important_stock + q15_top_supplier + q18_large_volume_customer +
-    # q20_potential_promotion + contamination_check +
-    # fuzzy_levenshtein_pairs + grouped_applyinpandas_scale +
-    # join_broadcast_star + join_semi + agg_rollup overflow; the two
-    # joins' plan shapes (broadcast star, LeftSemi) are pinned by
-    # tests/test_plan_shapes.py meanwhile, and
-    # grouped_applyinpandas_scale's Arrow path stays exercised by pytest).
-    # Deferral
-    # justifications (each has a same-shape sibling IN this sweep or
-    # r05+ evidence, and none had code changes since r04):
-    # agg_cube / agg_grouping_sets: single-scan grouping-variant siblings
-    #   of agg_rollup (itself an overflow entry this round -- same file,
-    #   same expression builder);
-    # exists_semi_subquery / in_subquery_large_orders: both rewrite to the
-    #   LeftSemi plan join_semi pins in this sweep;
-    # not_exists_anti_subquery: rewrites to the LeftAnti plan join_anti
-    #   (in this sweep's r03 block) pins;
-    # correlated_subquery: scalar-subquery decorrelation, plan-pinned,
-    #   zero code churn since r03;
-    # join_left_outer: single equi-join sibling of join_full_outer (r05)
-    #   and join_broadcast_star (r09 head, plan-pinned meanwhile);
-    # multimodal_frame_sample + multimodal_media_metadata: siblings of
-    #   multimodal_chunk_energy (r07) and multimodal_feature_extract (r05)
-    #   over the same stub;
-    # pandas_udf_quality: Arrow-UDF sibling of grouped_applyinpandas_scale
-    #   (this sweep) with an expression-twin oracle;
-    # string_agg_ordered: stateless sort_array aggregate, same shape as
-    #   map_agg_event_counts (r07 green);
-    # posexplode_terms: explode+aggregate sibling of term_frequencies
-    #   (this sweep's head);
-    # unpivot_part_metrics: stateless stack() reshape, inverse of
-    #   pivot_status (r05 green), zero joins;
-    # percentiles: single-scan exact-percentile aggregate, siblings
-    #   percentile_approx (r05) and the two hash-green quantile sketches;
-    # count_distinct: single-scan distinct aggregate, sibling
-    #   approx_count_distinct (r05 green, stricter contract).
-    "count_distinct",
-    "agg_cube", "agg_grouping_sets", "exists_semi_subquery",
-    "in_subquery_large_orders", "not_exists_anti_subquery",
-    "correlated_subquery", "join_left_outer", "multimodal_frame_sample",
-    "multimodal_media_metadata", "pandas_udf_quality",
-    "string_agg_ordered", "posexplode_terms", "unpivot_part_metrics",
-    "percentiles",
-]
-# Round-9 rotation preview: after the r08 sweep the oldest evidence is the
-# 25 r04 overflow entries past the 50 budget (the 15 deferral-justified
-# entries listed above plus q11_important_stock, q15_top_supplier,
-# q18_large_volume_customer, q20_potential_promotion, contamination_check,
-# fuzzy_levenshtein_pairs, grouped_applyinpandas_scale,
-# join_broadcast_star, join_semi and agg_rollup) -- they lead the r09
-# head, then the r05-evidenced queries fill the rest of the budget
-# (25 + 25 of the 48 r05 entries not re-checked in r08; the overflow r05
-# entries lead r10).
+# and has a finite per-round budget (~50/round). Since r09 the order is
+# GENERATED, not narrated (VERDICT r08 #5): `tools/gen_sweep.py` derives it
+# from the CORRECTNESS_r*.json history (each query's latest hash-green
+# round) plus the round's changed-code set (git diff vs the round-boundary
+# commit, resolved through the package import graph at query-function
+# granularity), writes `_sweep_order.py` (checked in, machine-produced),
+# and this module imports it. Invariants the generator enforces: changed
+# code ALWAYS jumps to the head, then oldest evidence first, registry
+# order as the deterministic tie-break. Rerun the tool before round close.
+try:
+    from _sweep_order import SWEEP_PRIORITY as _SWEEP_PRIORITY
+except ImportError:  # registry order is the (still valid) fallback
+    _SWEEP_PRIORITY: list[str] = []
 
 
 def _ordered(d: dict) -> dict:
