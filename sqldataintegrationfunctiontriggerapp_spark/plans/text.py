@@ -332,12 +332,12 @@ _MG_K = 20
 _MG_SHARDS = 32
 
 
-def _mg_shard(term_sql: str) -> str:
+def _mg_shard(term_sql: str, shards: int = _MG_SHARDS) -> str:
     h = f"md5({term_sql})"
     return (
         f"(instr('0123456789abcdef', substring({h}, 1, 1)) * 16"
         f" + instr('0123456789abcdef', substring({h}, 2, 1)) - 17)"
-        f" % {_MG_SHARDS}"
+        f" % {shards}"
     )
 
 

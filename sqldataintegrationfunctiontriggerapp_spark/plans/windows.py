@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.plans._util import DEC, dsum
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+from sqldataintegrationfunctiontriggerapp_spark.plans.text import _mg_shard
 
 
 @register(
@@ -520,7 +521,17 @@ def _staged_events_dir(spark: SparkSession, sf_dir: str):
                 " the time-split streaming staging needs >=2 distinct"
                 " timestamps"
             )
-        mid = lo + (hi - lo) / 2
+        # FLOOR-microsecond midpoint, not `lo + (hi - lo) / 2`:
+        # timedelta division rounds half-to-even at the microsecond, a
+        # rule no SQL engine reproduces. The integer floor is exactly
+        # `lo_us + (hi_us - lo_us) // 2`, which the streaming-MG parity
+        # oracle replays via epoch_us() to reconstruct the batch split --
+        # the first oracle whose SEMANTICS depend on the boundary (the
+        # order-sensitive throttle oracle needs only monotonicity).
+        import datetime as _dt
+
+        us = _dt.timedelta(microseconds=1)
+        mid = lo + us * (((hi - lo) // us) // 2)
         # the split must be TOTAL -- a NULL ts satisfies neither inequality
         # and would silently vanish from the replay while every batch
         # oracle still counts the row; route NULLs to the early half
@@ -617,11 +628,18 @@ def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
     # property tests). The conf is restored in the finally; the suite is
     # single-threaded, so nothing else plans under the temporary value. A
     # production tail sizes this to key cardinality instead (state rows
-    # per partition), not to a fixture.
+    # per partition), not to a fixture. SPARK_GRAFT_STATE_PARTITIONS
+    # overrides for the invariance evidence run (r09: the two stateful
+    # parities hashed identical at 8 vs 32 state stores at sf1 --
+    # tools/check_state_partitions.py, recorded in COVERAGE.md).
+    import os as _os
+
     shuffle_conf = "spark.sql.shuffle.partitions"
     prev_parts = spark.conf.get(shuffle_conf)
     try:
-        spark.conf.set(shuffle_conf, "8")
+        spark.conf.set(
+            shuffle_conf, _os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8")
+        )
         ckpt_dir = tempfile.mkdtemp(prefix=f"{sink}_ckpt_", dir=_fast_tmp())
         stream = (
             spark.readStream.schema(schema)  # staged write preserves it
@@ -845,6 +863,121 @@ def streaming_entity_stats_parity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("f.n_events").alias("n_events"),
         F.col("f.sum_value").alias("sum_value"),
         F.col("f.last_ts").alias("last_ts"),
+    )
+
+
+# Streaming Misra-Gries sizing: 4 shards x 5 counters over the ~150-user
+# sf0.01 fixture puts ~38 distinct terms in every shard, so the (k+1)-th-
+# largest reduction ENGAGES in both micro-batches (at text.py's 32x20 the
+# summary would degenerate to exact counts here and the snapshot hash would
+# prove nothing about the reduce/merge algebra).
+_SMG_K = 5
+_SMG_SHARDS = 4
+_SMG_TERM = "COALESCE(CAST(user_id AS VARCHAR), 'null')"
+
+
+def _smg_reduce(src: str) -> str:
+    """One Misra-Gries reduction over a per-shard (sh, term, n) relation:
+    subtract the (k+1)-largest count in the shard from every counter, keep
+    the positive ones -- the identical one-shot rule as plans/text.py's
+    batch misra_gries_topk, value-based so no tie-break affects results."""
+    return f"""(
+        SELECT sh, term, n - t AS c FROM (
+            SELECT sh, term, n,
+                   COALESCE(MAX(CASE WHEN rr = {_SMG_K + 1} THEN n END)
+                            OVER (PARTITION BY sh), 0) AS t
+            FROM (SELECT *, ROW_NUMBER() OVER
+                      (PARTITION BY sh ORDER BY n DESC, term) AS rr
+                  FROM {src})
+        ) WHERE n - t > 0
+    )"""
+
+
+@register(
+    "streaming_mg_parity",
+    oracle=f"""
+    WITH span AS (
+        SELECT epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS lo_us,
+               epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS hi_us
+        FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+        SELECT {_SMG_TERM} AS term,
+               {_mg_shard(_SMG_TERM, _SMG_SHARDS)} AS sh,
+               (e.ts IS NULL OR epoch_us(CAST(e.ts AS TIMESTAMP))
+                  < s.lo_us + (s.hi_us - s.lo_us) // 2) AS early
+        FROM events e, span s
+    ),
+    c1 AS (SELECT sh, term, COUNT(*) AS n FROM ev WHERE early
+           GROUP BY sh, term),
+    s1 AS (SELECT * FROM {_smg_reduce("c1")} x1),
+    c2 AS (SELECT sh, term, COUNT(*) AS n FROM ev WHERE NOT early
+           GROUP BY sh, term),
+    m AS (
+        SELECT COALESCE(a.sh, b.sh) AS sh, COALESCE(a.term, b.term) AS term,
+               COALESCE(a.c, 0) + COALESCE(b.n, 0) AS n
+        FROM s1 a FULL JOIN c2 b ON a.sh = b.sh AND a.term = b.term
+        WHERE COALESCE(a.sh, b.sh) IN (SELECT sh FROM c2)
+    ),
+    s2 AS (SELECT * FROM {_smg_reduce("m")} x2),
+    snaps AS (
+        SELECT 1 AS batch_no, sh, term, c FROM s1
+        UNION ALL
+        SELECT CASE WHEN sh IN (SELECT sh FROM c1) THEN 2 ELSE 1 END,
+               sh, term, c
+        FROM s2
+    )
+    SELECT CAST(batch_no AS INTEGER) AS batch_no, CAST(sh AS INTEGER) AS sh,
+           term, CAST(c AS BIGINT) AS mg_n
+    FROM snaps
+    """,
+)
+def streaming_mg_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters run BY THE STREAMING ENGINE -- the eighth
+    sketch family's streaming dual (VERDICT r08 #8): the events fixture
+    replays through readStream in the 2 time-ordered micro-batches of the
+    shared staging, each user_id is a "term" sharded by the SAME md5-nibble
+    rule as the batch Misra-Gries (plans/text.py _mg_shard, 4 shards here),
+    and `misra_gries_by_shard` (streaming/stateful.py,
+    applyInPandasWithState) carries <= k=5 counters per shard across the
+    batch boundary: per batch, the shard's EXACT batch counts merge
+    pointwise into the carried counters and one Misra-Gries reduction
+    (subtract the (k+1)-largest, drop non-positive) shrinks them back to k.
+    Each batch's surviving counters are appended as a snapshot row set
+    (batch_no = the shard's own invocation count).
+
+    The oracle replays the identical fold in SQL with ZERO approximation
+    slack: the batch split is reconstructed from the staging's
+    floor-microsecond time midpoint (epoch_us arithmetic -- the first
+    oracle whose semantics DEPEND on the batch boundary, not just on
+    monotone replay), batch-1 exact counts reduce to the s1 summary,
+    full-join-merge with batch-2 counts reduces to s2, and both snapshots
+    hash-compare. That checks the whole trajectory: the per-shard state
+    survived the micro-batch boundary, absorbed batch 2 exactly once, and
+    committed exactly the error the MG algebra dictates.
+
+    Why the exact-count-per-batch variant: classic per-ARRIVAL Misra-Gries
+    is arrival-order-dependent inside a batch, which no deterministic
+    oracle could hash; per-BATCH exact counts keep the identical summary /
+    merge / reduce algebra (Agarwal et al., Mergeable Summaries) while
+    making every counter a pure function of the batch partition. Scale:
+    state is shards x k counters -- fixed by configuration, independent of
+    stream cardinality; the per-batch exact count is one value_counts over
+    the shard's Arrow batches (the map-side partial agg a production
+    deployment would fuse here)."""
+    from sqldataintegrationfunctiontriggerapp_spark.streaming import (
+        stateful as SS,
+    )
+
+    term = F.coalesce(F.col("user_id").cast("string"), F.lit("null"))
+    return _staged_replay(
+        spark, sf_dir, sink="strm_mg_sink", output_mode="append",
+        transform=lambda stream: SS.misra_gries_by_shard(
+            stream.select(term.alias("term")).withColumn(
+                "sh", F.expr(_mg_shard("term", _SMG_SHARDS)).cast("int")
+            ),
+            k=_SMG_K,
+        ),
     )
 
 

@@ -265,3 +265,91 @@ def fused_stats_throttle(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_OUT_SCHEMA = "batch_no int, sh int, term string, mg_n bigint"
+MG_STATE_SCHEMA = "terms array<string>, counts array<long>, n_batches int"
+
+
+def _mg_reduce(counters: dict, k: int) -> dict:
+    """One-shot Misra-Gries reduction (shared algebra with plans/text.py's
+    batch misra_gries_topk): when more than k counters exist, subtract the
+    (k+1)-largest count from every counter and drop the non-positive ones.
+    Value-based, so no tie-break can affect the result: at most k counters
+    can exceed the (k+1)-th largest. Pure function -- unit-tested directly
+    (test_stateful_streaming.py) since the streaming closure wraps it."""
+    if len(counters) <= k:
+        return dict(counters)
+    t_sub = sorted(counters.values(), reverse=True)[k]
+    return {t: c - t_sub for t, c in counters.items() if c - t_sub > 0}
+
+
+def misra_gries_by_shard(
+    grouped_stream: DataFrame,
+    k: int = 20,
+    shard_col: str = "sh",
+    term_col: str = "term",
+) -> DataFrame:
+    """Streaming Misra-Gries heavy hitters -- the STREAMING dual of the
+    batch `misra_gries_topk` plan (plans/text.py), eighth-family stretch of
+    VERDICT r08 #8: per-shard bounded counter state carried across
+    micro-batches by `applyInPandasWithState`.
+
+    Per micro-batch per shard: the batch's term counts are computed EXACTLY
+    (order-free within the batch -- this is what keeps the operator
+    hash-checkable where classic per-arrival Misra-Gries is
+    arrival-order-dependent), merged pointwise into the <= k carried
+    counters, then reduced with the same one-shot rule as the batch plan:
+    subtract the (k+1)-largest count from every counter and drop the
+    non-positive ones (a VALUE-based rule, so no tie-break is needed --
+    at most k counters can exceed the (k+1)-th largest). The surviving
+    counters are emitted as that shard's batch snapshot (append mode;
+    snapshots are never retracted), tagged with the shard's own invocation
+    number -- a shard absent from a micro-batch neither transitions nor
+    emits, exactly the keyed-state contract.
+
+    Every datum is deterministic given the micro-batch BOUNDARIES: the
+    staged replay's time-split batches are reproducible in SQL, so a batch
+    oracle can replay the identical exact-count -> merge -> reduce algebra
+    per batch and the driver hash-checks the full snapshot trajectory,
+    including the exact error MG committed (the subtracted thresholds).
+
+    Scale: state is <= k (term, count) pairs per shard -- fixed by (shards,
+    k), not by stream cardinality; per-batch work is one exact value_counts
+    over the shard's Arrow batches plus an O(k log k) reduce. A 100 TB/day
+    stream holds shards*k counters total in the state store."""
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            terms, counts, nb = state.get
+            merged = {t: int(c) for t, c in zip(terms, counts)}
+        else:
+            merged, nb = {}, 0
+        for pdf in pdfs:
+            for t, c in pdf[term_col].value_counts().items():
+                merged[t] = merged.get(t, 0) + int(c)
+        nb += 1
+        merged = _mg_reduce(merged, k)
+        terms_sorted = sorted(merged)  # deterministic state layout
+        state.update(
+            (terms_sorted, [merged[t] for t in terms_sorted], nb)
+        )
+        if terms_sorted:
+            yield pd.DataFrame(
+                {
+                    "batch_no": [nb] * len(terms_sorted),
+                    "sh": [int(key[0])] * len(terms_sorted),
+                    "term": terms_sorted,
+                    "mg_n": [merged[t] for t in terms_sorted],
+                }
+            )
+
+    return grouped_stream.groupBy(shard_col).applyInPandasWithState(
+        update,
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -306,3 +306,29 @@ def test_throttle_walk_drops_null_timestamps():
         np.array(["NaT"], dtype="datetime64[ns]"), None, np.timedelta64(60, "s")
     )
     assert out == [] and last is None
+
+
+def test_streaming_mg_reduce_algebra():
+    """The streaming Misra-Gries reduction is the batch family's one-shot
+    value rule: <= k survivors, every survivor a LOWER bound on its true
+    count (never overcounts), identity when already within budget, and the
+    subtracted threshold is exactly the (k+1)-largest count."""
+    from sqldataintegrationfunctiontriggerapp_spark.streaming.stateful import (
+        _mg_reduce,
+    )
+
+    # identity below budget
+    assert _mg_reduce({"a": 3, "b": 1}, k=5) == {"a": 3, "b": 1}
+    # classic reduce: t = 3rd largest (5); ties at t die, max k survive
+    got = _mg_reduce({"a": 9, "b": 5, "c": 5, "d": 2}, k=2)
+    assert got == {"a": 4}
+    # all-equal overflow collapses to empty (t equals every count)
+    assert _mg_reduce({"a": 4, "b": 4, "c": 4}, k=2) == {}
+    # invariants on a larger pseudo-random-ish instance
+    counters = {f"t{i}": (i * 7919) % 97 + 1 for i in range(50)}
+    k = 10
+    got = _mg_reduce(counters, k)
+    t_sub = sorted(counters.values(), reverse=True)[k]
+    assert len(got) <= k
+    assert all(got[t] == counters[t] - t_sub and got[t] > 0 for t in got)
+    assert all(counters[t] <= t_sub for t in counters if t not in got)

@@ -1,0 +1,109 @@
+"""ANN crossover bench (VERDICT r08 #4): at what corpus size does the
+AMORTIZED IVF index (build once, probe many) overtake the exact map-side
+dgemm kernel? The r08 200k x 64 comparison said "not yet at 200k"; this
+reruns the same contenders on an arbitrary corpus dir (use
+tools/gen_bigemb.py for the 2M x 64 point):
+
+  * BLAS exact  -- brute_force_topk_blas: full corpus Arrow-streamed, one
+    dgemm per batch against all queries (100% recall by construction)
+  * IVF build   -- ivf_pivots + ivf_assign + localCheckpoint (the one-off
+    amortized cost of the standing index)
+  * IVF probe JVM  -- ivf_probe on the standing index (fold scoring)
+  * IVF probe BLAS -- ivf_probe_topk_blas on the standing index
+  * recall of the IVF result vs the exact baseline (top-k id overlap)
+
+All timings are wall-clock with a warm pass (run twice, report the second)
+because per-job fixed overheads at local[32] otherwise dominate.
+
+Usage: python tools/bench_ann_crossover.py [corpus_dir] [--nq 100,1000]
+       [--n-lists 256] [--n-probe 8] [--k 10] [--skip-jvm-probe]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
+from sqldataintegrationfunctiontriggerapp_spark.session import get_session
+
+
+def timed(fn, warm: bool = True):
+    if warm:
+        fn()
+    t0 = time.time()
+    out = fn()
+    return out, time.time() - t0
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    corpus_dir = args[0] if args and not args[0].startswith("--") else (
+        "/root/repo/.localdata/emb2m"
+    )
+
+    def opt(name, default):
+        return args[args.index(name) + 1] if name in args else default
+
+    nqs = [int(x) for x in opt("--nq", "100,1000").split(",")]
+    n_lists = int(opt("--n-lists", "256"))
+    n_probe = int(opt("--n-probe", "8"))
+    k = int(opt("--k", "10"))
+    skip_jvm = "--skip-jvm-probe" in args
+
+    spark = get_session()
+    corpus = spark.read.parquet(corpus_dir)
+    n = corpus.count()
+    print(f"corpus {corpus_dir}: {n} rows; n_lists={n_lists} n_probe={n_probe} k={k}")
+
+    t0 = time.time()
+    pivots = S.ivf_pivots(corpus, n_lists)
+    assigned = S.ivf_assign(corpus, pivots).localCheckpoint()
+    n_idx = assigned.count()
+    t_build = time.time() - t0
+    print(f"IVF build (pivots + assign + checkpoint): {t_build:.1f}s ({n_idx} indexed)")
+
+    for nq in nqs:
+        queries = corpus.where(F.col("vec_id") < nq).localCheckpoint()
+        exact_rows, t_exact = timed(
+            lambda: S.brute_force_topk_blas(corpus, queries, k=k).collect()
+        )
+        blas_rows, t_blas = timed(
+            lambda: S.ivf_probe_topk_blas(
+                assigned, queries, pivots, k=k, n_probe=n_probe
+            ).collect()
+        )
+        line = (
+            f"|Q|={nq}: BLAS exact {t_exact:.1f}s; "
+            f"IVF probe BLAS {t_blas:.1f}s"
+        )
+        if not skip_jvm:
+            w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+            _, t_jvm = timed(
+                lambda: S.ivf_probe(assigned, queries, pivots, n_probe)
+                .withColumn("rank", F.row_number().over(w))
+                .where(F.col("rank") <= k)
+                .collect()
+            )
+            line += f"; IVF probe JVM {t_jvm:.1f}s"
+        exact = {}
+        for r in exact_rows:
+            exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+        got = {}
+        for r in blas_rows:
+            got.setdefault(r.query_id, set()).add(r.neighbor_id)
+        hits = sum(len(exact[q] & got.get(q, set())) for q in exact)
+        total = sum(len(v) for v in exact.values())
+        line += f"; recall {hits / total:.3f}"
+        print(line)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,83 @@
+"""sf1 regression hook (VERDICT r08 #6): bench every query whose plan code
+changed this round at BOTH sf0.1 (driver fixture) and sf1 (the local 10x
+fixture from tools/gen_sf1.py), and emit the COVERAGE.md scaling-table rows.
+
+The changed set is the same one the sweep generator computes
+(tools/gen_sweep.py changed_query_set -- git diff vs the round-boundary
+commit resolved through the import graph), so "what gets re-benched"
+and "what jumps the correctness sweep" cannot drift apart.
+
+Method matches the r08 sf1 spot-bench: bench.py suite-style (noop sink,
+clearCache between queries, registry-natural order), SPARK_GRAFT_DRIVER_MEM
+=4g on both sides. Linear scaling would be ~10x; the table records the
+measured ratio per query.
+
+Usage: python tools/bench_changed.py [--queries a,b,c] [--sf1 DIR] [--base C]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+
+def run_bench(sf_dir: str, queries: list[str]) -> dict[str, float]:
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_BENCH_QUERIES=",".join(queries),
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
+    )
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, check=True, capture_output=True, text=True,
+    ).stdout.strip().splitlines()[-1]
+    return json.loads(out)["queries"]
+
+
+def main() -> int:
+    args = sys.argv[1:]
+
+    def opt(name, default):
+        return args[args.index(name) + 1] if name in args else default
+
+    sf1_dir = opt("--sf1", os.path.join(REPO, ".localdata", "sf1"))
+    if "--queries" in args:
+        queries = [q.strip() for q in opt("--queries", "").split(",") if q.strip()]
+    else:
+        from gen_sweep import changed_query_set, round_base_commit
+
+        base = opt("--base", None) or round_base_commit()
+        queries = sorted(changed_query_set(base))
+        print(f"changed vs {base[:12]}: {len(queries)} queries", file=sys.stderr)
+    if not queries:
+        print("no changed queries; nothing to bench", file=sys.stderr)
+        return 0
+    if not os.path.isdir(sf1_dir):
+        raise SystemExit(f"sf1 fixture missing: {sf1_dir} (run tools/gen_sf1.py)")
+
+    t01 = run_bench("/root/testdata/sf0.1", queries)
+    t1 = run_bench(sf1_dir, queries)
+    print("| query | sf0.1 s | sf1 s | ratio |")
+    print("|---|---|---|---|")
+    tot01 = tot1 = 0.0
+    for q in queries:
+        a, b = t01.get(q), t1.get(q)
+        if a is None or b is None:
+            continue
+        tot01 += a
+        tot1 += b
+        print(f"| `{q}` | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
+    print(f"| **changed-set total** | **{tot01:.1f}** | **{tot1:.1f}** "
+          f"| **{tot1 / tot01:.1f}×** |")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -163,21 +163,13 @@ def transitive_importers(graph: dict[str, set[str]], targets: set[str]) -> set[s
     return hit
 
 
-def main() -> int:
-    args = sys.argv[1:]
-    base = None
-    dry = "--dry-run" in args
-    if "--base" in args:
-        base = args[args.index("--base") + 1]
-    if base is None:
-        base = round_base_commit()
-
+def changed_query_set(base: str) -> dict[str, str]:
+    """query -> reason, for every registered query whose code changed vs
+    `base` (plan-function diff intersection, transitive import of a
+    changed non-plan module, or never driver-checked)."""
     from sqldataintegrationfunctiontriggerapp_spark import plans
 
-    registry = list(plans.QUERIES)  # insertion order = tie-break
-    green, seen = last_green_rounds()
-
-    # query -> (plan module relpath, function line span)
+    _, seen = last_green_rounds()
     spans: dict[str, tuple[str, int, int]] = {}
     for name, fn in plans.QUERIES.items():
         src = os.path.relpath(inspect.getsourcefile(fn), REPO)
@@ -188,7 +180,7 @@ def main() -> int:
     changed_files = changed_package_files(base)
     graph = import_graph()
 
-    changed_queries: dict[str, str] = {}  # query -> reason
+    changed_queries: dict[str, str] = {}
     nonplan_mods = set()
     for f in changed_files:
         if f in plan_files:
@@ -215,9 +207,26 @@ def main() -> int:
                 changed_queries.setdefault(
                     q, f"imports changed module(s) {sorted(nonplan_mods)}"
                 )
-    for q in registry:
+    for q in plans.QUERIES:
         if q not in seen:
             changed_queries.setdefault(q, "never driver-checked (new)")
+    return changed_queries
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    base = None
+    dry = "--dry-run" in args
+    if "--base" in args:
+        base = args[args.index("--base") + 1]
+    if base is None:
+        base = round_base_commit()
+
+    from sqldataintegrationfunctiontriggerapp_spark import plans
+
+    registry = list(plans.QUERIES)  # insertion order = tie-break
+    green, _ = last_green_rounds()
+    changed_queries = changed_query_set(base)
 
     def stale_key(q: str) -> tuple[int, int]:
         return (green.get(q, -1), registry.index(q))
