@@ -715,14 +715,16 @@ def cosine_pairs_above_bucketed_blas(
     )
 
 
-# SemDeDup pair-stage routing bound: a cluster at the fold-join comfort
-# limit contributes c^2/2 pairs each priced as a 64-step interpreted fold
-# chain -- the r08 sf1 spot-bench measured that at ~87 s for 2x10^8 pairs
-# (20k-row corpus), i.e. the fold is comfortable to roughly 8M pairs per
-# cluster (~2-3 s). 4096^2/2 = 8.4M pairs; beyond that the per-cluster
-# blocked-dgemm kernel wins (same crossover logic as cosine_pairs_above_auto,
-# keyed by cluster instead of angular block).
+# SemDeDup pair-stage routing bounds: every within-cluster pair costs a
+# 64-step interpreted fold chain on the JVM path -- the r08 sf1 spot-bench
+# measured ~87 s for 2x10^8 pairs, i.e. the fold is comfortable to roughly
+# 8M TOTAL pairs (~2-3 s). Routing therefore watches BOTH the largest
+# cluster (4096^2/2 = 8.4M pairs from one cluster) AND the aggregate
+# Sum c_i*(c_i-1)/2 -- the r09 sf1 bench caught the max-only rule leaving
+# eight ~2.5k clusters (50M aggregate pairs, each under the max bound) on
+# the fold at 39.6 s when the blocked-dgemm kernel does the stage in 4.3 s.
 _SEMANTIC_FOLD_MAX_CLUSTER = 4096
+_SEMANTIC_FOLD_MAX_PAIRS = 8_000_000
 
 
 def cluster_pairs_above_blas(
@@ -786,20 +788,24 @@ def semantic_pairs_auto(
     so the choice is pure cost, never semantics.
 
     `member` carries (vec_id, cluster_id, v, n2), zero-norm excluded.
-    One bounded k-row aggregate reads the cluster histogram; if the
-    LARGEST cluster fits the fold-join comfort bound the pair stream is
-    the all-JVM codegen equi-join on cluster_id (no Python at all --
-    right answer for the common small-cluster regime, and the plan the
-    registered sf0.01 oracle hashes); one oversized cluster anywhere
-    routes the WHOLE stage through the blocked-dgemm kernel (bit-identical
-    by the shared-kernel pin, ~80x faster on the mega-cluster shape the
-    SemDeDup paper's k ~ n/1000 setting tries to avoid but skew creates).
-    Returns (id_a, id_b, cos) with id_a < id_b and cos >= threshold."""
+    One bounded k-row aggregate reads the cluster histogram; the pair
+    stream is the all-JVM codegen equi-join on cluster_id (no Python at
+    all -- right answer for the common small-cluster regime, and the plan
+    the registered sf0.01 oracle hashes) while BOTH the largest cluster
+    fits the fold comfort bound AND the aggregate pair count
+    Sum c_i*(c_i-1)/2 stays under the fold pair budget; either bound
+    exceeded routes the WHOLE stage through the blocked-dgemm kernel
+    (bit-identical by the shared-kernel pin; measured 9.2x on the sf1
+    8x~2.5k-cluster shape, ~80x on a true mega-cluster). Returns
+    (id_a, id_b, cos) with id_a < id_b and cos >= threshold."""
     sizes = [
         int(r["n"])
         for r in member.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
     ]
-    if sizes and max(sizes) > fold_max_cluster:
+    total_pairs = sum(c * (c - 1) // 2 for c in sizes)
+    if sizes and (
+        max(sizes) > fold_max_cluster or total_pairs > _SEMANTIC_FOLD_MAX_PAIRS
+    ):
         return cluster_pairs_above_blas(member, threshold, block_rows)
     a = member.select(
         F.col("vec_id").alias("id_a"), "cluster_id",

@@ -21,13 +21,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import hashlib, math, sys
-sys.path.insert(0, {repo!r})
+sys.path.insert(0, __REPO__)
 from sqldataintegrationfunctiontriggerapp_spark import plans
 from sqldataintegrationfunctiontriggerapp_spark.session import get_session
 
 spark = get_session()
 for name in ("streaming_throttle_parity", "streaming_entity_stats_parity"):
-    df = plans.QUERIES[name](spark, {sf_dir!r})
+    df = plans.QUERIES[name](spark, __SF_DIR__)
     cols = sorted(df.columns)
     rows = []
     for r in df.collect():
@@ -48,8 +48,11 @@ def run(parts: str, sf_dir: str) -> dict[str, tuple[str, str]]:
         SPARK_GRAFT_STATE_PARTITIONS=parts,
         SPARK_GRAFT_DRIVER_MEM=os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"),
     )
+    child = CHILD.replace("__REPO__", repr(REPO)).replace(
+        "__SF_DIR__", repr(sf_dir)
+    )
     out = subprocess.run(
-        [sys.executable, "-c", CHILD.format(repo=REPO, sf_dir=sf_dir)],
+        [sys.executable, "-c", child],
         env=env, cwd=REPO, check=True, capture_output=True, text=True,
     ).stdout
     res = {}

@@ -6,16 +6,20 @@ hand-maintained prose in `__spark_entry__.py` is generated from
      GREEN round (rows+schema+hash, no err), and
   2. the round's changed-code set -- `git diff` against the driver's
      round-boundary commit (latest commit titled "round N: ..."),
-     resolved to queries two ways:
-       * a changed PLAN module pulls the specific queries whose function
-         spans intersect the diff hunks (a change outside every query
-         function -- a shared helper -- conservatively pulls the whole
-         module's queries);
-       * a changed NON-plan package module (operators/, functions/,
-         sources/, sinks/, streaming/, ...) pulls every query whose plan
-         module transitively imports it (AST import graph).
-     Queries never seen in any CORRECTNESS file (new this round) join the
-     changed set.
+     resolved to queries at ENTITY granularity: every package module is
+     parsed into top-level entities (defs/classes with decorator spans,
+     assignments, imports); diff hunks touching an entity taint its name;
+     taint then propagates through references -- within a module via the
+     names an entity's body uses, and ACROSS modules via import bindings
+     (`from M import f` taints the local `f` iff M's `f` is tainted;
+     a module alias `import M as A` taints `A.attr` accesses iff M's
+     `attr` is tainted) -- to a global fixpoint. A query is "changed"
+     exactly when its plan function's name ends up tainted, so editing one
+     kernel pulls the queries whose code can actually reach it, not every
+     sibling in the module. Unattributable diffs (bare module-level
+     statements, star imports of tainted modules) conservatively taint
+     the whole module. Queries never seen in any CORRECTNESS file (new
+     this round) join the changed set.
 
 Order: changed-code queries first (the rotation invariant: changed code
 ALWAYS jumps to the head), then everything else by evidence staleness
@@ -86,8 +90,7 @@ def round_base_commit() -> str:
 
 def changed_package_files(base: str) -> list[str]:
     files = set(git("diff", "--name-only", base).splitlines())
-    # include staged-but-uncommitted and committed-since-base alike (diff
-    # against the worktree covers both)
+    # diff against the worktree covers committed-since-base and uncommitted
     return sorted(f for f in files if f.startswith(PKG + "/") and f.endswith(".py"))
 
 
@@ -99,7 +102,7 @@ def new_side_lines(base: str, path: str) -> set[int]:
         start = int(m.group(1))
         count = int(m.group(2)) if m.group(2) is not None else 1
         # a pure deletion has count 0; mark the anchor line so a helper
-        # removed from between two functions still registers as a change
+        # removed from between two entities still registers as a change
         lines.update(range(start, start + max(count, 1)))
     return lines
 
@@ -108,109 +111,231 @@ def module_name(relpath: str) -> str:
     return relpath[: -len(".py")].replace("/", ".").removesuffix(".__init__")
 
 
-def import_graph() -> dict[str, set[str]]:
-    """module -> set of intra-package modules it imports (direct)."""
-    graph: dict[str, set[str]] = {}
-    packages: set[str] = set()
+class _ModInfo:
+    """Parsed shape of one package module for the taint engine."""
+
+    def __init__(self) -> None:
+        self.entities: dict[str, tuple[int, int]] = {}
+        # entity -> (plain names referenced, (root, attr) pairs referenced)
+        self.refs: dict[str, tuple[set[str], set[tuple[str, str]]]] = {}
+        # local name -> ("name", src_module, orig) | ("module", src_module)
+        self.bindings: dict[str, tuple] = {}
+        self.star_from: set[str] = set()
+        self.src_lines: list[str] = []
+
+
+def _names_in(node) -> tuple[set[str], set[tuple[str, str]]]:
+    plain: set[str] = set()
+    attrs: set[tuple[str, str]] = set()
+    for n in ast.walk(node):
+        if isinstance(n, ast.Name):
+            plain.add(n.id)
+        elif isinstance(n, ast.Attribute) and isinstance(n.value, ast.Name):
+            attrs.add((n.value.id, n.attr))
+    return plain, attrs
+
+
+def _parse_package() -> dict[str, _ModInfo]:
+    mods: dict[str, _ModInfo] = {}
+    paths: dict[str, str] = {}
     for path in glob.glob(os.path.join(REPO, PKG, "**", "*.py"), recursive=True):
         rel = os.path.relpath(path, REPO)
-        mod = module_name(rel)
-        if rel.endswith("__init__.py"):
-            packages.add(mod)
-        deps: set[str] = set()
-        tree = ast.parse(open(path).read())
+        paths[module_name(rel)] = path
+    real = set(paths)
+    for mod, path in paths.items():
+        info = _ModInfo()
+        info.src_lines = open(path).read().splitlines()
+        tree = ast.parse("\n".join(info.src_lines))
         pkg_parts = mod.split(".")
         for node in ast.walk(tree):
             if isinstance(node, ast.Import):
                 for a in node.names:
-                    if a.name.startswith(PKG):
-                        deps.add(a.name)
+                    if not a.name.startswith(PKG):
+                        continue
+                    local = a.asname or a.name.split(".")[0]
+                    target = a.name if a.asname else a.name.split(".")[0]
+                    if target in real:
+                        info.bindings[local] = ("module", target)
             elif isinstance(node, ast.ImportFrom):
-                if node.level:  # relative import
-                    basemod = ".".join(pkg_parts[: len(pkg_parts) - node.level])
-                    stem = basemod + ("." + node.module if node.module else "")
+                if node.level:
+                    stem = ".".join(pkg_parts[: len(pkg_parts) - node.level])
+                    if node.module:
+                        stem += "." + node.module
                 else:
                     stem = node.module or ""
                 if not stem.startswith(PKG):
                     continue
-                deps.add(stem)
-                # `from X import y` may bind submodule X.y
                 for a in node.names:
-                    deps.add(stem + "." + a.name)
-        graph[mod] = deps
-    # keep only names that are real modules, and drop bare PACKAGE
-    # (__init__) targets: a package re-exporting its submodules would make
-    # `from . import x` look like a dependency on every sibling. The
-    # explicit submodule binding (stem + "." + name) is already an edge,
-    # so dropping the package node loses nothing real.
-    real = set(graph)
-    return {
-        m: {d for d in deps if d in real and d not in packages}
-        for m, deps in graph.items()
-    }
+                    if a.name == "*":
+                        info.star_from.add(stem)
+                        continue
+                    local = a.asname or a.name
+                    sub = stem + "." + a.name
+                    if sub in real:
+                        info.bindings[local] = ("module", sub)
+                    elif stem in real:
+                        info.bindings[local] = ("name", stem, a.name)
+        for node in tree.body:
+            if isinstance(
+                node, (ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef)
+            ):
+                start = min(
+                    [node.lineno] + [d.lineno for d in node.decorator_list]
+                )
+                bound = [node.name]
+            elif isinstance(node, (ast.Assign, ast.AnnAssign)):
+                start = node.lineno
+                targets = (
+                    node.targets if isinstance(node, ast.Assign) else [node.target]
+                )
+                bound = [t.id for t in targets if isinstance(t, ast.Name)]
+            elif isinstance(node, (ast.Import, ast.ImportFrom)):
+                start = node.lineno
+                bound = []
+                if isinstance(node, ast.Import):
+                    bound = [(a.asname or a.name).split(".")[0] for a in node.names]
+                else:
+                    bound = [(a.asname or a.name) for a in node.names if a.name != "*"]
+            else:
+                start, bound = node.lineno, []
+            if not bound:
+                continue
+            body = _names_in(node)
+            for name in bound:
+                info.entities[name] = (start, node.end_lineno)
+                info.refs[name] = (body[0] - {name}, body[1])
+        mods[mod] = info
+    return mods
 
 
-def transitive_importers(graph: dict[str, set[str]], targets: set[str]) -> set[str]:
-    """All modules that (transitively) import any target module."""
-    hit = set(targets)
-    changed = True
-    while changed:
-        changed = False
-        for mod, deps in graph.items():
-            if mod not in hit and deps & hit:
-                hit.add(mod)
-                changed = True
-    return hit
+def _semantic_lines(info: _ModInfo, touched: set[int]) -> set[int]:
+    """Drop blank and comment-only lines -- they live outside every AST
+    span and are non-semantic, so they must not trigger the whole-module
+    fallback."""
+    out = set()
+    for ln in touched:
+        if ln <= len(info.src_lines):
+            s = info.src_lines[ln - 1].strip()
+            if s and not s.startswith("#"):
+                out.add(ln)
+    return out
+
+
+def compute_tainted(
+    mods: dict[str, _ModInfo], diff_touched: dict[str, set[int]]
+) -> dict[str, set[str] | None]:
+    """module -> tainted entity names (None = whole module tainted).
+    Seeds from diff-touched entity spans, then propagates through
+    references to a global fixpoint."""
+    tainted: dict[str, set[str] | None] = {}
+    for mod, touched in diff_touched.items():
+        info = mods[mod]
+        touched = _semantic_lines(info, touched)
+        if not touched:
+            continue
+        covered = set()
+        hit = set()
+        for name, (a, b) in info.entities.items():
+            span = {ln for ln in touched if a <= ln <= b}
+            covered |= span
+            if span:
+                hit.add(name)
+        if touched - covered:
+            tainted[mod] = None  # bare module-level statement changed
+        else:
+            tainted[mod] = hit
+
+    def is_tainted(mod: str, name: str) -> bool:
+        t = tainted.get(mod, set())
+        return t is None or name in t
+
+    grew = True
+    while grew:
+        grew = False
+        for mod, info in mods.items():
+            if tainted.get(mod, set()) is None:
+                continue
+            if any(tainted.get(s, set()) != set() for s in info.star_from if
+                   tainted.get(s) is not None) or any(
+                tainted.get(s) is None for s in info.star_from
+            ):
+                tainted[mod] = None
+                grew = True
+                continue
+            cur = set(tainted.get(mod) or set())
+            # local names whose import source is tainted
+            tloc = set()
+            aliases: dict[str, str] = {}
+            for local, bind in info.bindings.items():
+                if bind[0] == "module":
+                    aliases[local] = bind[1]
+                    continue
+                _, src, orig = bind
+                if is_tainted(src, orig):
+                    tloc.add(local)
+            new = set(cur)
+            stable = False
+            while not stable:
+                stable = True
+                for name, (plain, attrs) in info.refs.items():
+                    if name in new:
+                        continue
+                    if plain & (tloc | new):
+                        new.add(name)
+                        stable = False
+                        continue
+                    for root, attr in attrs:
+                        if root in aliases and is_tainted(aliases[root], attr):
+                            new.add(name)
+                            stable = False
+                            break
+            if new != cur:
+                tainted[mod] = new
+                grew = True
+    return tainted
+
+
+_QUERY_FNS: dict[str, tuple[str, str]] | None = None
+
+
+def _query_fns() -> dict[str, tuple[str, str]]:
+    """registered query name -> (plan module, plan function __name__)."""
+    global _QUERY_FNS
+    if _QUERY_FNS is None:
+        from sqldataintegrationfunctiontriggerapp_spark import plans
+
+        _QUERY_FNS = {}
+        for q, fn in plans.QUERIES.items():
+            rel = os.path.relpath(inspect.getsourcefile(fn), REPO)
+            _QUERY_FNS[q] = (module_name(rel), fn.__name__)
+    return _QUERY_FNS
 
 
 def changed_query_set(base: str) -> dict[str, str]:
     """query -> reason, for every registered query whose code changed vs
-    `base` (plan-function diff intersection, transitive import of a
-    changed non-plan module, or never driver-checked)."""
-    from sqldataintegrationfunctiontriggerapp_spark import plans
-
+    `base` under the entity-level taint propagation (or that has never
+    been driver-checked)."""
     _, seen = last_green_rounds()
-    spans: dict[str, tuple[str, int, int]] = {}
-    for name, fn in plans.QUERIES.items():
-        src = os.path.relpath(inspect.getsourcefile(fn), REPO)
-        lines, start = inspect.getsourcelines(fn)
-        spans[name] = (src, start, start + len(lines) - 1)
-    plan_files = {src for src, _, _ in spans.values()}
+    mods = _parse_package()
+    diff_touched = {
+        module_name(f): new_side_lines(base, f)
+        for f in changed_package_files(base)
+        if module_name(f) in mods
+    }
+    tainted = compute_tainted(mods, diff_touched)
 
-    changed_files = changed_package_files(base)
-    graph = import_graph()
-
-    changed_queries: dict[str, str] = {}
-    nonplan_mods = set()
-    for f in changed_files:
-        if f in plan_files:
-            touched = new_side_lines(base, f)
-            file_spans = [
-                (q, a, b) for q, (src, a, b) in spans.items() if src == f
-            ]
-            in_any = set()
-            for q, a, b in file_spans:
-                if any(a <= ln <= b for ln in touched):
-                    changed_queries.setdefault(q, f"diff in {f}:{a}-{b}")
-                    in_any.update(ln for ln in touched if a <= ln <= b)
-            if touched - in_any:
-                # change outside every query function: shared helper --
-                # conservatively everything in the module is affected
-                for q, _, _ in file_spans:
-                    changed_queries.setdefault(q, f"shared-helper diff in {f}")
-        else:
-            nonplan_mods.add(module_name(f))
-    if nonplan_mods:
-        affected_mods = transitive_importers(graph, nonplan_mods)
-        for q, (src, _, _) in spans.items():
-            if module_name(src) in affected_mods:
-                changed_queries.setdefault(
-                    q, f"imports changed module(s) {sorted(nonplan_mods)}"
-                )
-    for q in plans.QUERIES:
+    changed: dict[str, str] = {}
+    for q, (mod, fn_name) in _query_fns().items():
+        t = tainted.get(mod, set())
+        if t is None:
+            changed[q] = f"module-level diff taints all of {mod}"
+        elif fn_name in t:
+            src = "directly diffed" if mod in diff_touched else "via imports"
+            changed[q] = f"taint reaches {fn_name} in {mod} ({src})"
+    for q in _query_fns():
         if q not in seen:
-            changed_queries.setdefault(q, "never driver-checked (new)")
-    return changed_queries
+            changed.setdefault(q, "never driver-checked (new)")
+    return changed
 
 
 def main() -> int:
