@@ -735,6 +735,7 @@ def cluster_pairs_above_blas(
     cluster_col: str = "cluster_id",
     vec_col: str = "v",
     n2_col: str = "n2",
+    sizes: dict | None = None,
 ) -> DataFrame:
     """Within-cluster cosine pairs at dgemm speed -- SemDeDup's pair stage
     when a k-means cluster outgrows the fold join (VERDICT r08 #3).
@@ -763,11 +764,16 @@ def cluster_pairs_above_blas(
         F.lit(0.0).alias("cos"),
     ).where(F.lit(False))
     # bounded driver metadata: one row per cluster (k rows, k is the
-    # k-means k -- same bounded-collect idiom as the IVF pivot sample)
-    sizes = {
-        int(r["cluster"]): int(r["n"])
-        for r in rows.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    # k-means k -- same bounded-collect idiom as the IVF pivot sample).
+    # A caller that already aggregated the histogram (semantic_pairs_auto's
+    # routing decision) passes it in, so the data is scanned once, not twice.
+    if sizes is None:
+        sizes = {
+            int(r["cluster"]): int(r["n"])
+            for r in rows.groupBy("cluster")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
     if not sizes:
         return base_empty
     admissible = [(c, c) for c in sizes]
@@ -798,15 +804,20 @@ def semantic_pairs_auto(
     (bit-identical by the shared-kernel pin; measured 9.2x on the sf1
     8x~2.5k-cluster shape, ~80x on a true mega-cluster). Returns
     (id_a, id_b, cos) with id_a < id_b and cos >= threshold."""
-    sizes = [
-        int(r["n"])
-        for r in member.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
-    ]
-    total_pairs = sum(c * (c - 1) // 2 for c in sizes)
+    sizes = {
+        int(r["cluster_id"]): int(r["n"])
+        for r in member.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    total_pairs = sum(c * (c - 1) // 2 for c in sizes.values())
     if sizes and (
-        max(sizes) > fold_max_cluster or total_pairs > _SEMANTIC_FOLD_MAX_PAIRS
+        max(sizes.values()) > fold_max_cluster
+        or total_pairs > _SEMANTIC_FOLD_MAX_PAIRS
     ):
-        return cluster_pairs_above_blas(member, threshold, block_rows)
+        return cluster_pairs_above_blas(
+            member, threshold, block_rows, sizes=sizes
+        )
     a = member.select(
         F.col("vec_id").alias("id_a"), "cluster_id",
         F.col("v").alias("va"), F.col("n2").alias("na"),
@@ -1005,6 +1016,86 @@ def ivf_assign(
         # would raise DIVIDE_BY_ZERO at probe time
         c = c.where(F.col("cn2") > 0)
     return c.withColumn("list_id", nearest_list(F.col("cv"), F.col("cn2")))
+
+
+def ivf_assign_blas(
+    corpus: DataFrame,
+    pivots: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_zero_norm: bool = False,
+) -> DataFrame:
+    """`ivf_assign` at dgemm speed -- the index BUILD side of the BLAS
+    family (r09). Motivation is measured: assigning 2M x 64 vectors to 256
+    lists through the zip_with fold expression costs 202 s (the r09
+    crossover bench), and the cost scales with n_lists -- which is exactly
+    the knob the crossover analysis says a standing index must turn up
+    (n_lists >> |Q|*n_probe). A many-list index is only practical if the
+    build is dgemm-priced.
+
+    Bit-identity contract (same discipline as every BLAS kernel here): one
+    dgemm computes approximate squared distances D = n2 + |p|^2 - 2 A P^T
+    used ONLY to select candidate pivots within a per-row margin of the
+    row minimum; each candidate is re-scored EXACTLY -- `np.add.accumulate`
+    prefix products reproduce the JVM zip_with fold's left-to-right double
+    additions, and the pivot norms are the same Python-float `sum(x*x)`
+    literals `_d2s_to_pivots` embeds -- then the winner is the first
+    (lowest-index) pivot achieving the exact minimum, the same tie rule as
+    `array_position(d2s, array_min(d2s))`. A non-candidate cannot win: the
+    dgemm error is ~1e-15 relative while the margin is 1e-8 relative, so
+    the exact minimum always lies inside the candidate set. Test-pinned
+    against `ivf_assign` row for row.
+
+    Plan shape: pivots broadcast (n_lists x dim doubles, bounded driver
+    metadata), ONE mapInPandas pass over the corpus -- no shuffle, no join;
+    partitioning is preserved so a downstream bucketed-by-list write sees
+    the same rows either way."""
+    import numpy as np
+    import pandas as pd
+
+    base = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
+    )
+    P = np.array(pivots, dtype=np.float64)
+    pn2 = np.array([sum(x * x for x in p) for p in pivots], dtype=np.float64)
+    pn2_max = float(pn2.max()) if len(pn2) else 0.0
+
+    def gen(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            A = np.array(b["cv"].tolist(), dtype=np.float64)
+            n2 = np.add.accumulate(A * A, axis=1)[:, -1]
+            D = n2[:, None] + pn2[None, :] - 2.0 * (A @ P.T)
+            rowmin = D.min(axis=1)
+            eps = 1e-8 * (n2 + pn2_max + 1.0)
+            ii, jj = np.nonzero(D <= (rowmin + eps)[:, None])
+            exact = (
+                n2[ii]
+                + pn2[jj]
+                - 2.0 * np.add.accumulate(A[ii] * P[jj], axis=1)[:, -1]
+            )
+            # first-index-of-exact-min per row, the array_position tie rule:
+            # lexsort is stable over (row, exact value, pivot index)
+            order = np.lexsort((jj, exact, ii))
+            rows_sorted = ii[order]
+            _, first = np.unique(rows_sorted, return_index=True)
+            best = jj[order][first]
+            out = pd.DataFrame(
+                {
+                    "neighbor_id": b["neighbor_id"].to_numpy(dtype="int64"),
+                    "cv": b["cv"],
+                    "cn2": n2,
+                    "list_id": best.astype("int32"),
+                }
+            )
+            if not include_zero_norm:
+                out = out[out["cn2"] > 0]
+            yield out
+
+    return base.mapInPandas(
+        gen, "neighbor_id long, cv array<double>, cn2 double, list_id int"
+    )
 
 
 def _probe_frame(

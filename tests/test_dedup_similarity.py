@@ -350,3 +350,38 @@ def test_semantic_dedup_matches_python_reference(spark, sf_dir):
             assert row.dup_of is None and row.max_cos is None, j
     # the fixture must actually exercise the dup path
     assert n_flagged > 0
+
+
+def test_blas_ivf_assign_matches_jvm_exactly(spark, sf_dir):
+    """ivf_assign_blas (r09) must reproduce ivf_assign row for row: same
+    list choice (incl. the first-index tie rule), same exact cn2, same
+    vectors -- the index-BUILD side of the BLAS bit-identity discipline."""
+    e = load_table(spark, sf_dir, "embeddings")
+    pivots = S.ivf_pivots(e, 16)
+    jvm = sorted(
+        (r.neighbor_id, r.list_id, r.cn2, tuple(r.cv))
+        for r in S.ivf_assign(e, pivots).collect()
+    )
+    blas = sorted(
+        (r.neighbor_id, r.list_id, r.cn2, tuple(r.cv))
+        for r in S.ivf_assign_blas(e, pivots).collect()
+    )
+    assert jvm and jvm == blas
+
+    # zero-norm handling mirrors ivf_assign in both modes
+    z = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0, 0.0]), (2, [1.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    pv = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    for flag in (False, True):
+        a = {
+            r.neighbor_id: r.list_id
+            for r in S.ivf_assign_blas(z, pv, include_zero_norm=flag).collect()
+        }
+        b = {
+            r.neighbor_id: r.list_id
+            for r in S.ivf_assign(z, pv, include_zero_norm=flag).collect()
+        }
+        assert a == b
+        assert set(a) == ({1, 2} if flag else {2})

@@ -56,18 +56,24 @@ def main() -> int:
     n_probe = int(opt("--n-probe", "8"))
     k = int(opt("--k", "10"))
     skip_jvm = "--skip-jvm-probe" in args
+    blas_build = "--blas-build" in args
 
     spark = get_session()
     corpus = spark.read.parquet(corpus_dir)
     n = corpus.count()
-    print(f"corpus {corpus_dir}: {n} rows; n_lists={n_lists} n_probe={n_probe} k={k}")
+    print(f"corpus {corpus_dir}: {n} rows; n_lists={n_lists} n_probe={n_probe} "
+          f"k={k} blas_build={blas_build}")
 
     t0 = time.time()
     pivots = S.ivf_pivots(corpus, n_lists)
-    assigned = S.ivf_assign(corpus, pivots).localCheckpoint()
+    t_piv = time.time() - t0
+    assign = S.ivf_assign_blas if blas_build else S.ivf_assign
+    t0 = time.time()
+    assigned = assign(corpus, pivots).localCheckpoint()
     n_idx = assigned.count()
     t_build = time.time() - t0
-    print(f"IVF build (pivots + assign + checkpoint): {t_build:.1f}s ({n_idx} indexed)")
+    print(f"IVF build: pivots {t_piv:.1f}s; assign+checkpoint {t_build:.1f}s "
+          f"({n_idx} indexed, {'BLAS' if blas_build else 'JVM'} assign)")
 
     for nq in nqs:
         queries = corpus.where(F.col("vec_id") < nq).localCheckpoint()
