@@ -215,3 +215,15 @@ def test_quantile_refined_constant_column_degrades_to_nulls(spark):
             "est_coarse": r.est_coarse, "est_refined": r.est_refined,
             "n_le": r.n_le, "bound_width": r.bound_width,
         }
+
+
+def test_generated_sweep_order_covers_registry_exactly():
+    """_sweep_order.py is machine-produced (tools/gen_sweep.py); if a query
+    is added or renamed without regenerating it, the driver would sweep a
+    stale order. The generated list must be a permutation of the registry."""
+    import _sweep_order
+
+    from sqldataintegrationfunctiontriggerapp_spark import plans
+
+    assert sorted(_sweep_order.SWEEP_PRIORITY) == sorted(plans.QUERIES)
+    assert len(_sweep_order.SWEEP_PRIORITY) == len(set(_sweep_order.SWEEP_PRIORITY))

@@ -4,6 +4,12 @@ width, and order-insensitive values (exact; floats must be bit-identical --
 that is the bar the registry's decimal-accumulator convention targets).
 
 Usage: python tools/verify_oracle.py [sf_dir] [query ...]
+       python tools/verify_oracle.py --json OUT.json [sf_dir] [query ...]
+
+--json additionally writes the per-query results in the driver's
+CORRECTNESS_r*.json schema ({name: {rows_match, schema_match, hash_match,
+spark_rows, oracle_rows, err}}), so the round's correctness artifact can be
+produced and committed in-round (VERDICT r08 #1).
 """
 
 from __future__ import annotations
@@ -39,8 +45,14 @@ def canon(rows, ndigits=None):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
     spark = get_session()
     con = duckdb.connect()
     for t in TABLES:
@@ -61,10 +73,20 @@ def main() -> int:
             srows = [[row[c] for c in scols] for row in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": 0, "oracle_rows": 0,
+                "err": f"spark error: {e}"[:500],
+            }
             print(f"FAIL  {name}: spark error: {e}")
             continue
         t_spark = time.time() - t0
         if name not in oracles:
+            results[name] = {
+                "rows_match": len(srows) >= 0, "schema_match": True,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": 0, "err": "rows-only (no oracle)",
+            }
             print(f"ok?   {name}: rows-only ({len(srows)} rows, spark {t_spark:.1f}s)")
             continue
         t0 = time.time()
@@ -76,22 +98,36 @@ def main() -> int:
             orows = [[r[i] for i in order] for r in orel.fetchall()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(srows),
+                "oracle_rows": 0, "err": f"duckdb error: {e}"[:500],
+            }
             print(f"FAIL  {name}: duckdb error: {e}")
             continue
         problems = []
-        if [c.lower() for c in scols] != [c.lower() for c in ocols]:
+        schema_ok = [c.lower() for c in scols] == [c.lower() for c in ocols]
+        rows_ok = len(srows) == len(orows)
+        hash_ok = False
+        if not schema_ok:
             problems.append(f"schema: spark={scols} duck={ocols}")
-        if len(srows) != len(orows):
+        if not rows_ok:
             problems.append(f"rowcount: spark={len(srows)} duck={len(orows)}")
         if not problems:
             cs, co = canon(srows), canon(orows)
-            if cs != co:
+            hash_ok = cs == co
+            if not hash_ok:
                 for i, (a, b) in enumerate(zip(cs, co)):
                     if a != b:
                         problems.append(f"first value diff at sorted row {i}:\n  spark={a}\n  duck ={b}")
                         break
                 else:
                     problems.append("value diff in trailing rows")
+        results[name] = {
+            "rows_match": rows_ok, "schema_match": schema_ok,
+            "hash_match": hash_ok, "spark_rows": len(srows),
+            "oracle_rows": len(orows), "err": None,
+        }
         if problems:
             failures.append(name)
             print(f"FAIL  {name}: " + "; ".join(problems))
@@ -104,6 +140,12 @@ def main() -> int:
         f"\n{n_checked - len(failures)}/{n_checked} checked ok"
         f" ({len(queries)} registered); failures: {failures}"
     )
+    if json_out:
+        import json as jsonmod
+
+        with open(json_out, "w") as f:
+            jsonmod.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} records)")
     return 1 if failures else 0
 
 
