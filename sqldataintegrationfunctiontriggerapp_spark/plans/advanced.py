@@ -893,6 +893,36 @@ def quantile_sketch(df: DataFrame, value_col: str) -> DataFrame:
     DataFrame/column (plan shape and guarantees documented on the registered
     query; extracted so the degenerate-domain property test can drive it
     with a constant column)."""
+    cur = _sketch_cumulative(df, value_col)
+
+    def _pick(p: float):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        return F.min(
+            F.when(F.col("cum") >= target, F.struct("est", "cum"))
+        )
+
+    sel = cur.agg(
+        F.max("n").alias("n_total"),
+        _pick(0.5).alias("q50"),
+        _pick(0.9).alias("q90"),
+        _pick(0.99).alias("q99"),
+    )
+    return sel.select(
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("q50.est").alias("est_p50"),
+        F.col("q50.cum").cast("long").alias("n_le_p50"),
+        F.col("q90.est").alias("est_p90"),
+        F.col("q90.cum").cast("long").alias("n_le_p90"),
+        F.col("q99.est").alias("est_p99"),
+        F.col("q99.cum").cast("long").alias("n_le_p99"),
+    )
+
+
+def _sketch_cumulative(df: DataFrame, value_col: str) -> DataFrame:
+    """Build/merge/cumulate stages of the mergeable histogram sketch,
+    shared by the upper-edge read-off (quantile_sketch) and the
+    interpolated read-off (quantile_interpolated): returns the B-row frame
+    (lo, hi, idx, cnt, cum, n, est) where est is the bucket's upper edge."""
     from pyspark.sql import Window
 
     B = _QSK_B
@@ -959,7 +989,7 @@ def quantile_sketch(df: DataFrame, value_col: str) -> DataFrame:
     w_all = Window.orderBy("idx").rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    cur = (
+    return (
         ex.withColumn("cum", F.sum("cnt").over(w_cum))
         .withColumn("n", F.sum("cnt").over(w_all))
         .withColumn(
@@ -972,26 +1002,114 @@ def quantile_sketch(df: DataFrame, value_col: str) -> DataFrame:
         )
     )
 
+
+@register(
+    "quantile_interpolated",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        FROM lineitem
+    ),
+    bkt AS (
+        SELECT {_QSK_IDX} AS idx
+        FROM lineitem, bounds
+    ),
+    hist AS (SELECT idx, COUNT(*) AS cnt FROM bkt GROUP BY idx),
+    cums AS (
+        SELECT idx, CAST(cnt AS BIGINT) AS cnt,
+               CAST(SUM(cnt) OVER (ORDER BY idx) AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER () AS BIGINT) AS n
+        FROM hist
+    ),
+    p50 AS (SELECT MIN(idx) AS idx FROM cums WHERE cum >= CEIL(0.5 * n)),
+    p90 AS (SELECT MIN(idx) AS idx FROM cums WHERE cum >= CEIL(0.9 * n)),
+    p99 AS (SELECT MIN(idx) AS idx FROM cums WHERE cum >= CEIL(0.99 * n))
+    SELECT CAST(c50.n AS BIGINT) AS n_total,
+           CASE WHEN b.hi > b.lo THEN
+               b.lo + c50.idx * ((b.hi - b.lo) / {_QSK_B}.0)
+                    + ((CEIL(0.5 * c50.n) - (c50.cum - c50.cnt)) / c50.cnt)
+                      * ((b.hi - b.lo) / {_QSK_B}.0)
+           END AS est_p50_interp,
+           CASE WHEN b.hi > b.lo THEN
+               b.lo + c90.idx * ((b.hi - b.lo) / {_QSK_B}.0)
+                    + ((CEIL(0.9 * c90.n) - (c90.cum - c90.cnt)) / c90.cnt)
+                      * ((b.hi - b.lo) / {_QSK_B}.0)
+           END AS est_p90_interp,
+           CASE WHEN b.hi > b.lo THEN
+               b.lo + c99.idx * ((b.hi - b.lo) / {_QSK_B}.0)
+                    + ((CEIL(0.99 * c99.n) - (c99.cum - c99.cnt)) / c99.cnt)
+                      * ((b.hi - b.lo) / {_QSK_B}.0)
+           END AS est_p99_interp
+    FROM bounds b, p50, p90, p99,
+         cums c50, cums c90, cums c99
+    WHERE c50.idx = p50.idx AND c90.idx = p90.idx AND c99.idx = p99.idx
+    """,
+)
+def quantile_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T-digest-style INTERPOLATED read-off over the mergeable histogram
+    sketch (VERDICT r08 "Next round" #8 stretch): same build/merge contract
+    as quantile_sketch_merge -- fixed-size per-partition summaries merged
+    associatively -- but the quantile estimate interpolates linearly WITHIN
+    the picked bucket, the way t-digest interpolates within a centroid,
+    instead of returning the bucket's upper edge:
+
+        est_p = lo + idx*w + ((ceil(p*n) - cum_before) / cnt) * w
+
+    i.e. the target rank's fractional position among the bucket's cnt
+    values, assuming uniform spread -- exact when values are uniform in the
+    bucket, and never worse than one bucket width (the edge read-off's
+    guarantee) otherwise. A true t-digest's adaptive centroid layout cannot
+    be hash-checked (cluster boundaries depend on merge order); the fixed
+    bucket grid keeps the merge deterministic under ANY arrival order, so
+    this oracle mirrors the FULL interpolation arithmetic exactly -- both
+    engines compute identical IEEE doubles (same left-associated expression,
+    integer rank/count intermediates exact well below 2^53, division order
+    identical).
+
+    The picked bucket always has cnt >= 1 (the minimal idx whose cumulative
+    count reaches the target is a bucket where cum strictly increased), so
+    the division is structurally safe; the degenerate constant-column domain
+    degrades to NULL estimates exactly like the base sketch (same lazy CASE
+    guard, pinned for the base in test_queries_registry). Plan shape is the
+    shared _sketch_cumulative stage: one bounds broadcast, map-side partial
+    per-partition sketches, a partition-count-bounded merge, and a B-row
+    window -- metadata, not data, at every step past the scan."""
+    cur = _sketch_cumulative(
+        load_table(spark, sf_dir, "lineitem"), "l_extendedprice"
+    )
+    B = _QSK_B
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(B))
+
     def _pick(p: float):
         target = F.ceil(F.lit(p) * F.col("n"))
         return F.min(
-            F.when(F.col("cum") >= target, F.struct("est", "cum"))
+            F.when(F.col("cum") >= target, F.struct("idx", "cnt", "cum"))
         )
 
     sel = cur.agg(
         F.max("n").alias("n_total"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
         _pick(0.5).alias("q50"),
         _pick(0.9).alias("q90"),
         _pick(0.99).alias("q99"),
     )
+
+    def interp(p: float, q: str):
+        target = F.ceil(F.lit(p) * F.col("n_total"))
+        frac = (target - (F.col(f"{q}.cum") - F.col(f"{q}.cnt"))) / F.col(
+            f"{q}.cnt"
+        )
+        return F.when(
+            F.col("hi") > F.col("lo"),
+            F.col("lo") + F.col(f"{q}.idx") * width + frac * width,
+        )
+
     return sel.select(
         F.col("n_total").cast("long").alias("n_total"),
-        F.col("q50.est").alias("est_p50"),
-        F.col("q50.cum").cast("long").alias("n_le_p50"),
-        F.col("q90.est").alias("est_p90"),
-        F.col("q90.cum").cast("long").alias("n_le_p90"),
-        F.col("q99.est").alias("est_p99"),
-        F.col("q99.cum").cast("long").alias("n_le_p99"),
+        interp(0.5, "q50").alias("est_p50_interp"),
+        interp(0.9, "q90").alias("est_p90_interp"),
+        interp(0.99, "q99").alias("est_p99_interp"),
     )
 
 

@@ -324,3 +324,62 @@ def weighted_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pick_idx",
         )
     )
+
+
+def shuffle_key(key_col: str = "doc_id", seed: int = 42):
+    """The deterministic shuffle order: md5 of (seed, key). Uniform over the
+    hex-string domain, so a global sort on it is a skew-free range shuffle,
+    and the same seed reproduces the same permutation on any cluster size."""
+    return F.md5(
+        F.concat(F.lit(f"shuffle:{seed}:"), F.col(key_col).cast("string"))
+    )
+
+
+@register(
+    "dataset_shuffle_deterministic",
+    oracle="""
+    WITH s AS (
+        SELECT doc_id,
+               md5('shuffle:42:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+        ORDER BY shuffle_key, doc_id
+        LIMIT 100
+    )
+    SELECT CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) AS BIGINT)
+               AS position,
+           doc_id, shuffle_key
+    FROM s
+    """,
+)
+def dataset_shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global dataset shuffle -- the 'shuffle before packing'
+    step every LLM training pipeline runs so that adjacent source documents
+    never land in the same training batch. The permutation is a sort on
+    md5(seed, doc_id): seeded (re-runs and resumes see the identical
+    order), uniform (the sort's range partitioning is skew-free by
+    construction -- no hot reducer regardless of how the input is laid
+    out), and expressible as a plain column so the whole thing is one
+    Catalyst sort with zero driver state. At 100 TB the production shape is
+    `df.repartitionByRange(N, shuffle_key()).sortWithinPartitions(...)` --
+    a single range shuffle writes the shuffled corpus; no RNG is ever
+    shared across executors.
+
+    The registered evidence takes the FIRST 100 documents of the shuffled
+    order: orderBy(key).limit(k) compiles to TakeOrderedAndProject (each
+    task keeps a k-row heap, the driver merges P*k rows -- bounded
+    metadata, never a single-partition global sort), and the position
+    column comes from a row_number window over the already-collected 100
+    rows (bounded, not data-scale). The md5-hex order is engine-independent
+    (same idiom as split_assign above), so the oracle mirrors the exact
+    permutation prefix, positions included; `doc_id` breaks the
+    (structurally impossible, but stated) md5-collision tie on both sides."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    t = (
+        d.withColumn("shuffle_key", shuffle_key())
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return t.withColumn(
+        "position", F.row_number().over(w).cast("long")
+    ).select("position", "doc_id", "shuffle_key")

@@ -296,6 +296,89 @@ def doc_chunk_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Sliding-window chunking: W-token windows advanced by stride S (overlap
+# W-S). The start grid stops at n-W+S-1 so a window fully contained in its
+# predecessor is never emitted (a doc with n<=W yields exactly one chunk),
+# while every token is still covered and the final window may be ragged.
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+@register(
+    "text_chunk_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n_tokens
+        FROM documents WHERE len({_TOKS}) > 0
+    ),
+    u AS (
+        SELECT doc_id, toks, n_tokens,
+               UNNEST(generate_series(
+                   0, greatest(n_tokens - {_CHUNK_W} + {_CHUNK_S} - 1, 0),
+                   {_CHUNK_S})) AS start_token
+        FROM t
+    )
+    SELECT doc_id,
+           CAST(start_token // {_CHUNK_S} AS BIGINT) AS chunk_id,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(len(list_slice(toks, start_token + 1,
+                               least(start_token + {_CHUNK_W}, n_tokens)))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start_token + 1,
+                                      least(start_token + {_CHUNK_W}, n_tokens)),
+                           ' ') AS chunk_text
+    FROM u
+    """,
+)
+def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking with MATERIALIZED chunk text:
+    64-token windows advanced by a 48-token stride (16-token overlap) -- the
+    chunker that feeds embedding/retrieval indexing and long-document
+    training splits, where context must not be cut dead at chunk edges
+    (doc_chunk_spans is the disjoint layout-only sibling). Redundant tail
+    windows are suppressed by construction: the start grid ends at
+    n-W+S-1, so a window that would sit entirely inside its predecessor is
+    never generated rather than filtered after the fact.
+
+    Plan shape: one scan, tokenize fused into the scan (see the
+    no-shared-token-stage note at the top of this module), posexplode of a
+    COMPUTED start grid (sequence()), and slice()/array_join() expression
+    work per output row -- no shuffle at all, no second read of the text,
+    no UDF. Output volume is ~n/S chunks per document (bounded fan-out),
+    so the operator scales linearly with data and stays embarrassingly
+    parallel at 100 TB: every task chunks its own input split.
+
+    Reference parity: the reference app has no chunker (its unit of work is
+    a whole CDC row, ChangeTrackingFunctions.cs); this is part of the
+    mandated LLM-pipeline surface alongside doc_chunk_spans."""
+    W, S = _CHUNK_W, _CHUNK_S
+    d = _docs(spark, sf_dir)
+    t = (
+        d.select("doc_id", TX.tokens("text").alias("toks"))
+        .withColumn("n_tokens", F.size("toks"))
+        .where(F.col("n_tokens") > 0)
+    )
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.col("n_tokens") - W + S - 1, F.lit(0)),
+        F.lit(S),
+    )
+    e = t.select(
+        "doc_id",
+        "toks",
+        "n_tokens",
+        F.posexplode(starts).alias("chunk_id", "start_token"),
+    )
+    chunk = F.slice("toks", F.col("start_token") + 1, W)
+    return e.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("start_token").cast("long").alias("start_token"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 # Count-min-sketch cell coordinates, identical in Spark SQL and DuckDB: the
 # bucket for (depth d, term) is nibbles 3-4 of md5("d|term") -- two instr
 # lookups into the hex alphabet, the same cross-engine md5 idiom as SimHash

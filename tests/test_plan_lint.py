@@ -37,6 +37,7 @@ _BNLJ_ALLOWED = {
     "gap_fill_daily_counts":     "1-row: date-spine min/max bounds",
     "daily_active_users":        "1-row: date-spine min/max bounds",
     "quantile_sketch_merge":     "1-row: histogram domain bounds (lo/hi)",
+    "quantile_interpolated":     "1-row: histogram domain bounds (lo/hi)",
     "quantile_sketch_refined":   "1-row bounds + 3-row per-quantile params",
     "lm_bigram_score":           "1-row: vocabulary-size Laplace denominator",
     "zorder_layout":             "1-row: global min/max quantization bounds",

@@ -227,3 +227,54 @@ def test_generated_sweep_order_covers_registry_exactly():
 
     assert sorted(_sweep_order.SWEEP_PRIORITY) == sorted(plans.QUERIES)
     assert len(_sweep_order.SWEEP_PRIORITY) == len(set(_sweep_order.SWEEP_PRIORITY))
+
+
+def test_dataset_shuffle_plan_and_determinism(spark, sf_dir):
+    """The seeded shuffle must (a) compile to TakeOrderedAndProject -- a
+    bounded per-task heap, never a global single-partition sort -- and
+    (b) reproduce the identical permutation prefix across plans/sessions
+    (the property that makes training-data shuffles resumable)."""
+    import __spark_entry__ as entrymod
+
+    fn = entrymod.queries()["dataset_shuffle_deterministic"]
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    a = [(r.position, r.doc_id) for r in df.collect()]
+    b = [(r.position, r.doc_id) for r in fn(spark, sf_dir).collect()]
+    assert a == b and len(a) == 100
+    assert [p for p, _ in sorted(a)] == list(range(1, 101))
+
+
+def test_quantile_interpolated_within_one_bucket_of_exact(spark, sf_dir):
+    """The interpolated estimate must stay within one bucket width of the
+    EXACT quantile (the histogram read-off's structural guarantee; the
+    interpolation refines within the bucket, it cannot leave it), and must
+    lie at or below the edge read-off that quantile_sketch_merge returns."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    (irow,) = qs["quantile_interpolated"](spark, sf_dir).collect()
+    (erow,) = qs["quantile_sketch_merge"](spark, sf_dir).collect()
+
+    lo, hi = duckdb.sql(
+        f"SELECT MIN(l_extendedprice), MAX(l_extendedprice) "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()
+    width = (hi - lo) / 128.0
+    for p, icol, ecol in [
+        (0.5, "est_p50_interp", "est_p50"),
+        (0.9, "est_p90_interp", "est_p90"),
+        (0.99, "est_p99_interp", "est_p99"),
+    ]:
+        (exact,) = duckdb.sql(
+            f"SELECT quantile_disc(l_extendedprice, {p}) "
+            f"FROM '{sf_dir}/lineitem.parquet'"
+        ).fetchone()
+        est = getattr(irow, icol)
+        edge = getattr(erow, ecol)
+        assert abs(est - exact) <= width, (p, est, exact, width)
+        assert est <= edge + 1e-9, (p, est, edge)

@@ -301,3 +301,52 @@ def test_weighted_systematic_sample_matches_python_reference(spark, sf_dir):
         per_source[source].append(idx)
     for idxs in per_source.values():
         assert len(idxs) <= k and sorted(set(idxs)) == sorted(idxs)
+
+
+def test_text_chunk_overlap_matches_python_reference(spark, sf_dir):
+    """Pin text_chunk_overlap's window grid against an independent Python
+    chunker on the real fixture: (a) identical (doc_id, chunk_id, start,
+    text) set, (b) full token coverage, (c) no window fully contained in
+    its predecessor (the start-grid construction's whole point), and
+    (d) docs with <= W tokens yield exactly one chunk."""
+    import re
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans.text import (
+        _CHUNK_S,
+        _CHUNK_W,
+        text_chunk_overlap,
+    )
+
+    W, S = _CHUNK_W, _CHUNK_S
+    got = {
+        (r.doc_id, r.chunk_id): (r.start_token, r.n_chunk_tokens, r.chunk_text)
+        for r in text_chunk_overlap(spark, sf_dir).collect()
+    }
+
+    import duckdb
+
+    docs = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    want = {}
+    for doc_id, text in docs:
+        toks = [t for t in re.split(r"\s+", text or "") if t]
+        n = len(toks)
+        if n == 0:
+            continue
+        starts = list(range(0, max(n - W + S - 1, 0) + 1, S))
+        for cid, st in enumerate(starts):
+            chunk = toks[st : st + W]
+            want[(doc_id, cid)] = (st, len(chunk), " ".join(chunk))
+        # (c): a window starting past 0 must add at least one new token
+        for st in starts[1:]:
+            assert st + min(W, n - st) > starts[0] + W or st + W <= n + S
+        # coverage: last chunk reaches the final token
+        assert starts[-1] + len(toks[starts[-1] :][:W]) == min(
+            starts[-1] + W, n
+        ) and starts[-1] + W >= n
+        # (d)
+        if n <= W:
+            assert len(starts) == 1
+
+    assert got == want
