@@ -375,3 +375,97 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("merge_action"),
     )
+
+
+@register(
+    "agg_incremental_maintenance",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           MAX(ts) AS last_ts,
+           CASE WHEN COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-28'
+                                THEN 1 END) = 0 THEN 'unchanged'
+                WHEN COUNT(CASE WHEN ts < TIMESTAMP '2024-01-28'
+                                THEN 1 END) = 0 THEN 'inserted'
+                ELSE 'updated' END AS refresh_action
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def agg_incremental_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (IVM): refresh a standing per-key
+    aggregate table from a CDC delta WITHOUT rescanning the base -- the
+    aggregate-level sibling of cdc_merge_upsert's row-level MERGE, and the
+    pattern that keeps derived tables current over a 100 TB fact stream
+    (recomputing them per batch is the thing a pipeline at that scale
+    cannot afford). Base partials (pre-watermark; standing for the
+    persisted aggregate table a production run would READ, not compute)
+    full-outer-merge with the delta's partials: counts add, sums add IN
+    DECIMAL before the final double cast (two partial decimal sums combine
+    exactly; summing doubles would drift from the recompute), min/max take
+    least/greatest (null-skipping), and refresh_action classifies each key
+    the way an audit log would.
+
+    THE ORACLE IS THE FULL RECOMPUTE over base+delta, so the value hash is
+    the incremental-equals-recompute proof, not a re-statement of the merge.
+
+    Scale shape: both sides reduce map-side to one row per (user_id,
+    event_type) BEFORE the merge join, so the join carries |keys| aggregate
+    rows, never |events|; the delta side's shuffle carries only the batch.
+    Insert-only deltas keep every combine associative -- retractions (CDC
+    deletes) would need the count/sum to subtract and min/max to fall back
+    to a per-key rescan, which is exactly why production IVM engines
+    restrict DELETE support; documented, not implemented.
+
+    Reference parity: the reference maintains running per-entity state one
+    HTTP batch at a time (EntityFunctions.cs keyed upsert); this is that
+    capability re-expressed as a set-oriented refresh."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    cutoff = F.lit("2024-01-28").cast("timestamp")
+    return incremental_agg_merge(
+        ev.where(ts < cutoff), ev.where(ts >= cutoff)
+    )
+
+
+def incremental_agg_merge(ev_base: DataFrame, ev_delta: DataFrame) -> DataFrame:
+    """The partials + full-outer combine behind agg_incremental_maintenance,
+    over any pair of event frames (extracted so the branch-coverage test can
+    drive the 'inserted' action, which the fixture's key distribution never
+    produces -- every sf0.01 key exists pre-cutoff)."""
+    ts = F.col("ts").cast("timestamp")
+    keys = ["user_id", "event_type"]
+    dec = "decimal(18,6)"
+
+    def partials(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias(f"{tag}_n"),
+            F.sum(F.col("value").cast(dec)).alias(f"{tag}_sum"),
+            F.min("value").alias(f"{tag}_min"),
+            F.max("value").alias(f"{tag}_max"),
+            F.max(ts).alias(f"{tag}_ts"),
+        )
+
+    base = partials(ev_base, "b")
+    delta = partials(ev_delta, "d")
+    merged = base.join(delta, on=keys, how="full_outer")
+    zero = F.lit(0).cast("decimal(28,6)")
+    return merged.select(
+        *keys,
+        (F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        (F.coalesce("b_sum", zero) + F.coalesce("d_sum", zero))
+        .cast("double")
+        .alias("sum_value"),
+        F.least("b_min", "d_min").alias("min_value"),
+        F.greatest("b_max", "d_max").alias("max_value"),
+        F.greatest("b_ts", "d_ts").alias("last_ts"),
+        F.when(F.col("d_n").isNull(), F.lit("unchanged"))
+        .when(F.col("b_n").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("refresh_action"),
+    )

@@ -278,3 +278,54 @@ def test_quantile_interpolated_within_one_bucket_of_exact(spark, sf_dir):
         edge = getattr(erow, ecol)
         assert abs(est - exact) <= width, (p, est, exact, width)
         assert est <= edge + 1e-9, (p, est, edge)
+
+
+def test_incremental_agg_merge_covers_all_actions(spark):
+    """The fixture exercises only 'unchanged'/'updated' (every sf0.01 key
+    exists pre-cutoff), so the 'inserted' null-combine path -- base-side
+    nulls flowing through coalesce/least/greatest -- is pinned here against
+    a direct recompute over the unioned events."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans.cdc import (
+        incremental_agg_merge,
+    )
+
+    from datetime import datetime as DT
+
+    schema = "user_id long, event_type string, value double, ts timestamp"
+    base = spark.createDataFrame(
+        [
+            (1, "click", 2.0, DT.fromisoformat("2024-01-01")),   # updated
+            (1, "click", 4.0, DT.fromisoformat("2024-01-02")),
+            (2, "error", 9.0, DT.fromisoformat("2024-01-03")),   # unchanged
+        ],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [
+            (1, "click", 1.0, DT.fromisoformat("2024-02-01")),
+            (3, "view", 7.5, DT.fromisoformat("2024-02-02")),    # inserted
+            (3, "view", 0.5, DT.fromisoformat("2024-02-03")),
+        ],
+        schema,
+    )
+    got = {
+        (r.user_id, r.event_type): r.asDict()
+        for r in incremental_agg_merge(base, delta).collect()
+    }
+    direct = {
+        (r.user_id, r.event_type): r.asDict()
+        for r in incremental_agg_merge(
+            base.unionAll(delta), base.limit(0)
+        ).collect()
+    }
+    assert set(got) == {(1, "click"), (2, "error"), (3, "view")}
+    assert got[(1, "click")]["refresh_action"] == "updated"
+    assert got[(2, "error")]["refresh_action"] == "unchanged"
+    assert got[(3, "view")]["refresh_action"] == "inserted"
+    assert got[(3, "view")]["n_events"] == 2
+    assert got[(3, "view")]["sum_value"] == 8.0
+    assert got[(3, "view")]["min_value"] == 0.5
+    assert got[(3, "view")]["max_value"] == 7.5
+    for k in got:
+        for c in ("n_events", "sum_value", "min_value", "max_value", "last_ts"):
+            assert got[k][c] == direct[k][c], (k, c, got[k][c], direct[k][c])
