@@ -641,3 +641,173 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_n"), "term")
         .limit(20)
     )
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary induction (Sennrich-style merge learning)
+# --------------------------------------------------------------------------
+
+_BPE_ROUNDS = 5
+
+
+def _bpe_oracle(rounds: int = _BPE_ROUNDS) -> str:
+    """GENERATED oracle: the same fixed number of merge rounds unrolled as
+    CTE chains (one pos/pairs/best/match/chosen/seq block per round), so the
+    round count is the single knob keeping both engines in sync -- the same
+    generated-oracle discipline as the CMS sketch (_cms_bucket above).
+    Greedy leftmost application is expressed relationally: matched pair
+    starts grouped into runs of consecutive positions (the p - row_number
+    island trick), odd ranks within a run are the chosen merges (= what a
+    left-to-right scan takes), chosen+1 positions are consumed."""
+    parts = [
+        f"""
+    words0 AS (
+        SELECT lower(t.tok) AS w, COUNT(*) AS freq
+        FROM documents, UNNEST({_TOKS}) AS t(tok)
+        WHERE regexp_full_match(lower(t.tok), '[a-z]+')
+        GROUP BY 1
+    ),
+    seq0 AS MATERIALIZED (SELECT w, freq, regexp_extract_all(w, '.') AS seq FROM words0)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        parts.append(f"""
+    pos{r} AS MATERIALIZED (
+        SELECT w, freq, g.i AS p, seq[g.i] AS sym
+        FROM seq{p}, UNNEST(generate_series(1, len(seq))) AS g(i)
+    ),
+    pairs{r} AS (
+        SELECT a.sym AS l, b.sym AS r, SUM(a.freq) AS cnt
+        FROM pos{r} a JOIN pos{r} b ON a.w = b.w AND b.p = a.p + 1
+        GROUP BY 1, 2
+    ),
+    best{r} AS MATERIALIZED (SELECT l, r, cnt FROM pairs{r} ORDER BY cnt DESC, l, r LIMIT 1),
+    mt{r} AS (
+        SELECT a.w, a.p,
+               a.p - ROW_NUMBER() OVER (PARTITION BY a.w ORDER BY a.p) AS isl
+        FROM pos{r} a
+        JOIN pos{r} b ON a.w = b.w AND b.p = a.p + 1
+        CROSS JOIN best{r} bp
+        WHERE a.sym = bp.l AND b.sym = bp.r
+    ),
+    ch{r} AS (
+        SELECT w, p FROM (
+            SELECT w, p, ROW_NUMBER() OVER (PARTITION BY w, isl ORDER BY p) AS rn
+            FROM mt{r}) WHERE rn % 2 = 1
+    ),
+    seq{r} AS MATERIALIZED (
+        SELECT s.w, s.freq,
+               list(CASE WHEN c1.p IS NOT NULL THEN bp.l || bp.r
+                         ELSE s.sym END ORDER BY s.p) AS seq
+        FROM pos{r} s
+        CROSS JOIN best{r} bp
+        LEFT JOIN ch{r} c1 ON c1.w = s.w AND c1.p = s.p
+        LEFT JOIN ch{r} c2 ON c2.w = s.w AND c2.p = s.p - 1
+        WHERE c2.p IS NULL
+        GROUP BY s.w, s.freq
+    )""")
+    union = "\n        UNION ALL\n".join(
+        f"        SELECT CAST({r} AS BIGINT) AS merge_round, l AS left_sym,"
+        f" r AS right_sym, CAST(cnt AS BIGINT) AS pair_count FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH" + ",".join(parts) + f"\n    SELECT * FROM (\n{union}\n    )"
+
+
+@register("bpe_vocab_induction", oracle=_bpe_oracle())
+def bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-pair-encoding VOCABULARY INDUCTION -- learning the merge table,
+    not applying one (text_bpe_token_stats' regex count is the apply-side
+    approximation). Sennrich-style: lowercase alpha word TYPES with corpus
+    frequencies, each spelled as a character sequence; per round, count
+    adjacent symbol pairs weighted by word frequency, take the most frequent
+    pair (count desc, then lexicographic -- a total order, so the learned
+    table is deterministic), and merge it greedily left-to-right in every
+    word. Five rounds unrolled into ONE lazy plan; the output is the learned
+    merge table (round, pair, count) the tokenizer would ship.
+
+    Spark-first shape: the corpus reduces to the word-TYPE table in one
+    scan+aggregate (types ~ vocabulary size, millions of rows at 100 TB --
+    tiny next to the corpus; localCheckpointed via session_stage so the five
+    rounds never rescan documents). Each round is a pair explode + hash
+    aggregate over the type table, a 1-row TakeOrderedAndProject argmax
+    broadcast back (the BNLJ-allowlisted 1-row idiom, five of them), and the
+    greedy merge as a pure aggregate() fold per word: replace-last when
+    (last==l AND next==r), else append. The fold IS leftmost-greedy
+    application -- a merged symbol l||r can never equal l (r is non-empty),
+    so a fresh merge never re-fires on the following symbol, which makes the
+    fold equal to the oracle's run-parity relational formulation (odd ranks
+    within runs of consecutive match starts). Driver holds no model state;
+    each round's argmax is data, not a collected literal.
+
+    The oracle unrolls the identical five rounds in generated SQL (see
+    _bpe_oracle), so the driver hash checks the full learned table --
+    counts, tie-breaks, and the merge application feeding each next round."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+
+    def build():
+        d = _docs(spark, sf_dir)
+        return (
+            d.select(F.explode(TX.tokens("text")).alias("tok"))
+            .select(F.lower("tok").alias("w"))
+            .where(F.col("w").rlike("^[a-z]+$"))
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .select(
+                "w",
+                "freq",
+                F.regexp_extract_all(F.col("w"), F.lit("."), 0).alias("seq"),
+            )
+            .localCheckpoint()
+        )
+
+    cur = session_stage(spark, sf_dir, "bpe_word_types", build)
+    outs = []
+    for rnd in range(1, _BPE_ROUNDS + 1):
+        prs = F.when(
+            F.size("seq") > 1,
+            F.transform(
+                F.sequence(F.lit(1), F.size("seq") - 1),
+                lambda i: F.struct(
+                    F.element_at(F.col("seq"), i).alias("l"),
+                    F.element_at(F.col("seq"), i + F.lit(1)).alias("r"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+        pairs = (
+            cur.select("freq", F.explode(prs).alias("pr"))
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1)
+        outs.append(
+            best.select(
+                F.lit(rnd).cast("long").alias("merge_round"),
+                F.col("l").alias("left_sym"),
+                F.col("r").alias("right_sym"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        merged_sym = F.concat("l", "r")
+        new_seq = F.aggregate(
+            "seq",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.col("l"))
+                & (x == F.col("r")),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(merged_sym),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        cur = cur.crossJoin(F.broadcast(best)).select(
+            "w", "freq", new_seq.alias("seq")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

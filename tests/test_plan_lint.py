@@ -41,6 +41,7 @@ _BNLJ_ALLOWED = {
     "quantile_sketch_refined":   "1-row bounds + 3-row per-quantile params",
     "lm_bigram_score":           "1-row: vocabulary-size Laplace denominator",
     "zorder_layout":             "1-row: global min/max quantization bounds",
+    "bpe_vocab_induction":       "1-row x5: per-round argmax merge pair",
 }
 
 

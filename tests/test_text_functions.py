@@ -350,3 +350,56 @@ def test_text_chunk_overlap_matches_python_reference(spark, sf_dir):
             assert len(starts) == 1
 
     assert got == want
+
+
+def test_bpe_vocab_induction_matches_python_reference(spark, sf_dir):
+    """Pin the learned merge table against an independent Python BPE
+    (Sennrich-style: frequency-weighted pair counts over word types,
+    deterministic (count desc, pair asc) argmax, greedy LEFTMOST merge
+    application) -- validates the aggregate()-fold's greedy semantics
+    including the run-parity case ('aaa' merges positions 1-2, not 2-3)."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    got = sorted(
+        (r.merge_round, r.left_sym, r.right_sym, r.pair_count)
+        for r in entrymod.queries()["bpe_vocab_induction"](
+            spark, sf_dir
+        ).collect()
+    )
+
+    rows = duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    freqs = Counter()
+    for (text,) in rows:
+        for tok in re.split(r"\s+", text or ""):
+            w = tok.lower()
+            if w and re.fullmatch(r"[a-z]+", w):
+                freqs[w] += 1
+    seqs = {w: list(w) for w in freqs}
+    want = []
+    for rnd in range(1, 6):
+        counts = Counter()
+        for w, seq in seqs.items():
+            for i in range(len(seq) - 1):
+                counts[(seq[i], seq[i + 1])] += freqs[w]
+        (l, r), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rnd, l, r, cnt))
+        for w, seq in seqs.items():
+            out, i = [], 0
+            while i < len(seq):
+                if i + 1 < len(seq) and seq[i] == l and seq[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(seq[i])
+                    i += 1
+            seqs[w] = out
+    assert got == sorted(want)
