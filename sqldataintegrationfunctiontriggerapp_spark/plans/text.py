@@ -743,6 +743,18 @@ def bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle unrolls the identical five rounds in generated SQL (see
     _bpe_oracle), so the driver hash checks the full learned table --
     counts, tie-breaks, and the merge application feeding each next round."""
+    outs, _ = _bpe_chain(spark, sf_dir)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """The shared five-round merge chain: returns (per-round best frames,
+    final segmented word-type frame). Consumed by bpe_vocab_induction (the
+    learned merge table) and bpe_apply_segmentation (the full segmentation
+    the table produces)."""
     from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
         session_stage,
     )
@@ -807,7 +819,31 @@ def bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = cur.crossJoin(F.broadcast(best)).select(
             "w", "freq", new_seq.alias("seq")
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+    return outs, cur
+
+
+@register(
+    "bpe_apply_segmentation",
+    oracle=_bpe_oracle()[: _bpe_oracle().rindex("SELECT * FROM")]
+    + f"""SELECT w, CAST(freq AS BIGINT) AS freq,
+           CAST(len(seq) AS BIGINT) AS n_symbols,
+           array_to_string(seq, ' ') AS segmentation
+    FROM seq{_BPE_ROUNDS}
+    """,
+)
+def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of the learned BPE table: every word type's FINAL
+    segmentation after the five merges -- the tokenizer output a training
+    pipeline ships. Where bpe_vocab_induction's hash covers the 5-row merge
+    table, this one covers the full |vocabulary|-row application (every
+    fold decision in every word), which is the stronger evidence that the
+    greedy semantics agree between engines. Same shared chain
+    (_bpe_chain), same scale shape: all work after the single corpus scan
+    runs over the word-type table."""
+    _, cur = _bpe_chain(spark, sf_dir)
+    return cur.select(
+        "w",
+        F.col("freq").cast("long").alias("freq"),
+        F.size("seq").cast("long").alias("n_symbols"),
+        F.array_join("seq", " ").alias("segmentation"),
+    )

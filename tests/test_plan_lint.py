@@ -42,6 +42,7 @@ _BNLJ_ALLOWED = {
     "lm_bigram_score":           "1-row: vocabulary-size Laplace denominator",
     "zorder_layout":             "1-row: global min/max quantization bounds",
     "bpe_vocab_induction":       "1-row x5: per-round argmax merge pair",
+    "bpe_apply_segmentation":    "1-row x5: per-round argmax merge pair",
 }
 
 
