@@ -742,7 +742,16 @@ def bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The oracle unrolls the identical five rounds in generated SQL (see
     _bpe_oracle), so the driver hash checks the full learned table --
-    counts, tie-breaks, and the merge application feeding each next round."""
+    counts, tie-breaks, and the merge application feeding each next round.
+
+    SCALE NOTE on the round count: cur_k references cur_{k-1} twice (once
+    directly, once under the argmax), so the fully-lazy chain's plan tree
+    holds 2^R copies of the base -- deliberate at the registered R=5 (keeps
+    every round under ONE driver-hashed plan; compile cost measured ~6 s),
+    but a production run at real merge counts (R ~ 10^3-10^4) must
+    localCheckpoint `cur` (and the 1-row `best`) each round, turning the
+    plan linear in R at the price of R tiny eager jobs -- the same
+    per-iteration checkpoint discipline PageRank documents."""
     outs, _ = _bpe_chain(spark, sf_dir)
     out = outs[0]
     for o in outs[1:]:

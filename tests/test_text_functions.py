@@ -338,13 +338,13 @@ def test_text_chunk_overlap_matches_python_reference(spark, sf_dir):
         for cid, st in enumerate(starts):
             chunk = toks[st : st + W]
             want[(doc_id, cid)] = (st, len(chunk), " ".join(chunk))
-        # (c): a window starting past 0 must add at least one new token
-        for st in starts[1:]:
-            assert st + min(W, n - st) > starts[0] + W or st + W <= n + S
-        # coverage: last chunk reaches the final token
-        assert starts[-1] + len(toks[starts[-1] :][:W]) == min(
-            starts[-1] + W, n
-        ) and starts[-1] + W >= n
+        # (c): every later window strictly extends coverage -- no window is
+        # contained in its predecessor
+        ends = [min(st + W, n) for st in starts]
+        assert all(b > a for a, b in zip(ends, ends[1:]))
+        # (b): full coverage -- windows start at 0, overlap (S <= W), and
+        # the last one reaches the final token
+        assert starts[0] == 0 and S <= W and ends[-1] == n
         # (d)
         if n <= W:
             assert len(starts) == 1
