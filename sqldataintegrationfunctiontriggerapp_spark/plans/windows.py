@@ -477,6 +477,64 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("window_start", "event_type", "n", "sum_value")
 
 
+@register(
+    "streaming_sessions_parity",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+               CASE WHEN CAST(ts AS TIMESTAMP)
+                         - lag(CAST(ts AS TIMESTAMP))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 1 HOUR
+                         OR lag(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    numbered AS (
+        SELECT *, SUM(new_session)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 1 HOUR AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+)
+def streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window computed BY THE STREAMING ENGINE: the 2-batch staged
+    replay through streaming/windows.py session_windows (native
+    F.session_window gap-merge state), hash-compared against the batch
+    lag->flag->running-count sessionization SQL. This puts session_windows
+    -- pytest-only since r02 -- under the driver hash gate, and pins the
+    EXACT boundary semantics: Spark merges an event landing exactly at
+    prev_ts + gap into the open session (measured: [00:00] then [01:00]
+    with a 1 h gap form ONE session ending 02:00), i.e. a new session
+    starts only when the gap is STRICTLY exceeded -- the same `>` the
+    batch `sessionization` query uses, so the oracle reuses its
+    flag/number algebra with session_end = last_ts + gap. Sessions that
+    span the micro-batch boundary are the interesting rows: the engine
+    must merge a batch-2 event into a batch-1 session's state, which is
+    the gap-merge statefulness a tumbling window never exercises.
+    Test-mode concessions identical to streaming_windowed_counts (memory
+    sink, availableNow, complete mode retaining all session state; an
+    append-mode deployment would emit each session once its end falls
+    behind the watermark)."""
+    from sqldataintegrationfunctiontriggerapp_spark.streaming import windows as W
+
+    return _staged_replay(
+        spark, sf_dir, sink="strm_sess_sink", output_mode="complete",
+        transform=lambda stream: W.session_windows(stream, gap="1 hour"),
+    ).select(
+        "user_id", "session_start", "session_end", "n_events", "session_value"
+    )
+
+
 def _staged_events_dir(spark: SparkSession, sf_dir: str):
     """(dir_path, schema) of the 2-file staged events replay, built ONCE per
     session+sf_dir via the stage memo and shared by all four streaming

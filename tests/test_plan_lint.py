@@ -59,6 +59,7 @@ _BNLJ_ALLOWED = {
 # plan-only consumers of the registry just pay that one small job.
 _EXECUTES_ON_BUILD = {
     "streaming_windowed_counts",
+    "streaming_sessions_parity",
     "streaming_dedup_parity",
     "streaming_throttle_parity",
     "streaming_entity_stats_parity",
