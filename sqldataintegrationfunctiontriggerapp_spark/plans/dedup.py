@@ -407,3 +407,80 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+@register(
+    "dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE ex AS ({_SHINGLED}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.doc_a
+        JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    edges AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.8
+    ),
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM edges
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM edges
+    ),
+    reach AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+    ),
+    comp AS (
+        SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+        FROM reach GROUP BY u
+    )
+    SELECT d.doc_id,
+           COALESCE(c.component_id, d.doc_id) AS canonical_id,
+           COALESCE(c.component_id, d.doc_id) = d.doc_id AS kept,
+           d.source
+    FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step every pipeline actually ships: MATERIALIZE the deduplicated
+    corpus. dedup_components emits only docs that have near-duplicates;
+    this query joins the component labels back onto the full documents
+    table and flags each row -- canonical_id = the component's min doc_id
+    (or the doc itself when it has no duplicates), kept = whether this row
+    survives the dedup pass. Downstream training reads `WHERE kept`.
+
+    Scale shape: the expensive work is the shared _ngram_pairs_stage /
+    label-propagation the component query already pays (session-memoized,
+    so in a suite this query adds one left join); the component table holds
+    only docs WITH duplicates -- a small fraction of any real corpus -- so
+    the join back is broadcast-able at 100 TB, and the output is a pure
+    per-row annotation (no shuffle of the corpus itself beyond the join).
+    The oracle extends dedup_components' recursive-CTE closure with the
+    same left join, so the driver hash covers kept/canonical for EVERY
+    document, including the untouched majority."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    edges = _ngram_pairs_stage(spark, sf_dir).select("doc_a", "doc_b")
+    comps = D.connected_components(edges).withColumnRenamed(
+        "component_id", "_cid"
+    )
+    return (
+        docs.join(F.broadcast(comps), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_cid", "doc_id").alias("canonical_id"),
+            (F.coalesce("_cid", "doc_id") == F.col("doc_id")).alias("kept"),
+            "source",
+        )
+    )
