@@ -469,3 +469,96 @@ def incremental_agg_merge(ev_base: DataFrame, ev_delta: DataFrame) -> DataFrame:
         .otherwise(F.lit("updated"))
         .alias("refresh_action"),
     )
+
+
+@register(
+    "agg_incremental_retract",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM latest WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def agg_incremental_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-capable incremental maintenance -- the boundary
+    agg_incremental_maintenance documents, implemented for the aggregates
+    where it is actually possible: an aggregate over a MUTABLE keyed table
+    (each user's latest row; an upsert retracts the old version's
+    contribution and inserts the new one's, possibly in a different group).
+    COUNT and SUM are subtractable, so the standing per-event_type
+    aggregate refreshes as base - retractions + insertions without
+    rescanning the base: retractions are the pre-cutoff latest rows of
+    exactly the users the delta touches (a semi join against the delta's
+    keys), insertions are the delta's latest rows. MIN/MAX are deliberately
+    absent -- they are NOT subtractable (retracting the current minimum
+    forces a per-group rescan), which is the precise reason the insert-only
+    sibling carries them and this one does not.
+
+    Sums subtract IN DECIMAL (b - r + i combined before the double cast:
+    decimal subtraction is exact, so moving a user across groups cannot
+    leave drift in either group); counts are longs. Groups whose count
+    reaches zero are dropped, matching the recompute. THE ORACLE IS AGAIN
+    THE FULL RECOMPUTE -- latest row per user over base+delta, aggregated
+    directly -- so the hash is the retract-refresh-equals-recompute proof.
+
+    Scale shape: every stage reduces before it joins -- per-user latest
+    rows via one keyed window each side, group-level aggregates before the
+    three-way full-outer combine, which therefore carries |event_types|
+    rows. The delta's key set drives the semi join, so a small batch
+    touches only its own users' old rows regardless of base size."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    cutoff = F.lit("2024-01-28").cast("timestamp")
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc(ts), F.desc("event_id")
+        )
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    dec = "decimal(18,6)"
+
+    def grouped(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"{tag}_n"),
+            F.sum(F.col("value").cast(dec)).alias(f"{tag}_sum"),
+        )
+
+    pre = latest(ev.where(ts < cutoff))
+    delta = latest(ev.where(ts >= cutoff))
+    base = grouped(pre, "b")
+    retract = grouped(
+        pre.join(delta.select("user_id"), "user_id", "semi"), "r"
+    )
+    insert = grouped(delta, "i")
+    merged = base.join(retract, "event_type", "full_outer").join(
+        insert, "event_type", "full_outer"
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    n = (
+        F.coalesce("b_n", F.lit(0))
+        - F.coalesce("r_n", F.lit(0))
+        + F.coalesce("i_n", F.lit(0))
+    )
+    s = (
+        F.coalesce("b_sum", zero)
+        - F.coalesce("r_sum", zero)
+        + F.coalesce("i_sum", zero)
+    )
+    return merged.select(
+        "event_type",
+        n.cast("long").alias("n_users"),
+        s.cast("double").alias("sum_value"),
+    ).where(F.col("n_users") > 0)

@@ -537,7 +537,7 @@ def streaming_sessions_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _staged_events_dir(spark: SparkSession, sf_dir: str):
     """(dir_path, schema) of the 2-file staged events replay, built ONCE per
-    session+sf_dir via the stage memo and shared by all four streaming
+    session+sf_dir via the stage memo and shared by all the streaming
     parity queries -- the staging write is identical for them, so whichever
     runs first pays it. The path is a _util.StagedDir, so cross-sf_dir eviction
     rmtree's it (one live copy per memo entry, however often a long-lived
