@@ -517,6 +517,19 @@ def agg_incremental_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
     cutoff = F.lit("2024-01-28").cast("timestamp")
+    return incremental_retract_merge(
+        ev.where(ts < cutoff), ev.where(ts >= cutoff)
+    )
+
+
+def incremental_retract_merge(
+    ev_base: DataFrame, ev_delta: DataFrame
+) -> DataFrame:
+    """The latest-per-key -> retract/insert -> subtractable-combine behind
+    agg_incremental_retract, over any pair of event frames (extracted so
+    the zero-count-group drop and the cross-group move -- both unreachable
+    or unprovoked at fixture cardinalities -- can be pinned directly)."""
+    ts = F.col("ts").cast("timestamp")
 
     def latest(df: DataFrame) -> DataFrame:
         w = Window.partitionBy("user_id").orderBy(
@@ -536,8 +549,8 @@ def agg_incremental_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("value").cast(dec)).alias(f"{tag}_sum"),
         )
 
-    pre = latest(ev.where(ts < cutoff))
-    delta = latest(ev.where(ts >= cutoff))
+    pre = latest(ev_base)
+    delta = latest(ev_delta)
     base = grouped(pre, "b")
     retract = grouped(
         pre.join(delta.select("user_id"), "user_id", "semi"), "r"

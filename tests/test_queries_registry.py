@@ -329,3 +329,48 @@ def test_incremental_agg_merge_covers_all_actions(spark):
     for k in got:
         for c in ("n_events", "sum_value", "min_value", "max_value", "last_ts"):
             assert got[k][c] == direct[k][c], (k, c, got[k][c], direct[k][c])
+
+
+def test_incremental_retract_merge_edges(spark):
+    """Pins the two retract-IVM behaviors the fixture cannot provoke:
+    (a) a group emptied by retractions disappears (count reaches zero),
+    (b) a key moving ACROSS groups subtracts from the old group and adds
+    to the new one with decimal-exact sums -- both checked against a
+    direct recompute (the merge run with an empty delta over the union)."""
+    from datetime import datetime as DT
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans.cdc import (
+        incremental_retract_merge,
+    )
+
+    schema = (
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp"
+    )
+    base = spark.createDataFrame(
+        [
+            (1, 10, "click", 1.25, DT(2024, 1, 1)),  # will move to 'view'
+            (2, 20, "click", 2.50, DT(2024, 1, 2)),  # stays
+            (3, 30, "error", 9.00, DT(2024, 1, 3)),  # 'error' will empty
+        ],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [
+            (4, 10, "view", 4.00, DT(2024, 2, 1)),   # cross-group move
+            (5, 30, "click", 0.75, DT(2024, 2, 2)),  # empties 'error'
+        ],
+        schema,
+    )
+    got = {
+        r.event_type: (r.n_users, r.sum_value)
+        for r in incremental_retract_merge(base, delta).collect()
+    }
+    assert got == {"click": (2, 3.25), "view": (1, 4.0)}  # no 'error' row
+    direct = {
+        r.event_type: (r.n_users, r.sum_value)
+        for r in incremental_retract_merge(
+            base.unionAll(delta), base.limit(0)
+        ).collect()
+    }
+    assert got == direct
