@@ -1113,6 +1113,141 @@ def quantile_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantile_sketch_grouped",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT l_returnflag, MIN(l_extendedprice) AS lo,
+               MAX(l_extendedprice) AS hi
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    bkt AS (
+        SELECT l.l_returnflag, {_QSK_IDX} AS idx
+        FROM lineitem l JOIN bounds USING (l_returnflag)
+    ),
+    hist AS (
+        SELECT l_returnflag, idx, COUNT(*) AS cnt FROM bkt GROUP BY 1, 2
+    ),
+    cums AS (
+        SELECT l_returnflag, idx, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY idx)
+                    AS BIGINT) AS cum,
+               CAST(SUM(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        FROM hist
+    ),
+    scored AS (
+        SELECT c.*,
+               CASE WHEN b.hi > b.lo THEN
+                   b.lo + (c.idx + 1) * ((b.hi - b.lo) / {_QSK_B}.0)
+               END AS est
+        FROM cums c JOIN bounds b USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN est END) AS est_p50,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.5 * n) THEN cum END) AS BIGINT)
+               AS n_le_p50,
+           MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN est END) AS est_p90,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.9 * n) THEN cum END) AS BIGINT)
+               AS n_le_p90,
+           MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN est END) AS est_p99,
+           CAST(MIN(CASE WHEN cum >= CEIL(0.99 * n) THEN cum END) AS BIGINT)
+               AS n_le_p99
+    FROM scored
+    GROUP BY l_returnflag
+    """,
+)
+def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP mergeable-histogram quantiles in one pass -- the grouped
+    dimension the global sketch family (merge / refined / interpolated)
+    lacks, and the shape a 100 TB pipeline actually monitors (quantiles per
+    source / per day / per shard, thousands of groups at once). Each group
+    gets its own (lo, hi) domain from one 3-row bounds aggregate broadcast
+    back into the scan, then ONE hash aggregate counts (group, bucket)
+    cells: the map-side partial aggregation is the per-partition sketch
+    build (each task reduces to <= groups x B cells before the exchange),
+    and the reduce-side combine is the sketch merge -- the same
+    build/merge/read-off contract as quantile_sketch_merge with the group
+    as an extra key, so the shuffle carries groups x B cells regardless of
+    row count. Read-off windows partition by group over <= B rows each.
+    The sparse (group, bucket) table reads off identically to the dense
+    array form (a zero-count bucket can never be the minimal one reaching
+    a cumulative target), which is why no densify stage is needed here.
+    Same degenerate-domain guard per group (a constant group's estimates
+    go NULL, its counts stay exact); identical IEEE bucket arithmetic both
+    engines, so all estimates and cumulative counts hash exactly."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    B = _QSK_B
+    bounds = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(B))
+    idx = F.when(
+        F.col("hi") > F.col("lo"),
+        F.least(
+            F.lit(B - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
+                    "int"
+                ),
+            ),
+        ),
+    ).otherwise(F.lit(0))
+    hist = (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag", idx.alias("idx"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.first("lo").alias("lo"),
+            F.first("hi").alias("hi"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cur = (
+        hist.withColumn("cum", F.sum("cnt").over(w_cum))
+        .withColumn("n", F.sum("cnt").over(w_all))
+        .withColumn(
+            "est",
+            F.when(
+                F.col("hi") > F.col("lo"),
+                F.col("lo") + (F.col("idx") + 1) * width,
+            ),
+        )
+    )
+
+    def _pick(p: float):
+        target = F.ceil(F.lit(p) * F.col("n"))
+        return F.min(F.when(F.col("cum") >= target, F.struct("est", "cum")))
+
+    sel = cur.groupBy("l_returnflag").agg(
+        F.max("n").alias("n_total"),
+        _pick(0.5).alias("q50"),
+        _pick(0.9).alias("q90"),
+        _pick(0.99).alias("q99"),
+    )
+    return sel.select(
+        "l_returnflag",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("q50.est").alias("est_p50"),
+        F.col("q50.cum").cast("long").alias("n_le_p50"),
+        F.col("q90.est").alias("est_p90"),
+        F.col("q90.cum").cast("long").alias("n_le_p90"),
+        F.col("q99.est").alias("est_p99"),
+        F.col("q99.cum").cast("long").alias("n_le_p99"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Two-pass refined quantile sketch (iterative histogram narrowing)
 # -- pass-1 bucket rule is the shared _QSK_IDX defined beside _QSK_B above
