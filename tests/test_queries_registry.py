@@ -374,3 +374,54 @@ def test_incremental_retract_merge_edges(spark):
         ).collect()
     }
     assert got == direct
+
+
+def test_shuffle_key_seed_independence(spark, sf_dir):
+    """Different seeds must induce genuinely different permutations (the
+    property that lets epoch N and epoch N+1 reshuffle the corpus), while
+    each seed's order stays total and reproducible."""
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.plans.sampling import (
+        shuffle_key,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    orders = []
+    for seed in (42, 43):
+        rows = (
+            d.withColumn("k", shuffle_key(seed=seed))
+            .orderBy("k", "doc_id")
+            .limit(50)
+            .collect()
+        )
+        assert len({r.k for r in rows}) == 50  # total order, no collisions
+        orders.append([r.doc_id for r in rows])
+    assert orders[0] != orders[1]
+
+
+def test_quantile_sketch_grouped_within_one_bucket_of_exact(spark, sf_dir):
+    """Per-group estimates must stay within one GROUP-domain bucket width
+    of that group's exact quantile -- the same structural bound the global
+    sketch carries, now per group."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+
+    rows = {
+        r.l_returnflag: r
+        for r in entrymod.queries()["quantile_sketch_grouped"](
+            spark, sf_dir
+        ).collect()
+    }
+    for flag, r in rows.items():
+        lo, hi = duckdb.sql(
+            f"SELECT MIN(l_extendedprice), MAX(l_extendedprice) FROM "
+            f"'{sf_dir}/lineitem.parquet' WHERE l_returnflag = '{flag}'"
+        ).fetchone()
+        width = (hi - lo) / 128.0
+        for p, col in [(0.5, "est_p50"), (0.9, "est_p90"), (0.99, "est_p99")]:
+            (exact,) = duckdb.sql(
+                f"SELECT quantile_disc(l_extendedprice, {p}) FROM "
+                f"'{sf_dir}/lineitem.parquet' WHERE l_returnflag = '{flag}'"
+            ).fetchone()
+            assert abs(getattr(r, col) - exact) <= width, (flag, p)
