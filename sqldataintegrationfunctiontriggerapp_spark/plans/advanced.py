@@ -1176,13 +1176,26 @@ def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same degenerate-domain guard per group (a constant group's estimates
     go NULL, its counts stay exact); identical IEEE bucket arithmetic both
     engines, so all estimates and cumulative counts hash exactly."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice"
+    return grouped_quantile_sketch(
+        load_table(spark, sf_dir, "lineitem").select(
+            "l_returnflag", "l_extendedprice"
+        ),
+        "l_returnflag",
+        "l_extendedprice",
     )
+
+
+def grouped_quantile_sketch(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """The per-group sketch behind quantile_sketch_grouped, over any
+    (group, value) frame (extracted, like quantile_sketch, so the per-group
+    degenerate-domain property can be driven with a constant group next to
+    a live one)."""
     B = _QSK_B
-    bounds = li.groupBy("l_returnflag").agg(
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
+    bounds = df.groupBy(group_col).agg(
+        F.min(value_col).alias("lo"),
+        F.max(value_col).alias("hi"),
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(B))
     idx = F.when(
@@ -1191,15 +1204,13 @@ def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(B - 1),
             F.greatest(
                 F.lit(0),
-                F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast(
-                    "int"
-                ),
+                F.floor((F.col(value_col) - F.col("lo")) / width).cast("int"),
             ),
         ),
     ).otherwise(F.lit(0))
     hist = (
-        li.join(F.broadcast(bounds), "l_returnflag")
-        .groupBy("l_returnflag", idx.alias("idx"))
+        df.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col, idx.alias("idx"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
             F.first("lo").alias("lo"),
@@ -1209,11 +1220,11 @@ def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     w_cum = (
-        Window.partitionBy("l_returnflag")
+        Window.partitionBy(group_col)
         .orderBy("idx")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_all = Window.partitionBy("l_returnflag")
+    w_all = Window.partitionBy(group_col)
     cur = (
         hist.withColumn("cum", F.sum("cnt").over(w_cum))
         .withColumn("n", F.sum("cnt").over(w_all))
@@ -1230,14 +1241,14 @@ def quantile_sketch_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         target = F.ceil(F.lit(p) * F.col("n"))
         return F.min(F.when(F.col("cum") >= target, F.struct("est", "cum")))
 
-    sel = cur.groupBy("l_returnflag").agg(
+    sel = cur.groupBy(group_col).agg(
         F.max("n").alias("n_total"),
         _pick(0.5).alias("q50"),
         _pick(0.9).alias("q90"),
         _pick(0.99).alias("q99"),
     )
     return sel.select(
-        "l_returnflag",
+        group_col,
         F.col("n_total").cast("long").alias("n_total"),
         F.col("q50.est").alias("est_p50"),
         F.col("q50.cum").cast("long").alias("n_le_p50"),

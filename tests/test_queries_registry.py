@@ -425,3 +425,27 @@ def test_quantile_sketch_grouped_within_one_bucket_of_exact(spark, sf_dir):
                 f"'{sf_dir}/lineitem.parquet' WHERE l_returnflag = '{flag}'"
             ).fetchone()
             assert abs(getattr(r, col) - exact) <= width, (flag, p)
+
+
+def test_grouped_sketch_constant_group_degrades_to_nulls(spark):
+    """Per-group degenerate-domain guard: a group whose value column is
+    constant (hi == lo) must get NULL estimates with exact counts, WITHOUT
+    disturbing a live group in the same frame -- the per-group analog of
+    the global sketch's pinned guard."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans.advanced import (
+        grouped_quantile_sketch,
+    )
+
+    rows = [("const", 7.5)] * 10 + [("live", float(v)) for v in range(1, 101)]
+    df = spark.createDataFrame(rows, "g string, v double").repartition(4)
+    got = {r.g: r for r in grouped_quantile_sketch(df, "g", "v").collect()}
+    c = got["const"]
+    assert c.n_total == 10
+    assert c.est_p50 is None and c.est_p90 is None and c.est_p99 is None
+    assert c.n_le_p50 == 10 and c.n_le_p99 == 10
+    lv = got["live"]
+    assert lv.n_total == 100
+    width = (100.0 - 1.0) / 128.0
+    for p, col in [(0.5, "est_p50"), (0.9, "est_p90"), (0.99, "est_p99")]:
+        exact = float(int(p * 100))
+        assert abs(getattr(lv, col) - exact) <= width + 1e-9, (p, col)
