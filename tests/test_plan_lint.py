@@ -64,6 +64,7 @@ _EXECUTES_ON_BUILD = {
     "streaming_throttle_parity",
     "streaming_entity_stats_parity",
     "streaming_pipeline_parity",
+    "streaming_mg_parity",
 }
 
 

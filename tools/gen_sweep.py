@@ -101,9 +101,15 @@ def new_side_lines(base: str, path: str) -> set[int]:
     for m in re.finditer(r"^@@ -\d+(?:,\d+)? \+(\d+)(?:,(\d+))? @@", out, re.M):
         start = int(m.group(1))
         count = int(m.group(2)) if m.group(2) is not None else 1
-        # a pure deletion has count 0; mark the anchor line so a helper
-        # removed from between two entities still registers as a change
-        lines.update(range(start, start + max(count, 1)))
+        if count == 0:
+            # pure deletion: the new-side anchor is the line *before* the
+            # removed span, so the removed code sat between `start` and
+            # `start + 1`; taint both so a deletion inside entity A whose
+            # anchor falls on A's last line (or between two entities)
+            # attributes to the right neighbour in both directions
+            lines.update({ln for ln in (start, start + 1) if ln >= 1})
+        else:
+            lines.update(range(start, start + count))
     return lines
 
 
@@ -273,7 +279,12 @@ def compute_tainted(
                 _, src, orig = bind
                 if is_tainted(src, orig):
                     tloc.add(local)
-            new = set(cur)
+            # seed import-binding entities themselves: a module that
+            # re-exports a tainted name (e.g. a package __init__ doing
+            # `from .x import foo`) has `foo` as an entity with no refs,
+            # so the ref fixpoint alone never taints it and downstream
+            # importers of the re-export would see is_tainted(..)=False
+            new = set(cur) | (tloc & set(info.entities))
             stable = False
             while not stable:
                 stable = True
