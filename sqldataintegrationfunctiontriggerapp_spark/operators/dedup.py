@@ -314,6 +314,47 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     )
 
 
+# `annotate_survivors` broadcast bound: the component table is
+# DATA-DEPENDENT -- one row per document with any near-duplicate, and
+# 20-40% dup fractions are normal on raw web crawls -- so broadcasting
+# it unconditionally OOMs the driver/executors at scale. Below this
+# row count (two-long rows, tens of MB serialized) broadcast is
+# unambiguously safe and skips the corpus-side shuffle; above it the
+# plain shuffled left join is the 100 TB default.
+_SURVIVORS_BROADCAST_MAX_ROWS = 1_000_000
+
+
+def annotate_survivors(
+    docs: DataFrame,
+    comps: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component_id",
+    broadcast_max_rows: int | None = None,
+) -> DataFrame:
+    """Materialize the dedup decision over the FULL corpus: left-join the
+    (node, component) labels from `connected_components` back onto every
+    document and annotate `canonical_id` (the component's min id, or the
+    doc itself when it has no duplicates) and `kept` (whether the row
+    survives). Downstream training reads ``WHERE kept``.
+
+    Auto-routes the join (r10, verdict #2 -- same discipline as
+    `cosine_pairs_above_auto`): one count over the already-materialized
+    (localCheckpointed) label table picks broadcast when comps is small,
+    shuffled left join otherwise. Both branches are bit-identical by
+    construction (same join keys, same projection; test-pinned).
+    ``broadcast_max_rows=0`` forces the shuffled branch."""
+    if broadcast_max_rows is None:
+        broadcast_max_rows = _SURVIVORS_BROADCAST_MAX_ROWS
+    c = comps.select(F.col(id_col), F.col(comp_col).alias("_cid"))
+    if broadcast_max_rows and comps.count() <= broadcast_max_rows:
+        c = F.broadcast(c)
+    return docs.join(c, id_col, "left").select(
+        *[F.col(x) for x in docs.columns],
+        F.coalesce("_cid", id_col).alias("canonical_id"),
+        (F.coalesce("_cid", id_col) == F.col(id_col)).alias("kept"),
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             bits: int = 16) -> DataFrame:
     """SimHash over whitespace tokens with an md5-derived bit source:

@@ -1098,12 +1098,82 @@ def ivf_assign_blas(
     )
 
 
+# Above this list count the pivot-literal probe plan's driver-side
+# compile cost (parsing an n_lists x dim double literal into the
+# expression tree, then codegen) dominates probe wall-time -- measured
+# FIXED ~40 s per call at n_lists=1024 regardless of |Q| (COVERAGE.md
+# ANN-crossover, r09). The broadcast-join variant below keeps per-call
+# cost proportional to |Q| * n_lists ROWS (distributed work), not to
+# the plan-literal size, which is what a standing index turning
+# n_lists up to ~10k needs.
+_PROBE_JOIN_MIN_LISTS = 128
+
+
+def _probe_frame_join(
+    queries: DataFrame,
+    pivots: list[list[float]],
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """`_probe_frame` with the pivots shipped as a broadcast DataFrame
+    instead of a plan literal (r10, verdict #1): the literal path embeds
+    n_lists x dim doubles in the expression tree, so every probe call
+    pays a driver plan-compile that GROWS with n_lists -- the exact knob
+    a standing 100M-vector index must turn up. Here the plan size is
+    O(1): queries crossJoin a broadcast (list_id, pv, pn2) frame
+    (n_lists rows of bounded metadata -- same scale class as the pivot
+    collect itself), d2 is the identical `(qn2 + pn2) - 2*dot` fold
+    arithmetic with the identical Python-float pn2 values, and the
+    n_probe cut is a row_number over (d2, list_id) -- the same
+    (d2, list_id) ascending order `array_sort` applies to the struct
+    array, so list selection and probe_rank are bit-identical to the
+    literal path (test-pinned). The rank window shuffles only
+    (query_id, d2, list_id) triples; qv/qn2 are re-attached by a join
+    against the |Q|-row query frame afterwards."""
+    spark = queries.sparkSession
+    pn2 = [float(sum(x * x for x in p)) for p in pivots]
+    pivot_df = spark.createDataFrame(
+        list(zip(range(len(pivots)), pivots, pn2)),
+        "list_id int, pv array<double>, pn2 double",
+    )
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")
+        )
+        .withColumn("qn2", dot(F.col("qv"), F.col("qv")))
+        .where(F.col("qn2") > 0)
+    )
+    # identical arithmetic to _d2s_to_pivots: (n2 + pn) - (2 * dot)
+    d2 = F.col("qn2") + F.col("pn2") - 2 * dot(F.col("qv"), F.col("pv"))
+    ranked = (
+        q.crossJoin(F.broadcast(pivot_df))
+        .select("query_id", d2.alias("d2"), "list_id")
+        .withColumn(
+            "probe_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy("d2", "list_id")
+            ),
+        )
+        .where(F.col("probe_rank") <= n_probe)
+        .select(
+            "query_id",
+            "list_id",
+            F.col("probe_rank").cast("int").alias("probe_rank"),
+        )
+    )
+    return ranked.join(q, "query_id").select(
+        "query_id", "qv", "qn2", "list_id", "probe_rank"
+    )
+
+
 def _probe_frame(
     queries: DataFrame,
     pivots: list[list[float]],
     n_probe: int,
     id_col: str,
     vec_col: str,
+    via_join: bool | None = None,
 ) -> DataFrame:
     """Each query's n_probe nearest inverted lists as (query_id, qv, qn2,
     list_id, probe_rank) rows -- a pure map over the (small) query set.
@@ -1111,9 +1181,21 @@ def _probe_frame(
     one list-selection expression and can never drift on which lists a
     query probes (the argmin arithmetic is the JVM fold in both paths).
 
+    Auto-routes (r10) between the pivot-literal map below (cheapest at
+    small n_lists: zero shuffle, one codegen'd projection) and
+    `_probe_frame_join` above `_PROBE_JOIN_MIN_LISTS` lists, where the
+    literal's per-call driver plan-compile (~40 s at n_lists=1024)
+    dwarfs the join's tiny rank shuffle. Both branches produce
+    bit-identical rows (test-pinned); `via_join` forces a branch for
+    that pin.
+
     Zero-norm queries are excluded: undefined cosine, and ANSI mode would
     raise DIVIDE_BY_ZERO at scoring time (the corpus side is filtered the
     same way by ivf_assign)."""
+    if via_join is None:
+        via_join = len(pivots) > _PROBE_JOIN_MIN_LISTS
+    if via_join:
+        return _probe_frame_join(queries, pivots, n_probe, id_col, vec_col)
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(vec_col).alias("qv")

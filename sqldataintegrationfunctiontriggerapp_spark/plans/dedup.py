@@ -463,24 +463,19 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the expensive work is the shared _ngram_pairs_stage /
     label-propagation the component query already pays (session-memoized,
-    so in a suite this query adds one left join); the component table holds
-    only docs WITH duplicates -- a small fraction of any real corpus -- so
-    the join back is broadcast-able at 100 TB, and the output is a pure
-    per-row annotation (no shuffle of the corpus itself beyond the join).
+    so in a suite this query adds one left join); the component table
+    holds only docs WITH duplicates -- data-dependent, and real web
+    crawls run 20-40% near-dup fractions pre-dedup, so the join back is
+    SIZE-GATED (r10, verdict #2): `annotate_survivors` counts the
+    already-checkpointed label table and broadcasts only under
+    `_SURVIVORS_BROADCAST_MAX_ROWS`, falling back to a plain shuffled
+    left join at scale (bit-identical across branches, test-pinned).
     The oracle extends dedup_components' recursive-CTE closure with the
     same left join, so the driver hash covers kept/canonical for EVERY
     document, including the untouched majority."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     edges = _ngram_pairs_stage(spark, sf_dir).select("doc_a", "doc_b")
-    comps = D.connected_components(edges).withColumnRenamed(
-        "component_id", "_cid"
-    )
-    return (
-        docs.join(F.broadcast(comps), "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("_cid", "doc_id").alias("canonical_id"),
-            (F.coalesce("_cid", "doc_id") == F.col("doc_id")).alias("kept"),
-            "source",
-        )
+    comps = D.connected_components(edges)
+    return D.annotate_survivors(docs, comps).select(
+        "doc_id", "canonical_id", "kept", "source"
     )

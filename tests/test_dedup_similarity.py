@@ -385,3 +385,33 @@ def test_blas_ivf_assign_matches_jvm_exactly(spark, sf_dir):
         }
         assert a == b
         assert set(a) == ({1, 2} if flag else {2})
+
+
+def test_annotate_survivors_branches_bitwise_identical(spark):
+    """The size-gated survivor join (r10: kills the forced broadcast of
+    the data-dependent component table) must produce identical rows on
+    the broadcast branch and the shuffled-join branch, including docs
+    with no component row (kept=true, canonical=self)."""
+    docs = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(10)], "doc_id long, source string"
+    )
+    comps = spark.createDataFrame(
+        [(1, 1), (4, 1), (7, 7), (9, 7)], "doc_id long, component_id long"
+    ).localCheckpoint()
+    bcast = {
+        (r.doc_id, r.canonical_id, r.kept, r.source)
+        for r in D.annotate_survivors(docs, comps).collect()
+    }
+    shuf = {
+        (r.doc_id, r.canonical_id, r.kept, r.source)
+        for r in D.annotate_survivors(
+            docs, comps, broadcast_max_rows=0
+        ).collect()
+    }
+    assert bcast == shuf
+    assert len(bcast) == 10
+    # survivors: every doc except the non-canonical component members 4, 9
+    kept = {r[0] for r in bcast if r[2]}
+    assert kept == {0, 1, 2, 3, 5, 6, 7, 8}
+    by_id = {r[0]: r[1] for r in bcast}
+    assert by_id[4] == 1 and by_id[9] == 7 and by_id[5] == 5

@@ -155,3 +155,74 @@ def test_kmeans_lloyd_small_corpus_and_stability(spark, sf_dir):
     again = {r.vec_id: r.cluster_id for r in S.kmeans_lloyd(e, k=8, iters=1).collect()}
     assert full == again
     assert len(set(full.values())) > 1  # not a degenerate single cluster
+
+
+def test_probe_frame_join_bitwise_identical_to_literal(spark, sf_dir):
+    """The broadcast-join probe (r10: kills the n_lists-proportional
+    driver plan-compile) must select the same lists in the same probe
+    order with BIT-identical qn2 for every query as the pivot-literal
+    path -- including at a pivot count where ties force the
+    (d2, list_id) secondary order to decide."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 7)
+    pivots = S.ivf_pivots(e, n_lists=32)
+    key = lambda r: (r.query_id, r.probe_rank)  # noqa: E731
+    lit = {
+        key(r): (r.list_id, r.qn2, tuple(r.qv))
+        for r in S._probe_frame(
+            q, pivots, 6, "vec_id", "embedding", via_join=False
+        ).collect()
+    }
+    jn = {
+        key(r): (r.list_id, r.qn2, tuple(r.qv))
+        for r in S._probe_frame(
+            q, pivots, 6, "vec_id", "embedding", via_join=True
+        ).collect()
+    }
+    assert lit == jn
+    assert len(lit) == 7 * 6
+
+    # duplicated pivots: identical d2 -> the list_id tie rule decides;
+    # both branches must agree on the winner
+    dup = pivots[:4] + pivots[:4]
+    lit_t = sorted(
+        (r.query_id, r.probe_rank, r.list_id)
+        for r in S._probe_frame(
+            q, dup, 8, "vec_id", "embedding", via_join=False
+        ).collect()
+    )
+    jn_t = sorted(
+        (r.query_id, r.probe_rank, r.list_id)
+        for r in S._probe_frame(
+            q, dup, 8, "vec_id", "embedding", via_join=True
+        ).collect()
+    )
+    assert lit_t == jn_t
+
+
+def test_ivf_topk_identical_across_probe_routes(spark, sf_dir):
+    """End-to-end: ivf_topk through the join-probe route (pivot count
+    forced over _PROBE_JOIN_MIN_LISTS is impractical at sf0.001, so the
+    route is exercised by monkey-less direct composition) equals the
+    literal route at the registered parameters."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 3)
+    pivots = S.ivf_pivots(e, n_lists=8)
+    assigned = S.ivf_assign(e, pivots)
+
+    def topk(via_join):
+        probes = S._probe_frame(q, pivots, 8, "vec_id", "embedding", via_join)
+        pairs = (
+            assigned.join(F.broadcast(probes), "list_id")
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .select(
+                "query_id", "neighbor_id", "qv", "qn2", "cv", "cn2",
+                "probe_rank",
+            )
+        )
+        return {
+            (r.query_id, r.neighbor_id): r.cos
+            for r in S.score_pairs(pairs).collect()
+        }
+
+    assert topk(False) == topk(True)
