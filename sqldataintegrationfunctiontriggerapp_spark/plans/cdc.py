@@ -522,6 +522,18 @@ def agg_incremental_retract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _latest_per_user(df: DataFrame) -> DataFrame:
+    """Each user's latest (event_type, value) row -- the mutable keyed
+    table both retraction merges maintain aggregates over."""
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc(ts), F.desc("event_id"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("user_id", "event_type", "value")
+    )
+
+
 def incremental_retract_merge(
     ev_base: DataFrame, ev_delta: DataFrame
 ) -> DataFrame:
@@ -529,18 +541,7 @@ def incremental_retract_merge(
     agg_incremental_retract, over any pair of event frames (extracted so
     the zero-count-group drop and the cross-group move -- both unreachable
     or unprovoked at fixture cardinalities -- can be pinned directly)."""
-    ts = F.col("ts").cast("timestamp")
-
-    def latest(df: DataFrame) -> DataFrame:
-        w = Window.partitionBy("user_id").orderBy(
-            F.desc(ts), F.desc("event_id")
-        )
-        return (
-            df.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .select("user_id", "event_type", "value")
-        )
-
+    latest = _latest_per_user
     dec = "decimal(18,6)"
 
     def grouped(df: DataFrame, tag: str) -> DataFrame:
@@ -575,3 +576,158 @@ def incremental_retract_merge(
         n.cast("long").alias("n_users"),
         s.cast("double").alias("sum_value"),
     ).where(F.col("n_users") > 0)
+
+
+def _retract_minmax_parts(ev_base: DataFrame, ev_delta: DataFrame):
+    """Shared stages of the MIN/MAX-capable retraction merge: per-user
+    latest rows each side, the retracted/remaining split of the base, and
+    the per-group partials (count, decimal sum, min, max) for base,
+    retracted, and inserted rows. Returned as a tuple so the merge and the
+    rescan-scope helper (and its test pin) derive from ONE construction."""
+    pre = _latest_per_user(ev_base)
+    delta = _latest_per_user(ev_delta)
+    touched_users = delta.select("user_id")
+    retracted = pre.join(touched_users, "user_id", "semi")
+    remaining = pre.join(touched_users, "user_id", "anti")
+    dec = "decimal(18,6)"
+
+    def grouped(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"{tag}_n"),
+            F.sum(F.col("value").cast(dec)).alias(f"{tag}_sum"),
+            F.min("value").alias(f"{tag}_min"),
+            F.max("value").alias(f"{tag}_max"),
+        )
+
+    return (
+        grouped(pre, "b"),
+        grouped(retracted, "r"),
+        grouped(delta, "i"),
+        remaining,
+    )
+
+
+def retract_rescan_scope(ev_base: DataFrame, ev_delta: DataFrame) -> DataFrame:
+    """The groups whose retraction REQUIRES a rescan: a retracted row
+    achieved the group's standing min or max (r_min == b_min or
+    r_max == b_max -- retracted rows are a subset of the base, so equality
+    is exactly 'the extremum was among the retracted'). Everything else
+    combines incrementally. Exposed so the touched-groups-only shape is
+    directly testable."""
+    base, retract, _, _ = _retract_minmax_parts(ev_base, ev_delta)
+    return (
+        base.join(retract, "event_type")
+        .where(
+            (F.col("r_min") == F.col("b_min"))
+            | (F.col("r_max") == F.col("b_max"))
+        )
+        .select("event_type")
+    )
+
+
+def incremental_retract_minmax_merge(
+    ev_base: DataFrame, ev_delta: DataFrame
+) -> DataFrame:
+    """Retraction-capable IVM INCLUDING min/max (r10, verdict #4) -- the
+    production fallback agg_incremental_retract documents: min/max are not
+    subtractable, so a group that loses its extremum is RESCANNED, but the
+    rescan is scoped to exactly those groups (retract_rescan_scope) --
+    a group whose retracted rows never held the extremum combines
+    incrementally (least/greatest with the insert side), same as the
+    insert-only sibling. The rescan reads the REMAINING base rows (anti
+    join against the delta's users) semi-joined to the flagged groups; on
+    a group-partitioned standing layout that semi join partition-prunes,
+    so a small delta rescans only the few groups it actually dethroned --
+    the standard IVM move (cf. Gupta/Mumick's bounded-rescan treatment of
+    non-distributive aggregates).
+
+    Duplicates make the equality test conservative, never wrong: if
+    another remaining row ties the retracted extremum, the rescan simply
+    rediscovers the same value. COUNT/SUM subtract exactly as in
+    agg_incremental_retract (decimal combine); groups emptied by the
+    retraction drop (n_users = 0), and an all-rows-retracted group's
+    rescan is NULL-min/max, so least/greatest fall through to the insert
+    side alone."""
+    base, retract, insert, remaining = _retract_minmax_parts(
+        ev_base, ev_delta
+    )
+    scope = (
+        base.join(retract, "event_type")
+        .where(
+            (F.col("r_min") == F.col("b_min"))
+            | (F.col("r_max") == F.col("b_max"))
+        )
+        .select("event_type")
+    )
+    rescan = (
+        remaining.join(scope, "event_type", "semi")
+        .groupBy("event_type")
+        .agg(F.min("value").alias("s_min"), F.max("value").alias("s_max"))
+    )
+    merged = (
+        base.join(retract, "event_type", "full_outer")
+        .join(insert, "event_type", "full_outer")
+        .join(rescan, "event_type", "left")
+    )
+    zero = F.lit(0).cast("decimal(28,6)")
+    n = (
+        F.coalesce("b_n", F.lit(0))
+        - F.coalesce("r_n", F.lit(0))
+        + F.coalesce("i_n", F.lit(0))
+    )
+    s = (
+        F.coalesce("b_sum", zero)
+        - F.coalesce("r_sum", zero)
+        + F.coalesce("i_sum", zero)
+    )
+    # NULL semantics make the branches total: a missing side compares to
+    # NULL -> false, so insert-only groups and untouched groups take the
+    # incremental branch, where least/greatest skip the NULL operand.
+    new_min = F.when(
+        F.col("r_min") == F.col("b_min"), F.least("s_min", "i_min")
+    ).otherwise(F.least("b_min", "i_min"))
+    new_max = F.when(
+        F.col("r_max") == F.col("b_max"), F.greatest("s_max", "i_max")
+    ).otherwise(F.greatest("b_max", "i_max"))
+    return merged.select(
+        "event_type",
+        n.cast("long").alias("n_users"),
+        s.cast("double").alias("sum_value"),
+        new_min.alias("min_value"),
+        new_max.alias("max_value"),
+    ).where(F.col("n_users") > 0)
+
+
+@register(
+    "agg_incremental_retract_minmax",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM latest WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def agg_incremental_retract_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """agg_incremental_retract extended with the scoped-rescan min/max --
+    same cutoff split, same mutable keyed table, now maintaining ALL of
+    count/sum/min/max under retraction. THE ORACLE IS THE FULL RECOMPUTE
+    (latest row per user over base+delta, aggregated directly), so the
+    driver hash proves the incremental refresh -- including which groups
+    were rescanned vs combined -- equals recomputing from scratch."""
+    ev = load_table(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    cutoff = F.lit("2024-01-28").cast("timestamp")
+    return incremental_retract_minmax_merge(
+        ev.where(ts < cutoff), ev.where(ts >= cutoff)
+    )

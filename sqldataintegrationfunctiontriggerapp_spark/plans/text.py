@@ -759,11 +759,10 @@ def bpe_vocab_induction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-def _bpe_chain(spark: SparkSession, sf_dir: str):
-    """The shared five-round merge chain: returns (per-round best frames,
-    final segmented word-type frame). Consumed by bpe_vocab_induction (the
-    learned merge table) and bpe_apply_segmentation (the full segmentation
-    the table produces)."""
+def _bpe_word_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The session-memoized word-TYPE table (w, freq, seq): one corpus
+    scan+aggregate, localCheckpointed; every BPE round runs over this,
+    never over documents."""
     from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
         session_stage,
     )
@@ -784,51 +783,122 @@ def _bpe_chain(spark: SparkSession, sf_dir: str):
             .localCheckpoint()
         )
 
-    cur = session_stage(spark, sf_dir, "bpe_word_types", build)
+    return session_stage(spark, sf_dir, "bpe_word_types", build)
+
+
+def _bpe_best(cur: DataFrame) -> DataFrame:
+    """One round's pair count + argmax: adjacent-pair explode over the
+    word-type table, hash aggregate, 1-row TakeOrderedAndProject (count
+    desc then lexicographic -- a total order)."""
+    prs = F.when(
+        F.size("seq") > 1,
+        F.transform(
+            F.sequence(F.lit(1), F.size("seq") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("seq"), i).alias("l"),
+                F.element_at(F.col("seq"), i + F.lit(1)).alias("r"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+    pairs = (
+        cur.select("freq", F.explode(prs).alias("pr"))
+        .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+    return pairs.orderBy(F.desc("cnt"), "l", "r").limit(1)
+
+
+def _bpe_merge(cur: DataFrame, best: DataFrame) -> DataFrame:
+    """Apply one learned merge greedily left-to-right in every word: the
+    aggregate() fold (replace-last when (last==l AND next==r), else
+    append) whose equality to run-parity application is argued in
+    bpe_vocab_induction's docstring."""
+    merged_sym = F.concat("l", "r")
+    new_seq = F.aggregate(
+        "seq",
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("l"))
+            & (x == F.col("r")),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(merged_sym),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    return cur.crossJoin(F.broadcast(best)).select(
+        "w", "freq", new_seq.alias("seq")
+    )
+
+
+def _bpe_round_out(best: DataFrame, rnd: int) -> DataFrame:
+    return best.select(
+        F.lit(rnd).cast("long").alias("merge_round"),
+        F.col("l").alias("left_sym"),
+        F.col("r").alias("right_sym"),
+        F.col("cnt").cast("long").alias("pair_count"),
+    )
+
+
+def _bpe_chain(spark: SparkSession, sf_dir: str):
+    """The shared five-round merge chain: returns (per-round best frames,
+    final segmented word-type frame). Consumed by bpe_vocab_induction (the
+    learned merge table) and bpe_apply_segmentation (the full segmentation
+    the table produces). Fully LAZY -- one plan, 2^R base copies, the
+    deliberate R=5 trade; `bpe_chain_checkpointed` is the linear-in-R
+    production form."""
+    cur = _bpe_word_types(spark, sf_dir)
     outs = []
     for rnd in range(1, _BPE_ROUNDS + 1):
-        prs = F.when(
-            F.size("seq") > 1,
-            F.transform(
-                F.sequence(F.lit(1), F.size("seq") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("seq"), i).alias("l"),
-                    F.element_at(F.col("seq"), i + F.lit(1)).alias("r"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
-        pairs = (
-            cur.select("freq", F.explode(prs).alias("pr"))
-            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
-            .agg(F.sum("freq").alias("cnt"))
-        )
-        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1)
-        outs.append(
-            best.select(
-                F.lit(rnd).cast("long").alias("merge_round"),
-                F.col("l").alias("left_sym"),
-                F.col("r").alias("right_sym"),
-                F.col("cnt").cast("long").alias("pair_count"),
-            )
-        )
-        merged_sym = F.concat("l", "r")
-        new_seq = F.aggregate(
-            "seq",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.col("l"))
-                & (x == F.col("r")),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(merged_sym),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        cur = cur.crossJoin(F.broadcast(best)).select(
-            "w", "freq", new_seq.alias("seq")
-        )
+        best = _bpe_best(cur)
+        outs.append(_bpe_round_out(best, rnd))
+        cur = _bpe_merge(cur, best)
     return outs, cur
+
+
+def bpe_chain_checkpointed(
+    spark: SparkSession, sf_dir: str, rounds: int = _BPE_ROUNDS
+):
+    """The PRODUCTION form of the merge chain (r10, verdict #3): identical
+    per-round arithmetic (the same _bpe_best / _bpe_merge expressions as
+    the lazy chain -- cannot drift), but `best` (1 row) and `cur` (the
+    word-type table) are localCheckpointed EACH round, so the plan tree is
+    LINEAR in the round count instead of 2^R -- the per-iteration lineage
+    truncation PageRank and connected_components already use. Cost: R
+    tiny eager jobs (a pair-count aggregate over word TYPES plus a
+    word-type-table rewrite per round) instead of one fused plan; at real
+    merge counts (R ~ 10^3-10^4) this is the only feasible shape -- the
+    lazy chain's compile alone is exponential. Early-stops when the pair
+    table is exhausted (every word fully merged) rather than running
+    degenerate empty rounds. Returns (merge-table frames, final cur) like
+    _bpe_chain; bit-identical output at equal R (test-pinned, and
+    registered as bpe_vocab_checkpointed under the SAME generated oracle
+    as the lazy chain)."""
+    cur = _bpe_word_types(spark, sf_dir)
+    outs = []
+    for rnd in range(1, rounds + 1):
+        best = _bpe_best(cur).localCheckpoint()
+        if not best.take(1):
+            break  # vocabulary exhausted: no adjacent pair left anywhere
+        outs.append(_bpe_round_out(best, rnd))
+        cur = _bpe_merge(cur, best).localCheckpoint()
+    return outs, cur
+
+
+@register("bpe_vocab_checkpointed", oracle=_bpe_oracle())
+def bpe_vocab_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bpe_vocab_induction through the production chain: per-round
+    localCheckpoint keeps the plan linear in R (measured: see COVERAGE.md
+    r10 BPE R-scaling), at the price of 2R tiny eager jobs during
+    construction -- a _staged query like the streaming parities. Same
+    generated 5-round oracle as the lazy chain, so the driver hash proves
+    checkpointed == lazy == DuckDB on the full learned table."""
+    outs, _ = bpe_chain_checkpointed(spark, sf_dir)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
 
 
 @register(

@@ -449,3 +449,65 @@ def test_grouped_sketch_constant_group_degrades_to_nulls(spark):
     for p, col in [(0.5, "est_p50"), (0.9, "est_p90"), (0.99, "est_p99")]:
         exact = float(int(p * 100))
         assert abs(getattr(lv, col) - exact) <= width + 1e-9, (p, col)
+
+
+def test_retract_minmax_scoped_rescan(spark):
+    """Pins the r10 min/max retraction: (a) the rescan scope contains
+    EXACTLY the groups whose retracted rows held the standing extremum,
+    (b) the merged result -- rescanned and incrementally-combined groups
+    alike -- equals the full recompute, including a duplicate-extremum
+    group where the conservative rescan rediscovers the same value."""
+    from datetime import datetime as DT
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans.cdc import (
+        incremental_retract_minmax_merge,
+        retract_rescan_scope,
+    )
+
+    schema = (
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp"
+    )
+    base = spark.createDataFrame(
+        [
+            # 'click': min 5.0 held by user 10 -> retracting it flags click
+            (1, 10, "click", 5.0, DT(2024, 1, 1)),
+            (2, 20, "click", 10.0, DT(2024, 1, 2)),
+            (3, 21, "click", 8.0, DT(2024, 1, 3)),
+            # 'view': user 31 holds neither min (1.0) nor max (9.0)
+            (4, 30, "view", 1.0, DT(2024, 1, 4)),
+            (5, 31, "view", 5.0, DT(2024, 1, 5)),
+            (6, 32, "view", 9.0, DT(2024, 1, 6)),
+            # 'dup': min 2.0 held TWICE (users 40, 41); retracting one
+            # flags the group and the rescan rediscovers 2.0
+            (7, 40, "dup", 2.0, DT(2024, 1, 7)),
+            (8, 41, "dup", 2.0, DT(2024, 1, 8)),
+            (9, 42, "dup", 6.0, DT(2024, 1, 9)),
+        ],
+        schema,
+    )
+    delta = spark.createDataFrame(
+        [
+            (10, 10, "click", 7.0, DT(2024, 2, 1)),  # dethrones click min
+            (11, 31, "view", 6.0, DT(2024, 2, 2)),   # interior update
+            (12, 40, "dup", 3.0, DT(2024, 2, 3)),    # duplicate extremum
+        ],
+        schema,
+    )
+    scope = {r.event_type for r in retract_rescan_scope(base, delta).collect()}
+    assert scope == {"click", "dup"}  # 'view' combines incrementally
+
+    got = {
+        r.event_type: (r.n_users, r.sum_value, r.min_value, r.max_value)
+        for r in incremental_retract_minmax_merge(base, delta).collect()
+    }
+    direct = {
+        r.event_type: (r.n_users, r.sum_value, r.min_value, r.max_value)
+        for r in incremental_retract_minmax_merge(
+            base.unionAll(delta), base.limit(0)
+        ).collect()
+    }
+    assert got == direct
+    assert got["click"] == (3, 25.0, 7.0, 10.0)  # new min via rescan
+    assert got["view"] == (3, 16.0, 1.0, 9.0)    # extrema survive
+    assert got["dup"] == (3, 11.0, 2.0, 6.0)     # duplicate min survives

@@ -403,3 +403,29 @@ def test_bpe_vocab_induction_matches_python_reference(spark, sf_dir):
                     i += 1
             seqs[w] = out
     assert got == sorted(want)
+
+
+def test_bpe_checkpointed_chain_identical_to_lazy(spark, sf_dir):
+    """The production (per-round localCheckpoint, linear-plan) chain must
+    learn the identical merge table AND produce the identical final
+    segmentation as the fully-lazy 2^R chain at equal R -- the pin that
+    lets production runs at R~10^3 trust the R=5 oracle evidence."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans import text as T
+
+    lazy_outs, lazy_cur = T._bpe_chain(spark, sf_dir)
+    ck_outs, ck_cur = T.bpe_chain_checkpointed(spark, sf_dir)
+
+    def table(outs):
+        rows = []
+        for o in outs:
+            rows += [
+                (r.merge_round, r.left_sym, r.right_sym, r.pair_count)
+                for r in o.collect()
+            ]
+        return sorted(rows)
+
+    assert table(lazy_outs) == table(ck_outs)
+    seg = lambda cur: sorted(  # noqa: E731
+        (r.w, r.freq, tuple(r.seq)) for r in cur.collect()
+    )
+    assert seg(lazy_cur) == seg(ck_cur)
