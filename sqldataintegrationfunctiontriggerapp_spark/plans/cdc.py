@@ -731,3 +731,60 @@ def agg_incremental_retract_minmax(
     return incremental_retract_minmax_merge(
         ev.where(ts < cutoff), ev.where(ts >= cutoff)
     )
+
+
+_AGG_STATE_DEC = "decimal(28,6)"
+
+
+def agg_state_merge(state: DataFrame | None, ev_delta: DataFrame) -> DataFrame:
+    """CHAINABLE IVM refresh (r10, verdict #8): merge a STANDING per-key
+    aggregate TABLE with one micro-batch of events. incremental_agg_merge
+    recomputes the base side's partials from base EVENTS each call --
+    right for a one-shot refresh, but a standing table maintained across
+    micro-batches must merge from its own aggregates, never re-touching
+    historical events. The sum is carried IN DECIMAL in the state schema
+    (the double cast happens once, at read time), so an arbitrary chain
+    of refreshes is exactly associative and equals the full recompute --
+    which is what streaming_ivm_parity's driver hash proves batch by
+    batch. min/max/last_ts combine with null-skipping least/greatest;
+    insert-only by construction (the retraction siblings document and
+    implement the subtractability boundary).
+
+    Scale shape: the delta reduces map-side to one row per key before the
+    merge join; the standing side is |keys| aggregate rows (persisted,
+    bucketable by key so the refresh join co-locates); per batch the join
+    carries |keys| + |batch keys| rows, never |events|."""
+    ts = F.col("ts").cast("timestamp")
+    keys = ["user_id", "event_type"]
+    delta = ev_delta.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("d_n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast(_AGG_STATE_DEC)
+        .alias("d_sum"),
+        F.min("value").alias("d_min"),
+        F.max("value").alias("d_max"),
+        F.max(ts).alias("d_ts"),
+    )
+    if state is None:
+        return delta.select(
+            *keys,
+            F.col("d_n").alias("n_events"),
+            F.col("d_sum").alias("sum_dec"),
+            F.col("d_min").alias("min_value"),
+            F.col("d_max").alias("max_value"),
+            F.col("d_ts").alias("last_ts"),
+        )
+    merged = state.join(delta, on=keys, how="full_outer")
+    zero = F.lit(0).cast(_AGG_STATE_DEC)
+    return merged.select(
+        *keys,
+        (F.coalesce("n_events", F.lit(0)) + F.coalesce("d_n", F.lit(0)))
+        .cast("long")
+        .alias("n_events"),
+        (F.coalesce("sum_dec", zero) + F.coalesce("d_sum", zero))
+        .cast(_AGG_STATE_DEC)
+        .alias("sum_dec"),
+        F.least("min_value", "d_min").alias("min_value"),
+        F.greatest("max_value", "d_max").alias("max_value"),
+        F.greatest("last_ts", "d_ts").alias("last_ts"),
+    )

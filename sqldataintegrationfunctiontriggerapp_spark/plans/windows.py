@@ -729,6 +729,116 @@ def _staged_replay(spark: SparkSession, sf_dir: str, sink: str,
             shutil.rmtree(ckpt_dir, ignore_errors=True)
 
 
+def _staged_foreach_replay(spark: SparkSession, sf_dir: str, batch_fn) -> None:
+    """_staged_replay's foreachBatch sibling: the same staged 2-file
+    time-split source and state-partition conf discipline, but delivered
+    through writeStream.foreachBatch + checkpoint + availableNow -- the
+    DEPLOYED wrapper shape (streaming/pipeline.py foreach_batch: an
+    exception inside the body fails the micro-batch and the checkpoint
+    does not advance), minus the HTTP sink. Used by parity queries whose
+    per-batch work is a driver-orchestrated refresh rather than a
+    streaming operator."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    src_dir, schema = _staged_events_dir(spark, sf_dir)
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(shuffle_conf)
+    ckpt_dir = q = None
+    try:
+        spark.conf.set(
+            shuffle_conf, _os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8")
+        )
+        ckpt_dir = tempfile.mkdtemp(prefix="ivm_ckpt_", dir=_fast_tmp())
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+            .writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, prev_parts)
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        if ckpt_dir is not None:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+@register(
+    "streaming_ivm_parity",
+    oracle="""
+    SELECT user_id, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           MAX(ts) AS last_ts
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+)
+def streaming_ivm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance run INSIDE the deployed
+    foreachBatch delivery path (r10, verdict #8 -- connecting the IVM
+    family to the A25 redelivery wrapper the pipeline parity exercises):
+    the events fixture replays through readStream in 2 time-ordered
+    micro-batches, and each batch refreshes a STANDING per-key aggregate
+    table via agg_state_merge (plans/cdc.py) -- the chainable merge whose
+    base side is the standing table's own aggregates, never historical
+    events. The standing table localCheckpoints per batch (lineage
+    truncation, the per-iteration discipline of PageRank/BPE), exactly
+    how a production run would persist it between triggers.
+
+    THE ORACLE IS THE FULL RECOMPUTE over all events, so the driver hash
+    proves the batch-1 partials + batch-2 refresh chain -- decimal sum
+    combine, null-skipping min/max/last_ts, full-outer key alignment --
+    equals aggregating the union from scratch, byte for byte, THROUGH the
+    deployed wrapper (checkpoint-gated exactly-once refresh per batch:
+    a re-delivered batch would double-count n_events and break the
+    hash).
+
+    Scale shape: per batch, one map-side-reduced delta aggregate joins
+    |keys| standing rows; the standing table is the only state, and it is
+    bucketable by key. Memoized like the other parities (one engine run
+    per session+sf_dir)."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans import cdc
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+
+    def build():
+        holder: dict = {"state": None}
+
+        def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+            holder["state"] = cdc.agg_state_merge(
+                holder["state"], batch_df
+            ).localCheckpoint()
+
+        _staged_foreach_replay(spark, sf_dir, refresh)
+        if holder["state"] is None:
+            raise ValueError("staged replay delivered no micro-batches")
+        return holder["state"]
+
+    standing = session_stage(spark, sf_dir, "ivm_standing_agg", build)
+    return standing.select(
+        "user_id",
+        "event_type",
+        "n_events",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        "min_value",
+        "max_value",
+        "last_ts",
+    )
+
+
 @register(
     "streaming_dedup_parity",
     oracle="""
