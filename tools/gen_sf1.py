@@ -31,7 +31,11 @@ Each replica is written as its own file under <table>.parquet/ (a directory,
 which Spark reads natively) with bounded row groups, so scans start with
 >= 10 splits instead of one giant single-row-group file.
 
-Usage: python tools/gen_sf1.py [dst_dir]   (default /root/repo/.localdata/sf1)
+Usage: python tools/gen_sf1.py [dst_dir] [--replicas N]
+       (defaults /root/repo/.localdata/sf1, 10 replicas; --replicas 100
+       with dst .localdata/sf10 builds the r10 sf10 fixture -- same
+       construction, same linear-scaling guarantees, keys offset by
+       replica*10M so 100 replicas stay far below int64)
 """
 
 from __future__ import annotations
@@ -100,7 +104,13 @@ def _perturb_embeddings(table: pa.Table, r: int) -> pa.Table:
 
 
 def main() -> None:
-    dst = sys.argv[1] if len(sys.argv) > 1 else DST_DEFAULT
+    args = sys.argv[1:]
+    replicas = REPLICAS
+    if "--replicas" in args:
+        i = args.index("--replicas")
+        replicas = int(args[i + 1])
+        del args[i:i + 2]
+    dst = args[0] if args else DST_DEFAULT
     os.makedirs(dst, exist_ok=True)
     for t in FIXED_DIMS:
         src = pq.read_table(f"{SRC}/{t}.parquet")
@@ -110,14 +120,14 @@ def main() -> None:
         src = pq.read_table(f"{SRC}/{t}.parquet")
         out_dir = f"{dst}/{t}.parquet"
         os.makedirs(out_dir, exist_ok=True)
-        for r in range(REPLICAS):
+        for r in range(replicas):
             rep = _offset(src, cols, r)
             if t == "documents":
                 rep = _remap_documents(rep, r)
             elif t == "embeddings":
                 rep = _perturb_embeddings(rep, r)
             pq.write_table(rep, f"{out_dir}/part-{r:02d}.parquet", row_group_size=ROW_GROUP)
-        print(f"{t}: {src.num_rows} -> {src.num_rows * REPLICAS} rows ({REPLICAS} files)")
+        print(f"{t}: {src.num_rows} -> {src.num_rows * replicas} rows ({replicas} files)")
 
 
 if __name__ == "__main__":
