@@ -166,6 +166,12 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return result
 
 
+# stop-shingle broadcast bound for ngram_jaccard_pairs: two-column rows
+# (short string, long); 1M rows is tens of MB serialized -- unambiguously
+# broadcastable. Above it the anti join shuffles (AQE-planned).
+_STOP_SHINGLE_BROADCAST_MAX_ROWS = 1_000_000
+
+
 def ngram_jaccard_pairs(df: DataFrame | None, text_col: str = "text",
                         id_col: str = "doc_id",
                         shingle_n: int = 3, threshold: float = 0.8,
@@ -203,16 +209,28 @@ def ngram_jaccard_pairs(df: DataFrame | None, text_col: str = "text",
             "pass df OR a pre-built shingled table, not both: the shingle "
             "universe must have exactly one source"
         )
-    rare = None
+    rare = stop = None
     try:
         dfreq = shingled.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        # SIZE-GATE the stop-set broadcast (r10, found by the sf10 spot-
+        # bench: the forced hint built a 3.5 GiB broadcast of stop
+        # shingles and OOM'd an 8 GiB driver). The stop set is corpus-
+        # dependent -- bounded only by |shingle occurrences| / cap -- so
+        # the same discipline as annotate_survivors applies: one bounded
+        # count over the persisted aggregate picks broadcast when the set
+        # is actually small (skipping any shuffle of the big shingle
+        # table), shuffled left_anti otherwise -- which is the 100 TB
+        # shape regardless. Results are identical either way (same anti
+        # join semantics).
+        stop = dfreq.where(F.col("_df") > max_shingle_df).persist()
+        stop_side = (
+            F.broadcast(stop)
+            if stop.count() <= _STOP_SHINGLE_BROADCAST_MAX_ROWS
+            else stop
+        )
         # rare feeds sizes + both join sides: persist it, or the dfreq
         # aggregation and anti-join would re-run per consumer
-        rare = shingled.join(
-            F.broadcast(dfreq.where(F.col("_df") > max_shingle_df)),
-            "shingle",
-            "left_anti",
-        ).persist()
+        rare = shingled.join(stop_side, "shingle", "left_anti").persist()
         sizes = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
         ea = rare.select(F.col(id_col).alias("doc_a"), "shingle")
         eb = rare.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -237,6 +255,8 @@ def ngram_jaccard_pairs(df: DataFrame | None, text_col: str = "text",
     finally:
         if own_shingled:
             shingled.unpersist()
+        if stop is not None:
+            stop.unpersist()
         if rare is not None:
             rare.unpersist()
     return result

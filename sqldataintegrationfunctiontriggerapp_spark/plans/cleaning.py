@@ -124,15 +124,19 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: flag training docs sharing any 8-token
     shingle with a held-out benchmark set (here: doc_id % 10 == 0 stands in
-    for the eval corpus). The benchmark side is small by nature, so its
-    shingle postings broadcast: the training corpus is never shuffled, and
-    at 100 TB this stays a map-side join over the scan."""
+    for the eval corpus). A REAL benchmark's shingle postings are small and
+    AQE broadcasts them at runtime, keeping the training corpus unshuffled
+    -- but the join is UN-hinted (r10): the fixture's stand-in is 10% OF
+    THE CORPUS, so a forced broadcast grows linearly with the data (the
+    same OOM shape the sf10 spot-bench caught in the ngram stop set); at
+    scale a corpus-fraction 'benchmark' shuffles on the shingle key
+    instead."""
     sh = word_shingles(load_table(spark, sf_dir, "documents"), n=8)
     corp = sh.where(F.col("doc_id") % 10 != 0)
     bench = sh.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
-    pairs = corp.join(F.broadcast(bench), "shingle").select("doc_id", "bench_id").distinct()
+    pairs = corp.join(bench, "shingle").select("doc_id", "bench_id").distinct()
     return pairs.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_contaminated_sources")
     )
@@ -163,12 +167,17 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 distinctive terms per document by tf/df weighting (reciprocal
     document frequency -- transcendental-free so Spark and DuckDB agree
     bit-for-bit; the ranking is the same as classic tf-idf for a fixed
-    corpus size). Term df rides a broadcast back onto the tf table."""
+    corpus size). The df join back onto the tf table is UN-hinted (r10):
+    df is one row per vocabulary TERM, which grows with the corpus, so a
+    forced broadcast is the same driver-OOM shape the sf10 spot-bench
+    caught in the ngram stop set; AQE broadcasts it at runtime whenever
+    the actual vocabulary is small, and falls back to a keyed shuffle --
+    the 100 TB shape -- when it is not."""
     d = _docs(spark, sf_dir)
     terms = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(F.broadcast(df_), "term").select(
+    scored = tf.join(df_, "term").select(
         "doc_id",
         "term",
         F.col("tf").cast("long").alias("tf"),
