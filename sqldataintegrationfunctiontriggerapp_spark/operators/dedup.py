@@ -108,8 +108,13 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the signature, so shuffle volume is O(n_docs * n_bands), not O(n^2)."""
     a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    # merge hint (r10): the signature table descends from an explode, so
+    # Catalyst's size estimate is stuck at the DOCUMENT table's bytes and
+    # would auto-broadcast a corpus-growing side (the sf10 spot-bench
+    # OOM'd exactly this class in the ngram stage). The equi-join must
+    # shuffle at any real scale; the hint only rules out broadcast.
     return (
-        a.join(b, ["band", "sig"])
+        a.hint("merge").join(b, ["band", "sig"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -123,9 +128,13 @@ def verify_jaccard(candidates: DataFrame, shingled: DataFrame,
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ea = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
     eb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    # merge hints (r10): ea/eb/sizes all descend from the shingle explode,
+    # whose Catalyst size estimate is the pre-explode document bytes -- an
+    # auto-broadcast of a full postings side at scale (the sf10 OOM
+    # class). Keyed shuffles are the 100 TB shape for all three joins.
     inter = (
-        candidates.join(ea, "doc_a")
-        .join(eb, ["doc_b", "shingle"])
+        candidates.join(ea.hint("merge"), "doc_a")
+        .join(eb.hint("merge"), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -135,8 +144,8 @@ def verify_jaccard(candidates: DataFrame, shingled: DataFrame,
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        inter.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -234,8 +243,11 @@ def ngram_jaccard_pairs(df: DataFrame | None, text_col: str = "text",
         sizes = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
         ea = rare.select(F.col(id_col).alias("doc_a"), "shingle")
         eb = rare.select(F.col(id_col).alias("doc_b"), "shingle")
+        # merge hints (r10): same explode-poisoned-estimate class as
+        # verify_jaccard above -- the sf10 spot-bench OOM'd an 8 GiB
+        # driver auto-broadcasting one full shingle side of this join
         inter = (
-            ea.join(eb, "shingle")
+            ea.hint("merge").join(eb, "shingle")
             .where(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -246,8 +258,8 @@ def ngram_jaccard_pairs(df: DataFrame | None, text_col: str = "text",
             F.col("n_a") + F.col("n_b") - F.col("n_inter")
         )
         result = (
-            inter.join(sa, "doc_a")
-            .join(sb, "doc_b")
+            inter.join(sa.hint("merge"), "doc_a")
+            .join(sb.hint("merge"), "doc_b")
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
             .localCheckpoint()

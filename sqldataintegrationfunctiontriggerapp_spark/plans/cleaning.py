@@ -124,19 +124,27 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: flag training docs sharing any 8-token
     shingle with a held-out benchmark set (here: doc_id % 10 == 0 stands in
-    for the eval corpus). A REAL benchmark's shingle postings are small and
-    AQE broadcasts them at runtime, keeping the training corpus unshuffled
-    -- but the join is UN-hinted (r10): the fixture's stand-in is 10% OF
-    THE CORPUS, so a forced broadcast grows linearly with the data (the
-    same OOM shape the sf10 spot-bench caught in the ngram stop set); at
-    scale a corpus-fraction 'benchmark' shuffles on the shingle key
-    instead."""
+    for the eval corpus). The join is merge-hinted (r10): the fixture's
+    stand-in benchmark is 10% OF THE CORPUS, and both sides descend from
+    the shingle explode, whose Catalyst size estimate is stuck at the
+    pre-explode document bytes -- the forced/auto-broadcast OOM class the
+    sf10 spot-bench caught in the ngram stage. A production check against
+    a genuinely tiny benchmark can pass an explicit broadcast instead;
+    the hinted shuffle is the shape that survives a corpus-fraction
+    'benchmark' at 100 TB."""
     sh = word_shingles(load_table(spark, sf_dir, "documents"), n=8)
     corp = sh.where(F.col("doc_id") % 10 != 0)
     bench = sh.where(F.col("doc_id") % 10 == 0).select(
         F.col("doc_id").alias("bench_id"), "shingle"
     )
-    pairs = corp.join(bench, "shingle").select("doc_id", "bench_id").distinct()
+    # merge hint (r10): both sides descend from the shingle explode, so
+    # static size estimates are the pre-explode document bytes -- the
+    # auto-broadcast OOM class the sf10 spot-bench caught
+    pairs = (
+        corp.join(bench.hint("merge"), "shingle")
+        .select("doc_id", "bench_id")
+        .distinct()
+    )
     return pairs.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_contaminated_sources")
     )
@@ -177,7 +185,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     terms = d.select("doc_id", F.explode(TX.tokens("text")).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "term").select(
+    scored = tf.join(df_.hint("merge"), "term").select(
         "doc_id",
         "term",
         F.col("tf").cast("long").alias("tf"),
@@ -229,7 +237,8 @@ def span_dedup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
     dup = F.when(F.col("nd") >= 2, F.lit(1)).otherwise(F.lit(0))
     return (
-        sh.join(c, "shingle")
+        # merge hint (r10): explode-poisoned estimates on both sides
+        sh.join(c.hint("merge"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -279,7 +288,8 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = sh.select(F.col("source").alias("source_a"), "shingle")
     b = sh.select(F.col("source").alias("source_b"), "shingle")
     return (
-        a.join(b, "shingle")
+        # merge hint (r10): explode-poisoned estimates on both sides
+        a.hint("merge").join(b, "shingle")
         .where(F.col("source_a") < F.col("source_b"))
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
@@ -357,9 +367,13 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("tok").alias("v")
     )
     p = (
-        bg.join(c2, "bigram")
+        # merge hints (r10): the docstring's 'no broadcast assumption on
+        # either count table' is now enforced -- bg's explode-poisoned
+        # estimate would otherwise let Catalyst broadcast a corpus-growing
+        # side (c2 = bigram TYPES)
+        bg.join(c2.hint("merge"), "bigram")
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .join(c1, "w1")
+        .join(c1.hint("merge"), "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",

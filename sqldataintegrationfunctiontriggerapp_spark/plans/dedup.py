@@ -389,8 +389,11 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sigs.select(F.col("doc_id").alias("doc_b"), "band",
                      F.col("sig").alias("sig_b"))
     agree = (
-        cands.join(sa, "doc_a")
-        .join(sb, ["doc_b", "band"])
+        # merge hints (r10): sa/sb are per-(doc, band) signature tables --
+        # corpus-growing with explode-descended size estimates (the sf10
+        # auto-broadcast OOM class)
+        cands.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), ["doc_b", "band"])
         .groupBy("doc_a", "doc_b")
         .agg(
             F.sum(F.when(F.col("sig_a") == F.col("sig_b"), 1).otherwise(0))
