@@ -34,6 +34,17 @@ def get_session(
 ) -> SparkSession:
     """Build (or fetch) the engine's SparkSession."""
     cpus = int(DEFAULT_CPUS)
+    # Shuffle-partition override for above-sf1 spot-benches (r10): the
+    # default (= cpus) sizes each reduce partition to fixture scale; at
+    # sf10 a 32-way shuffle holds 100x sf0.1's bytes PER PARTITION and
+    # task-OOMs an 8g heap. AQE coalesces small partitions back down, so
+    # over-partitioning costs little; this is exactly the "size
+    # shuffle.partitions so partitions fit in executor memory at the
+    # target SF" knob a real cluster tunes per job.
+    if shuffle_partitions is None and os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS"
+    ):
+        shuffle_partitions = int(os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"])
     # NOTE: spark.driver.memory is deliberately NOT set by default. On this
     # micro-VM, a LARGE heap (16-48g) made CPU-bound stages 10-50x slower
     # (measured: 32M md5s in 2-3s at the 1g default vs 26-127s with 16g) --
