@@ -108,11 +108,12 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
     the signature, so shuffle volume is O(n_docs * n_bands), not O(n^2)."""
     a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
-    # merge hint (r10): the signature table descends from an explode, so
-    # Catalyst's size estimate is stuck at the DOCUMENT table's bytes and
-    # would auto-broadcast a corpus-growing side (the sf10 spot-bench
-    # OOM'd exactly this class in the ngram stage). The equi-join must
-    # shuffle at any real scale; the hint only rules out broadcast.
+    # merge hint (r10): sigs is typically localCheckpointed by callers,
+    # and a LogicalRDD INHERITS its origin's size estimate (measured:
+    # still 25.1 MiB after checkpointing a 3.5 GiB explode output) -- so
+    # unlike a materialized persist() cache, checkpoint-fed joins cannot
+    # be trusted to auto-size. The self-join must shuffle at scale; the
+    # hint only rules out broadcast.
     return (
         a.hint("merge").join(b, ["band", "sig"])
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -125,13 +126,18 @@ def verify_jaccard(candidates: DataFrame, shingled: DataFrame,
                    threshold: float, id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard on candidate pairs only: intersection via a shingle
     equi-join restricted to candidates, sizes via a per-doc count."""
+    # merge hints (r10): `shingled` arrives either persist()ed (operator
+    # callers) or localCheckpointed (the shared plans stage). A
+    # LogicalRDD INHERITS its origin's size estimate -- measured 25.1 MiB
+    # reported for a 3.5 GiB checkpointed explode output -- so Catalyst
+    # would auto-broadcast a full postings side at scale (the sf10
+    # spot-bench OOM). Hints are the shape that is safe for BOTH input
+    # kinds; the ngram path, whose pair stage owns a persist()ed +
+    # materialized cache (truthful InMemoryRelation stats), auto-sizes
+    # without them.
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ea = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
     eb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
-    # merge hints (r10): ea/eb/sizes all descend from the shingle explode,
-    # whose Catalyst size estimate is the pre-explode document bytes -- an
-    # auto-broadcast of a full postings side at scale (the sf10 OOM
-    # class). Keyed shuffles are the 100 TB shape for all three joins.
     inter = (
         candidates.join(ea.hint("merge"), "doc_a")
         .join(eb.hint("merge"), ["doc_b", "shingle"])
@@ -164,8 +170,12 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     The pair table itself is tiny relative to the corpus (bounded by real
     near-dups plus band collisions), so holding it checkpointed is cheap."""
     # shingled feeds signatures + sizes + both verification sides: cache it
-    # so the explode/tokenize work happens once per run, not four times.
+    # so the explode/tokenize work happens once per run, not four times,
+    # and MATERIALIZE it so every downstream join plans against the
+    # cache's actual size, not the explode child's estimate (r10 -- see
+    # verify_jaccard).
     shingled = word_shingles(df, text_col, shingle_n, id_col).persist()
+    shingled.count()
     try:
         sigs = minhash_signatures(shingled, n_bands, id_col)
         cands = lsh_candidate_pairs(sigs, id_col)
@@ -238,16 +248,21 @@ def ngram_jaccard_pairs(df: DataFrame | None, text_col: str = "text",
             else stop
         )
         # rare feeds sizes + both join sides: persist it, or the dfreq
-        # aggregation and anti-join would re-run per consumer
+        # aggregation and anti-join would re-run per consumer. MATERIALIZE
+        # it before composing the joins (r10): an unmaterialized cache
+        # plans with the explode child's size estimate (pre-explode
+        # document bytes), the mis-estimate that auto-broadcast a 3.5 GiB
+        # postings side and OOM'd the sf10 spot-bench; the materialized
+        # InMemoryRelation carries its ACTUAL size, so Catalyst picks
+        # broadcast at small corpora and SortMergeJoin at scale on its
+        # own (measured both ways) -- truthful stats instead of hints.
         rare = shingled.join(stop_side, "shingle", "left_anti").persist()
+        rare.count()
         sizes = rare.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
         ea = rare.select(F.col(id_col).alias("doc_a"), "shingle")
         eb = rare.select(F.col(id_col).alias("doc_b"), "shingle")
-        # merge hints (r10): same explode-poisoned-estimate class as
-        # verify_jaccard above -- the sf10 spot-bench OOM'd an 8 GiB
-        # driver auto-broadcasting one full shingle side of this join
         inter = (
-            ea.hint("merge").join(eb, "shingle")
+            ea.join(eb, "shingle")
             .where(F.col("doc_a") < F.col("doc_b"))
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -258,8 +273,8 @@ def ngram_jaccard_pairs(df: DataFrame | None, text_col: str = "text",
             F.col("n_a") + F.col("n_b") - F.col("n_inter")
         )
         result = (
-            inter.join(sa.hint("merge"), "doc_a")
-            .join(sb.hint("merge"), "doc_b")
+            inter.join(sa, "doc_a")
+            .join(sb, "doc_b")
             .select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= threshold)
             .localCheckpoint()

@@ -389,9 +389,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = sigs.select(F.col("doc_id").alias("doc_b"), "band",
                      F.col("sig").alias("sig_b"))
     agree = (
-        # merge hints (r10): sa/sb are per-(doc, band) signature tables --
-        # corpus-growing with explode-descended size estimates (the sf10
-        # auto-broadcast OOM class)
+        # merge hints (r10): sa/sb derive from the localCheckpointed
+        # signature stage, and a LogicalRDD inherits its origin's size
+        # estimate (measured 25.1 MiB reported for a 3.5 GiB checkpointed
+        # explode output), so these joins cannot be trusted to auto-size
         cands.join(sa.hint("merge"), "doc_a")
         .join(sb.hint("merge"), ["doc_b", "band"])
         .groupBy("doc_a", "doc_b")
