@@ -788,3 +788,80 @@ def agg_state_merge(state: DataFrame | None, ev_delta: DataFrame) -> DataFrame:
         F.greatest("max_value", "d_max").alias("max_value"),
         F.greatest("last_ts", "d_ts").alias("last_ts"),
     )
+
+
+def ivm_retract_refresh(
+    users: DataFrame | None, aggs: DataFrame | None, ev_delta: DataFrame
+):
+    """CHAINABLE retraction-capable IVM refresh (r10): the streaming form
+    of incremental_retract_merge. Standing state is TWO tables -- the
+    per-user latest row (user_id, event_type, value, ts, event_id) and
+    the per-group aggregate (event_type, n_users, sum_dec in DECIMAL) --
+    and one micro-batch refreshes both: the batch's per-user winners
+    RETRACT the standing rows of exactly the users they replace (a semi
+    join against the batch's keys; the generic winner rule takes the
+    newer of standing-vs-batch by (ts, event_id), so an out-of-order
+    batch cannot regress a key), and the aggregates refresh as
+    base - retract + insert in exact decimal. Returns the refreshed
+    (users, aggs) pair; both are |keys|-bounded, never |events|.
+
+    Hash-equality of the chained result with the full recompute
+    (streaming_ivm_retract_parity's oracle) is the proof that per-batch
+    retraction through the deployed delivery path composes exactly."""
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(F.desc(ts), F.desc("event_id"))
+    cols = ["user_id", "event_type", "value", "ts", "event_id"]
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.select(*cols)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    def grouped(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias(f"{tag}_n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast(_AGG_STATE_DEC)
+            .alias(f"{tag}_sum"),
+        )
+
+    dl = latest(ev_delta)
+    if users is None:
+        first = grouped(dl, "i").select(
+            "event_type",
+            F.col("i_n").alias("n_users"),
+            F.col("i_sum").alias("sum_dec"),
+        )
+        return dl, first
+    keys = dl.select("user_id")
+    touched_old = users.join(keys, "user_id", "semi")
+    # generic winner: newer of (standing row, batch row) per touched user
+    winners = latest(touched_old.unionByName(dl))
+    retract = grouped(touched_old, "r")
+    insert = grouped(winners, "i")
+    zero = F.lit(0).cast(_AGG_STATE_DEC)
+    merged = aggs.join(retract, "event_type", "full_outer").join(
+        insert, "event_type", "full_outer"
+    )
+    new_aggs = merged.select(
+        "event_type",
+        (
+            F.coalesce("n_users", F.lit(0))
+            - F.coalesce("r_n", F.lit(0))
+            + F.coalesce("i_n", F.lit(0))
+        )
+        .cast("long")
+        .alias("n_users"),
+        (
+            F.coalesce("sum_dec", zero)
+            - F.coalesce("r_sum", zero)
+            + F.coalesce("i_sum", zero)
+        )
+        .cast(_AGG_STATE_DEC)
+        .alias("sum_dec"),
+    ).where(F.col("n_users") > 0)
+    new_users = users.join(keys, "user_id", "anti").unionByName(winners)
+    return new_users, new_aggs

@@ -840,6 +840,67 @@ def streaming_ivm_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_ivm_retract_parity",
+    oracle="""
+    WITH latest AS (
+        SELECT user_id, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM latest WHERE rn = 1
+    GROUP BY event_type
+    """,
+)
+def streaming_ivm_retract_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRACTION-capable IVM run INSIDE the deployed foreachBatch path
+    (r10): where streaming_ivm_parity's standing aggregate only ever
+    ABSORBS (insert-only combine), this parity maintains an aggregate
+    over a MUTABLE keyed table -- each micro-batch's per-user winners
+    retract the standing rows they replace, possibly moving a user
+    across groups, and the per-group count/sum refresh as
+    base - retract + insert in exact decimal (cdc.ivm_retract_refresh).
+    The staged 2-batch replay makes batch 2 genuinely upsert users whose
+    state batch 1 established, so the retract path is exercised across
+    the checkpoint boundary, not within one plan.
+
+    THE ORACLE IS THE FULL RECOMPUTE (latest row per user over all
+    events, aggregated), so the hash proves the chained
+    retract-refreshes -- winner selection, cross-group moves, decimal
+    subtraction, zero-count drops -- compose to exactly the from-scratch
+    answer through the deployed delivery path."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans import cdc
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+
+    def build():
+        holder: dict = {"users": None, "aggs": None}
+
+        def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+            users, aggs = cdc.ivm_retract_refresh(
+                holder["users"], holder["aggs"], batch_df
+            )
+            holder["users"] = users.localCheckpoint()
+            holder["aggs"] = aggs.localCheckpoint()
+
+        _staged_foreach_replay(spark, sf_dir, refresh)
+        if holder["aggs"] is None:
+            raise ValueError("staged replay delivered no micro-batches")
+        return holder["aggs"]
+
+    standing = session_stage(spark, sf_dir, "ivm_retract_standing", build)
+    return standing.select(
+        "event_type",
+        "n_users",
+        F.col("sum_dec").cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "streaming_dedup_parity",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events

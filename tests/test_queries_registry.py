@@ -511,3 +511,57 @@ def test_retract_minmax_scoped_rescan(spark):
     assert got["click"] == (3, 25.0, 7.0, 10.0)  # new min via rescan
     assert got["view"] == (3, 16.0, 1.0, 9.0)    # extrema survive
     assert got["dup"] == (3, 11.0, 2.0, 6.0)     # duplicate min survives
+
+
+def test_ivm_retract_refresh_chained_and_out_of_order(spark):
+    """Pins the chainable retraction refresh (r10): (a) chaining two
+    batches equals the one-shot recompute, including a cross-group move
+    and a group emptied to zero; (b) an OUT-OF-ORDER batch (older row for
+    a known user) must not regress the standing winner -- the generic
+    (ts, event_id) winner rule, which the time-split replay never
+    exercises."""
+    from datetime import datetime as DT
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans.cdc import (
+        ivm_retract_refresh,
+    )
+
+    schema = (
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp"
+    )
+    b1 = spark.createDataFrame(
+        [
+            (1, 10, "click", 5.0, DT(2024, 1, 1)),
+            (2, 20, "click", 2.0, DT(2024, 1, 2)),
+            (3, 30, "error", 9.0, DT(2024, 1, 3)),
+        ],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            (4, 10, "view", 4.0, DT(2024, 2, 1)),   # cross-group move
+            (5, 30, "click", 1.0, DT(2024, 2, 2)),  # empties 'error'
+            (6, 20, "click", 99.0, DT(2023, 12, 1)),  # OLDER: must lose
+        ],
+        schema,
+    )
+    users, aggs = ivm_retract_refresh(None, None, b1)
+    users, aggs = (
+        users.localCheckpoint(),
+        aggs.localCheckpoint(),
+    )
+    users, aggs = ivm_retract_refresh(users, aggs, b2)
+    got = {
+        r.event_type: (r.n_users, float(r.sum_dec))
+        for r in aggs.collect()
+    }
+    # recompute: latest per user over b1+b2 -> 10:view/4, 20:click/2
+    # (2024 beats 2023), 30:click/1
+    assert got == {"click": (2, 3.0), "view": (1, 4.0)}
+    standing = {r.user_id: (r.event_type, r.value) for r in users.collect()}
+    assert standing == {
+        10: ("view", 4.0),
+        20: ("click", 2.0),
+        30: ("click", 1.0),
+    }
