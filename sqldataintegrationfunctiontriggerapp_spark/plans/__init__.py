@@ -17,6 +17,7 @@ from sqldataintegrationfunctiontriggerapp_spark.plans import (  # noqa: E402,F40
     layout,
     multimodal,
     relational,
+    retrieval,
     sampling,
     similarity,
     skew,

@@ -1,0 +1,252 @@
+"""Retrieval / association-mining queries over `documents`: BM25 top-k
+document retrieval (the inverted-index ranking an LLM-data pipeline runs
+for benchmark decontamination lookups, seed-document expansion, and RAG
+evaluation corpora) and A-priori frequent term-pair mining (co-occurrence
+statistics for vocabulary curation). Both are pure equi-join / aggregate
+plans with exact DuckDB oracles.
+
+Reference scope note: the reference app (Function1.cs, EntityFunctions.cs)
+only forwards rows; retrieval is part of the mandated analytics surface on
+the `documents` fixture, same as the text/cleaning families.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sqldataintegrationfunctiontriggerapp_spark.functions import text as TX
+from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+from sqldataintegrationfunctiontriggerapp_spark.plans.text import _docs, _TOKS
+
+# BM25 parameters (Robertson-Sparck Jones defaults). Literal doubles are
+# CAST(... AS DOUBLE) in the oracle so DuckDB does not parse them as
+# DECIMAL and drift: both engines then hold the identical binary double.
+_K1 = "2.2"   # k1 + 1 as ONE literal (a computed 1.2+1 could round off)
+_K1_RAW = "1.2"
+_B = "0.75"
+_QUERY_MOD = 97   # doc_id % _QUERY_MOD == 0 -> query document
+_QUERY_PREFIX = 8  # query terms = distinct tokens among the first 8
+_TOPK = 5
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, UNNEST(tk) AS term, len(tk) AS dl
+        FROM toks WHERE doc_id % {_QUERY_MOD} <> 0
+    ),
+    tf AS (
+        SELECT doc_id, dl, term, COUNT(*) AS tf
+        FROM corpus GROUP BY doc_id, dl, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    stats AS (
+        SELECT COUNT(*) AS n_docs,
+               CAST(SUM(CAST(len(tk) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*) AS avgdl
+        FROM toks WHERE doc_id % {_QUERY_MOD} <> 0
+    ),
+    qterms AS (
+        SELECT DISTINCT doc_id AS query_id, UNNEST(tk[1:{_QUERY_PREFIX}]) AS term
+        FROM toks WHERE doc_id % {_QUERY_MOD} = 0
+    ),
+    scored AS (
+        SELECT q.query_id, t.doc_id,
+               CAST(SUM(CAST(
+                   ((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
+                      / (d.df + CAST(0.5 AS DOUBLE)))
+                   * ((t.tf * CAST({_K1} AS DOUBLE))
+                      / (t.tf + CAST({_K1_RAW} AS DOUBLE)
+                           * (CAST(1 AS DOUBLE) - CAST({_B} AS DOUBLE)
+                              + CAST({_B} AS DOUBLE) * t.dl / s.avgdl)))
+               AS DECIMAL(18,6))) AS DOUBLE) AS score
+        FROM qterms q
+        JOIN tf t USING (term)
+        JOIN df d USING (term)
+        CROSS JOIN stats s
+        GROUP BY q.query_id, t.doc_id
+    )
+    SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= {_TOPK}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval: every doc_id % 97 == 0 document is a query
+    (its terms: the distinct tokens among its first 8 tokens), ranked
+    against the rest of the corpus through the standard inverted-index
+    join -- the retrieval shape behind decontamination lookups and
+    seed-document expansion in a training-data pipeline.
+
+    Scoring is BM25 with a RATIONAL idf, (N - df + 0.5)/(df + 0.5), i.e.
+    the argument of the classic log-idf without the log: log is
+    transcendental (Spark and DuckDB libm results may differ in the last
+    ulp, breaking the value hash), and since log is monotone the PER-TERM
+    document ranking is unchanged; multi-term score sums weight high-idf
+    terms more sharply than log-BM25 does -- documented, deterministic,
+    hash-exact. The tf-saturation factor tf*(k1+1)/(tf + k1*(1-b+b*dl/
+    avgdl)) is the standard rational form (k1=1.2, b=0.75); avgdl goes
+    through the DECIMAL accumulator so both engines agree bit-for-bit, and
+    the per-(query,doc) term-score sum is decimal-cast for order
+    independence.
+
+    Plan shape (100 TB): tf is one explode + hash aggregate (the inverted
+    index, term-keyed); df is a second aggregate over tf; the query-term
+    join fans each query term out to its postings -- shuffle keyed by
+    term, merge-hinted because BOTH sides descend from explodes whose
+    Catalyst size estimate is the pre-explode bytes (the sf10
+    auto-broadcast OOM class, COVERAGE r10); the 1-row stats frame is a
+    broadcast crossJoin (allowlisted 1-row BNLJ). Per-query cost scales
+    with posting-list length, never corpus size; top-k is a per-query
+    window over the |queries|x|matched docs| scored table."""
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", TX.tokens("text").alias("tk"))
+    is_query = F.col("doc_id") % _QUERY_MOD == 0
+    corpus = (
+        toks.where(~is_query)
+        .select("doc_id", F.explode("tk").alias("term"), F.size("tk").alias("dl"))
+    )
+    tf = corpus.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = toks.where(~is_query).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum(F.size("tk").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    qterms = (
+        toks.where(is_query)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice("tk", 1, _QUERY_PREFIX)).alias("term"),
+        )
+        .distinct()
+    )
+    k1 = F.lit(float(_K1))
+    k1_raw = F.lit(float(_K1_RAW))
+    b = F.lit(float(_B))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    sat = (F.col("tf") * k1) / (
+        F.col("tf")
+        + k1_raw * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    # merge hints: qterms, tf, and df all descend from token explodes, so
+    # static size estimates are the pre-explode document bytes -- the
+    # auto-broadcast OOM class the sf10 spot-bench caught (COVERAGE r10)
+    scored = (
+        qterms.join(tf.hint("merge"), "term")
+        .join(df_.hint("merge"), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum((idf * sat).cast("decimal(18,6)")).cast("double").alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _TOPK)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
+_MINSUP_NUM = 1  # support threshold as a fraction: sup * DEN >= N * NUM
+_MINSUP_DEN = 2  # (integer compare -- no float-boundary ambiguity)
+
+
+@register(
+    "frequent_term_pairs",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT doc_id, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM baskets),
+    df AS (SELECT term, COUNT(*) AS df FROM baskets GROUP BY term),
+    l1 AS (
+        SELECT b.doc_id, b.term, d.df, n.n_docs
+        FROM baskets b JOIN df d USING (term) CROSS JOIN n
+        WHERE d.df * {_MINSUP_DEN} >= n.n_docs * {_MINSUP_NUM}
+    ),
+    pairs AS (
+        SELECT a.term AS t1, c.term AS t2,
+               CAST(COUNT(*) AS BIGINT) AS support,
+               MAX(a.df) AS df1, MAX(c.df) AS df2, MAX(a.n_docs) AS n_docs
+        FROM l1 a JOIN l1 c ON a.doc_id = c.doc_id AND a.term < c.term
+        GROUP BY a.term, c.term
+    )
+    SELECT t1, t2, support,
+           CAST(support AS DOUBLE) / n_docs AS support_frac,
+           CAST(support * n_docs AS DOUBLE)
+             / CAST(df1 * df2 AS DOUBLE) AS lift
+    FROM pairs
+    WHERE support * {_MINSUP_DEN} >= n_docs * {_MINSUP_NUM}
+    """,
+)
+def frequent_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent 2-itemset mining over per-document token baskets:
+    term pairs co-occurring in >= 50% of documents, with support and lift
+    -- the co-occurrence statistics a vocabulary-curation / topic-drift
+    audit runs over a training corpus.
+
+    The A-priori prune IS the scale story: a pair can only be frequent if
+    both terms are (downward closure), so the per-document self-join runs
+    over baskets already semi-joined to the frequent-singleton table L1 --
+    the candidate-pair explosion is bounded by (frequent terms per doc)^2,
+    not (vocabulary)^2, and the support threshold is the knob that keeps
+    that bounded at 100 TB (a production run adds a per-basket top-N cap
+    for adversarially long documents; the fixture's baskets are ~23
+    tokens, so the uncapped form is the honest registered shape).
+
+    Support compares are integral (sup*2 >= N) -- no float-boundary
+    ambiguity between engines; lift = sup*N/(df1*df2) is a single double
+    division of exact bigint products (magnitudes ~1e7 at sf1 -- far
+    inside both engines' exact-int range). Plan: one distinct (doc,term)
+    aggregate, one df aggregate, the L1 semi-join (merge-hinted:
+    explode-descended sides), a doc_id-keyed self-equi-join, and one pair
+    aggregate. The 1-row corpus-size frame is a broadcast crossJoin
+    (allowlisted 1-row BNLJ)."""
+    d = _docs(spark, sf_dir)
+    baskets = d.select("doc_id", F.explode(TX.tokens("text")).alias("term")).distinct()
+    n = baskets.agg(F.count_distinct("doc_id").alias("n_docs"))
+    df_ = baskets.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    l1 = (
+        baskets.join(df_.hint("merge"), "term")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") * _MINSUP_DEN >= F.col("n_docs") * _MINSUP_NUM)
+    )
+    a = l1.select(
+        "doc_id",
+        F.col("term").alias("t1"),
+        F.col("df").alias("df1"),
+        "n_docs",
+    )
+    c = l1.select("doc_id", F.col("term").alias("t2"), F.col("df").alias("df2"))
+    pairs = (
+        a.join(c.hint("merge"), ["doc_id"])
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.max("df1").alias("df1"),
+            F.max("df2").alias("df2"),
+            F.max("n_docs").alias("n_docs"),
+        )
+    )
+    return pairs.where(
+        F.col("support") * _MINSUP_DEN >= F.col("n_docs") * _MINSUP_NUM
+    ).select(
+        "t1",
+        "t2",
+        "support",
+        (F.col("support").cast("double") / F.col("n_docs")).alias("support_frac"),
+        (
+            (F.col("support") * F.col("n_docs")).cast("double")
+            / (F.col("df1") * F.col("df2")).cast("double")
+        ).alias("lift"),
+    )

@@ -43,6 +43,8 @@ _BNLJ_ALLOWED = {
     "zorder_layout":             "1-row: global min/max quantization bounds",
     "bpe_vocab_induction":       "1-row x5: per-round argmax merge pair",
     "bpe_apply_segmentation":    "1-row x5: per-round argmax merge pair",
+    "bm25_topk":                 "1-row: corpus size + avgdl normalizer",
+    "frequent_term_pairs":       "1-row: corpus-size support threshold",
 }
 
 

@@ -489,3 +489,24 @@ def test_bucketed_colocated_join_is_shuffle_free(spark, sf_dir):
     # exactly one exchange anywhere -- the partial/final aggregate above
     assert plan.count("Exchange hashpartitioning") == 1
     assert "SelectedBucketsCount" in plan  # both scans read bucket layout
+
+
+def test_bm25_is_postings_join_never_pairwise(spark, sf_dir):
+    # the query-term fan-out must be term-keyed equi-joins over the
+    # inverted index; the only nested-loop is the 1-row stats broadcast
+    plan = plan_of(spark, sf_dir, "bm25_topk")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    # explode-descended sides are merge-hinted (size-estimate poisoning)
+    assert "SortMergeJoin" in plan
+
+
+def test_frequent_pairs_self_join_is_doc_keyed(spark, sf_dir):
+    # A-priori candidate generation: the basket self-join must stay an
+    # equi-join on doc_id (the t1 < t2 triangle filter rides post-join).
+    # The 1-row corpus-size nested-loop appears twice because BOTH sides
+    # of the self-join embed the L1 subtree (exchange reuse shares the
+    # underlying scan/aggregate work at runtime)
+    plan = plan_of(spark, sf_dir, "frequent_term_pairs")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
