@@ -66,6 +66,25 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     )
 
 
+def word_shingles_pos(df, text_col: str = "text", n: int = 3,
+                      id_col: str = "doc_id"):
+    """(id, pos, shingle): ALL word n-grams per document with their 0-based
+    token start position -- the positional posting table substring-level
+    dedup needs (word_shingles above deduplicates per doc and drops
+    position, which suffices for set-similarity but cannot express
+    aligned-run semantics). Same repartition-before-explode discipline."""
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    toks = tokens(text_col)
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return (
+        df.where(F.size(toks) >= n)
+        .select(id_col, F.posexplode(shingles).alias("pos", "shingle"))
+    )
+
+
 def minhash_signatures(shingled: DataFrame, n_bands: int = 8,
                        id_col: str = "doc_id",
                        rows_per_band: int = 2) -> DataFrame:

@@ -1493,3 +1493,60 @@ def quantile_refine(df: DataFrame, value_col: str) -> DataFrame:
         F.col("n_le").cast("long").alias("n_le"),
         "bound_width",
     )
+
+
+@register(
+    "hll_shard_merge",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(DISTINCT user_id % 16) AS BIGINT) AS n_shards,
+           TRUE AS merge_equals_global,
+           TRUE AS within_tol
+    FROM events
+    """,
+)
+def hll_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability contract for Datasketches HLL (hll_sketch_agg /
+    hll_union_agg): per-shard sketches built independently (16 shards by
+    user_id % 16 -- in production, one sketch per partition/day/source
+    file) and union-merged MUST estimate exactly what one global sketch
+    over all rows estimates, because HLL registers are maxima of the same
+    per-value hashes and sharding merely partitions the value set. That
+    identity is THE property that lets 1000 executors sketch 100 TB
+    locally and combine k fixed-size buffers at the driver instead of
+    shuffling distinct keys; this query hashes it as a boolean beside the
+    approx_count_distinct-style accuracy contract (estimate within 5% of
+    exact -- lgConfigK=12 gives ~1.6% rsd, so 3x slack).
+
+    Same distinct-rewrite trap as approx_count_distinct: the input is
+    deduped FIRST (HLL over a set equals HLL over the multiset, and
+    count(*) of the deduped rows is the exact side), so sketch buffers
+    exist once per shard, never once per (shard, user). The final 1-row x
+    1-row combine is an allowlisted broadcast nested loop."""
+    ev = load_table(spark, sf_dir, "events")
+    dist = ev.select("user_id").distinct()
+    global_1 = dist.agg(
+        F.count(F.lit(1)).alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est_global"),
+    )
+    merged_1 = (
+        dist.groupBy((F.col("user_id") % 16).alias("shard"))
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_merged"),
+        )
+    )
+    return global_1.crossJoin(F.broadcast(merged_1)).select(
+        "exact_users",
+        "n_shards",
+        (F.col("est_merged") == F.col("est_global")).alias("merge_equals_global"),
+        (
+            F.abs(
+                F.col("est_merged").cast("double")
+                / F.col("exact_users").cast("double")
+                - 1.0
+            )
+            <= 0.05
+        ).alias("within_tol"),
+    )

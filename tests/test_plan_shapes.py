@@ -510,3 +510,22 @@ def test_frequent_pairs_self_join_is_doc_keyed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "frequent_term_pairs")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 2
+
+
+def test_crossdoc_span_runs_is_postings_join(spark, sf_dir):
+    # substring-level dedup must be the positional-postings equi-join +
+    # diagonal-window shape, never pairwise document comparison
+    plan = plan_of(spark, sf_dir, "crossdoc_span_runs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan  # merge-hinted explode-descended sides
+    assert "Window" in plan
+
+
+def test_hll_shard_merge_dedupes_before_sketching(spark, sf_dir):
+    # the distinct-rewrite trap (see approx_count_distinct): sketch
+    # buffers must exist once per shard, never once per (shard, user) --
+    # deduping first means no Expand/per-value partial sketch stage
+    plan = plan_of(spark, sf_dir, "hll_shard_merge")
+    assert "Expand" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1
