@@ -70,6 +70,7 @@ _EXECUTES_ON_BUILD = {
     "streaming_mg_parity",
     "streaming_ivm_parity",
     "streaming_ivm_retract_parity",
+    "streaming_scd2_parity",
     # r10: the production BPE chain localCheckpoints best+cur per round
     # during construction (2R tiny eager jobs); the returned union of
     # checkpointed 1-row frames is the only lintable remainder
