@@ -1530,11 +1530,35 @@ def kmeans_lloyd(
     fixed small constant: this is the "few Lloyd rounds on a deterministic
     seed" curation recipe, not an until-convergence fit (which would be
     data-dependent and oracle-hostile)."""
-    cents = ivf_pivots(corpus, k, id_col, vec_col)
+    cents = kmeans_fit(corpus, k, iters, id_col, vec_col)
     if not cents:
         return corpus.select(
             F.col(id_col), F.lit(0).cast("int").alias("cluster_id")
         ).where(F.lit(False))
+    final = ivf_assign(corpus, cents, id_col, vec_col,
+                       include_zero_norm=True)
+    return final.select(
+        F.col("neighbor_id").alias(id_col),
+        F.col("list_id").alias("cluster_id"),
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The fit half of kmeans_lloyd, extracted (r10) so product
+    quantization can train one codebook per subspace: returns the
+    centroids after `iters` assign+update rounds from the deterministic
+    md5-ordered seed (empty list for an empty corpus). kmeans_lloyd is
+    exactly kmeans_fit + one final assignment map, so the two can never
+    drift."""
+    cents = ivf_pivots(corpus, k, id_col, vec_col)
+    if not cents:
+        return []
     # a corpus smaller than k seeds fewer centroids (the pivot LIMIT under-
     # fills); iterate over what exists -- the oracle's LIMIT k does the same
     k = len(cents)
@@ -1559,9 +1583,98 @@ def kmeans_lloyd(
         for r in mean_rows:
             means.setdefault(r.list_id, [0.0] * dim)[r.dim] = r.mu
         cents = [means.get(c, cents[c]) for c in range(k)]
-    final = ivf_assign(corpus, cents, id_col, vec_col,
-                       include_zero_norm=True)
-    return final.select(
-        F.col("neighbor_id").alias(id_col),
-        F.col("list_id").alias("cluster_id"),
-    )
+    return cents
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Product-quantization codebook training (Jegou et al., "Product
+    Quantization for Nearest Neighbor Search"): split the vector into m
+    contiguous subspaces of dim/m dimensions and fit an independent
+    k-centroid codebook per subspace with the SAME deterministic Lloyd
+    recipe as kmeans_fit (md5-ordered seed, decimal-exact mean updates)
+    -- so every codebook is exactly SQL-mirrorable. Returns
+    [m][k][dim/m] floats: m*k*(dim/m) = k*dim doubles of bounded driver
+    metadata, the same contract as ivf_pivots.
+
+    At 100 TB this is the memory story for a standing ANN index: codes
+    are m bytes per vector (k<=256) against 4*dim bytes of float32 --
+    a 64x compression at m=4, dim=64 -- and ADC scoring reads only codes
+    plus a k*m lookup structure.
+
+    FUSED fit (3 Spark jobs total instead of 3*m): the md5-ordered pivot
+    sample is subspace-independent, so ONE full-vector collect seeds every
+    codebook by slicing driver-side; each Lloyd round then computes ALL
+    m*k*(dim/m) means in one job -- per row, m argmin codes + an explode
+    to (subspace, cid, dim, x), one hash aggregate keyed by m*k*(dim/m)
+    groups. Per-group decimal sums are order-independent, so the fused
+    means are bit-identical to m independent per-subspace fits (the
+    oracle unrolls the per-subspace form; test-pinned)."""
+    w = dim // m
+    pivots = ivf_pivots(corpus, k, id_col, vec_col)
+    if not pivots:
+        return []
+    k = len(pivots)
+    books = [[p[s * w:(s + 1) * w] for p in pivots] for s in range(m)]
+    v = _as_double(vec_col)
+    for _ in range(iters):
+        subs = []
+        for s, book in enumerate(books):
+            sub = F.slice(v, s * w + 1, w)
+            d2s = _d2s_to_pivots(book, sub, dot(sub, sub))
+            code = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+            subs.append(F.struct(F.lit(s).alias("s"), code.alias("cid"),
+                                 sub.alias("sv")))
+        mean_rows = (
+            corpus.select(F.explode(F.array(*subs)).alias("e"))
+            .select("e.s", "e.cid", F.posexplode("e.sv").alias("dim", "x"))
+            .groupBy("s", "cid", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mu")
+            )
+            .collect()  # bounded: at most m*k*(dim/m) = k*dim rows
+        )
+        means: dict[tuple[int, int], list[float]] = {}
+        for r in mean_rows:
+            means.setdefault((r.s, r.cid), [0.0] * w)[r.dim] = r.mu
+        books = [
+            [means.get((s, c), books[s][c]) for c in range(k)]
+            for s in range(m)
+        ]
+    return books
+
+
+def pq_codes(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its per-subspace nearest-codeword ids: one
+    pure map (m argmin expressions against codebook literals -- the
+    ivf_assign argmin per subspace, zero-norm included: PQ is Euclidean).
+    Returns (id, code_0..code_{{m-1}}); no shuffle, scan-speed."""
+    m = len(books)
+    w = len(books[0][0])
+    v = _as_double(vec_col)
+    cols = [F.col(id_col)]
+    for s, book in enumerate(books):
+        sub = F.slice(v, s * w + 1, w)
+        n2 = dot(sub, sub)
+        d2s = _d2s_to_pivots(book, sub, n2)
+        cols.append(
+            (F.array_position(d2s, F.array_min(d2s)) - 1)
+            .cast("int")
+            .alias(f"code_{s}")
+        )
+    return corpus.select(*cols)

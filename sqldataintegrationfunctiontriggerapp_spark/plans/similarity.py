@@ -577,7 +577,7 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 # per-dimension DECIMAL(18,6) average, empty clusters carry the previous
 # centroid forward via COALESCE.
 
-def _km_assign_sql(cents_cte: str) -> str:
+def _km_assign_sql(cents_cte: str, corpus_cte: str = "corpus") -> str:
     return f"""
         SELECT vec_id, cid FROM (
             SELECT e.vec_id, c.cid,
@@ -586,25 +586,31 @@ def _km_assign_sql(cents_cte: str) -> str:
                                 + list_dot_product(c.cv, c.cv)
                                 - 2 * list_dot_product(e.v, c.cv),
                                 c.cid) AS rn
-            FROM corpus e CROSS JOIN {cents_cte} c
+            FROM {corpus_cte} e CROSS JOIN {cents_cte} c
         ) WHERE rn = 1
     """
 
 
-def _km_update_sql(t: int, prev_a: str, prev_c: str, dim: int = 64) -> str:
+def _km_update_sql(t: int, prev_a: str, prev_c: str, dim: int = 64,
+                   corpus_cte: str = "corpus", sfx: str = "") -> str:
+    # sfx namespaces the emitted m/c CTEs (m{sfx}{t}, c{sfx}{t}) so the PQ
+    # oracle can unroll one independent Lloyd chain per subspace; the
+    # default-"" output is byte-identical to the pre-r10 generator the
+    # kmeans_clusters / dedup_semantic oracles hash against
     return f"""
-    m{t} AS (
+    m{sfx}{t} AS (
         SELECT a.cid, t.i AS dim,
                CAST(SUM(CAST(e.v[t.i] AS DECIMAL(18,6))) AS DOUBLE)
                    / COUNT(*) AS mu
-        FROM {prev_a} a JOIN corpus e USING (vec_id),
+        FROM {prev_a} a JOIN {corpus_cte} e USING (vec_id),
              generate_series(1, {dim}) t(i)
         GROUP BY a.cid, t.i
     ),
-    c{t} AS (
+    c{sfx}{t} AS (
         SELECT p.cid, COALESCE(m.mv, p.cv) AS cv
         FROM {prev_c} p LEFT JOIN (
-            SELECT cid, list(mu ORDER BY dim) AS mv FROM m{t} GROUP BY cid
+            SELECT cid, list(mu ORDER BY dim) AS mv
+            FROM m{sfx}{t} GROUP BY cid
         ) m USING (cid)
     )
     """
@@ -763,4 +769,139 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dups", F.lit(0)).cast("long").alias("n_dups"),
         "max_cos",
         F.col("dup_of").isNotNull().alias("is_dup"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al.): m independent per-subspace codebooks,
+# codes as argmin codeword ids, ADC (asymmetric distance computation) top-k.
+# The oracle unrolls one kmeans CTE chain PER SUBSPACE via the shared
+# generators above (sfx-namespaced), so the full fit+encode+score pipeline
+# is hash-checked end to end.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4        # subspaces
+_PQ_K = 16       # codewords per subspace
+_PQ_W = 16       # dims per subspace (fixture embeddings are 64-dim)
+
+
+def _pq_oracle() -> str:
+    ctes = ["base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            " FROM embeddings)"]
+    for s in range(_PQ_M):
+        lo, hi = s * _PQ_W + 1, (s + 1) * _PQ_W
+        cp = f"corpus{s}"
+        ctes.append(f"{cp} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM base)")
+        ctes.append(f"""c{s}_0 AS (
+            SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                      vec_id) - 1 AS cid,
+                   v AS cv
+            FROM {cp}
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_PQ_K})""")
+        ctes.append(f"a{s}_0 AS ({_km_assign_sql(f'c{s}_0', cp)})")
+        ctes.append(_km_update_sql(1, f"a{s}_0", f"c{s}_0", dim=_PQ_W,
+                                   corpus_cte=cp, sfx=f"{s}_").strip().strip(","))
+        ctes.append(f"a{s}_1 AS ({_km_assign_sql(f'c{s}_1', cp)})")
+        ctes.append(_km_update_sql(2, f"a{s}_1", f"c{s}_1", dim=_PQ_W,
+                                   corpus_cte=cp, sfx=f"{s}_").strip().strip(","))
+        ctes.append(f"a{s}_2 AS ({_km_assign_sql(f'c{s}_2', cp)})")
+    joins = " ".join(
+        f"JOIN a{s}_2 a{s} USING (vec_id) JOIN c{s}_2 b{s} ON a{s}.cid = b{s}.cid"
+        for s in range(_PQ_M)
+    )
+    dist = " + ".join(
+        f"(list_dot_product(q.v[{s * _PQ_W + 1}:{(s + 1) * _PQ_W}],"
+        f" q.v[{s * _PQ_W + 1}:{(s + 1) * _PQ_W}])"
+        f" + list_dot_product(p.cv{s}, p.cv{s})"
+        f" - 2 * list_dot_product(q.v[{s * _PQ_W + 1}:{(s + 1) * _PQ_W}],"
+        f" p.cv{s}))"
+        for s in range(_PQ_M)
+    )
+    cvs = ", ".join(f"b{s}.cv AS cv{s}" for s in range(_PQ_M))
+    return f"""
+    WITH {",".join(ctes)},
+    pqvec AS (
+        SELECT base.vec_id, {cvs}
+        FROM base {joins}
+    ),
+    q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id < 5),
+    scored AS (
+        SELECT q.query_id, p.vec_id AS neighbor_id, {dist} AS adc_d2
+        FROM pqvec p CROSS JOIN q
+        WHERE p.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, adc_d2, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """
+
+
+def _pq_books(spark: SparkSession, sf_dir: str):
+    """Session-memoized PQ codebooks (m=4, k=16, 2 Lloyd rounds per
+    subspace): 4*16*16 doubles of driver metadata, fitted once per
+    session+sf_dir."""
+
+    def build():
+        e = load_table(spark, sf_dir, "embeddings")
+        return S.pq_fit(e, m=_PQ_M, k=_PQ_K, iters=2, dim=_PQ_M * _PQ_W)
+
+    return session_stage(spark, sf_dir, "pq_books_m4_k16", build)
+
+
+@register("ann_pq_adc_topk", oracle=_pq_oracle())
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation: the
+    corpus is stored as m=4 one-byte codes per vector (argmin codeword per
+    16-dim subspace -- a 64x compression of float32 at this geometry, THE
+    memory story for a 100M+-vector standing index), and each query ranks
+    candidates by the sum of exact subspace distances to the RECONSTRUCTED
+    codewords (ADC: query side exact, corpus side quantized). Top-5 per
+    query over the fixed vec_id < 5 query set, ties by neighbor_id.
+
+    Everything is exact-mirrorable because the codebook fit is the same
+    deterministic Lloyd recipe as kmeans_clusters, run independently per
+    subspace (operators/similarity.py pq_fit / kmeans_fit): the oracle
+    unrolls FOUR seeded 2-round kmeans CTE chains, re-encodes every
+    vector, and replays the ADC formula with the identical left-to-right
+    double additions -- the driver hash covers fit + encode + score end
+    to end.
+
+    Plan shape: encoding is one scan-speed map (m argmin expressions over
+    codebook literals, no shuffle, no join); scoring broadcasts the
+    bounded query set against the code table (allowlisted nested-loop,
+    same class as ann_cosine_topk's exact baseline) and reads per pair
+    only m codeword lookups into a k*m literal table. At scale the scan
+    reads |corpus| * m BYTES of codes instead of |corpus| * dim floats;
+    recall improves by pairing with the IVF coarse quantizer (route, then
+    ADC within probed lists) -- the registered query pins the ADC kernel
+    itself against the exact oracle."""
+    books = _pq_books(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    codes = S.pq_codes(e, books)
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        S._as_double("embedding").alias("qv"),
+    )
+    pair = codes.crossJoin(F.broadcast(q)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    dist = None
+    for s, book in enumerate(books):
+        qs = F.slice(F.col("qv"), s * _PQ_W + 1, _PQ_W)
+        cs = F.element_at(F.lit(book), F.col(f"code_{s}") + 1)
+        d = S.dot(qs, qs) + S.dot(cs, cs) - 2 * S.dot(qs, cs)
+        dist = d if dist is None else dist + d
+    scored = pair.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dist.alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "adc_d2", "rnk")
     )

@@ -415,3 +415,41 @@ def test_annotate_survivors_branches_bitwise_identical(spark):
     assert kept == {0, 1, 2, 3, 5, 6, 7, 8}
     by_id = {r[0]: r[1] for r in bcast}
     assert by_id[4] == 1 and by_id[9] == 7 and by_id[5] == 5
+
+
+def test_pq_fused_fit_matches_per_subspace_kmeans_exactly(spark, sf_dir):
+    """pq_fit's fused single-job Lloyd rounds must be bit-identical to m
+    independent per-subspace kmeans_fit runs (the form the ann_pq_adc_topk
+    oracle unrolls): same md5 pivot seed sliced, same decimal-exact means,
+    same argmin tie rule."""
+    from pyspark.sql import functions as F
+
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fused = S.pq_fit(e, m=4, k=16, iters=2, dim=64)
+    for s in range(4):
+        sub = e.select(
+            "vec_id",
+            F.slice(S._as_double("embedding"), s * 16 + 1, 16).alias("subv"),
+        )
+        solo = S.kmeans_fit(sub, k=16, iters=2, vec_col="subv")
+        assert fused[s] == solo, f"subspace {s} codebooks differ"
+
+
+def test_pq_codes_are_bounded_ints(spark, sf_dir):
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_fit(e, m=4, k=16, iters=2, dim=64)
+    codes = S.pq_codes(e, books).collect()
+    assert len(codes) == e.count()
+    for r in codes:
+        for s in range(4):
+            assert 0 <= r[f"code_{s}"] < 16

@@ -46,6 +46,7 @@ _BNLJ_ALLOWED = {
     "bm25_topk":                 "1-row: corpus size + avgdl normalizer",
     "frequent_term_pairs":       "1-row: corpus-size support threshold",
     "hll_shard_merge":           "1-row: global-vs-merged estimate combine",
+    "ann_pq_adc_topk":           "gated: ADC scan, fixed query set broadcast",
 }
 
 

@@ -529,3 +529,18 @@ def test_hll_shard_merge_dedupes_before_sketching(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "hll_shard_merge")
     assert "Expand" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
+
+
+def test_pq_encoding_is_scan_speed_map(spark, sf_dir):
+    # PQ codes must be a pure map (m argmin expressions over codebook
+    # literals): no shuffle, no join anywhere in the encode plan
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_fit(e, m=4, k=16, iters=2, dim=64)
+    plan = S.pq_codes(e, books)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Join" not in plan
