@@ -1654,6 +1654,25 @@ def pq_fit(
     return books
 
 
+def pq_code_cols(
+    books: list[list[list[float]]], v: Column
+) -> list[Column]:
+    """One argmin codeword-id Column per subspace over an array<double>
+    vector expression (aliased code_0..code_{m-1}) -- shared by pq_codes
+    and the IVF+PQ composition so the encode rule can never drift."""
+    w = len(books[0][0])
+    cols = []
+    for s, book in enumerate(books):
+        sub = F.slice(v, s * w + 1, w)
+        d2s = _d2s_to_pivots(book, sub, dot(sub, sub))
+        cols.append(
+            (F.array_position(d2s, F.array_min(d2s)) - 1)
+            .cast("int")
+            .alias(f"code_{s}")
+        )
+    return cols
+
+
 def pq_codes(
     corpus: DataFrame,
     books: list[list[list[float]]],
@@ -1664,17 +1683,6 @@ def pq_codes(
     pure map (m argmin expressions against codebook literals -- the
     ivf_assign argmin per subspace, zero-norm included: PQ is Euclidean).
     Returns (id, code_0..code_{{m-1}}); no shuffle, scan-speed."""
-    m = len(books)
-    w = len(books[0][0])
-    v = _as_double(vec_col)
-    cols = [F.col(id_col)]
-    for s, book in enumerate(books):
-        sub = F.slice(v, s * w + 1, w)
-        n2 = dot(sub, sub)
-        d2s = _d2s_to_pivots(book, sub, n2)
-        cols.append(
-            (F.array_position(d2s, F.array_min(d2s)) - 1)
-            .cast("int")
-            .alias(f"code_{s}")
-        )
-    return corpus.select(*cols)
+    return corpus.select(
+        F.col(id_col), *pq_code_cols(books, _as_double(vec_col))
+    )

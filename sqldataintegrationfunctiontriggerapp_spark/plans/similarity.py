@@ -785,7 +785,10 @@ _PQ_K = 16       # codewords per subspace
 _PQ_W = 16       # dims per subspace (fixture embeddings are 64-dim)
 
 
-def _pq_oracle() -> str:
+def _pq_fit_ctes() -> list[str]:
+    """CTE chain: base -> four sfx-namespaced 2-round kmeans fits ->
+    `pqvec` (every vector's reconstructed codeword per subspace). Shared
+    by the plain-ADC and the IVF+PQ oracles."""
     ctes = ["base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
             " FROM embeddings)"]
     for s in range(_PQ_M):
@@ -810,24 +813,30 @@ def _pq_oracle() -> str:
         f"JOIN a{s}_2 a{s} USING (vec_id) JOIN c{s}_2 b{s} ON a{s}.cid = b{s}.cid"
         for s in range(_PQ_M)
     )
-    dist = " + ".join(
-        f"(list_dot_product(q.v[{s * _PQ_W + 1}:{(s + 1) * _PQ_W}],"
-        f" q.v[{s * _PQ_W + 1}:{(s + 1) * _PQ_W}])"
-        f" + list_dot_product(p.cv{s}, p.cv{s})"
-        f" - 2 * list_dot_product(q.v[{s * _PQ_W + 1}:{(s + 1) * _PQ_W}],"
-        f" p.cv{s}))"
+    cvs = ", ".join(f"b{s}.cv AS cv{s}" for s in range(_PQ_M))
+    ctes.append(f"pqvec AS (SELECT base.vec_id, {cvs} FROM base {joins})")
+    return ctes
+
+
+def _pq_adc_sql(q: str = "q", p: str = "p") -> str:
+    """The ADC distance as left-associated SQL additions -- the identical
+    IEEE order the Spark side uses."""
+    return " + ".join(
+        f"(list_dot_product({q}.v[{s * _PQ_W + 1}:{(s + 1) * _PQ_W}],"
+        f" {q}.v[{s * _PQ_W + 1}:{(s + 1) * _PQ_W}])"
+        f" + list_dot_product({p}.cv{s}, {p}.cv{s})"
+        f" - 2 * list_dot_product({q}.v[{s * _PQ_W + 1}:{(s + 1) * _PQ_W}],"
+        f" {p}.cv{s}))"
         for s in range(_PQ_M)
     )
-    cvs = ", ".join(f"b{s}.cv AS cv{s}" for s in range(_PQ_M))
+
+
+def _pq_oracle() -> str:
     return f"""
-    WITH {",".join(ctes)},
-    pqvec AS (
-        SELECT base.vec_id, {cvs}
-        FROM base {joins}
-    ),
+    WITH {",".join(_pq_fit_ctes())},
     q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id < 5),
     scored AS (
-        SELECT q.query_id, p.vec_id AS neighbor_id, {dist} AS adc_d2
+        SELECT q.query_id, p.vec_id AS neighbor_id, {_pq_adc_sql()} AS adc_d2
         FROM pqvec p CROSS JOIN q
         WHERE p.vec_id <> q.query_id
     )
@@ -888,16 +897,131 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair = codes.crossJoin(F.broadcast(q)).where(
         F.col("vec_id") != F.col("query_id")
     )
+    scored = pair.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _adc_dist_expr(books).alias("adc_d2"),
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", "adc_d2", "rnk")
+    )
+
+
+def _adc_dist_expr(books: list[list[list[float]]]) -> F.Column:
+    """ADC distance Column over (qv, code_0..code_{m-1}) rows: per
+    subspace, exact query slice vs reconstructed codeword
+    (element_at into the k-vector codebook literal), summed left to
+    right -- the identical IEEE addition order _pq_adc_sql emits."""
     dist = None
     for s, book in enumerate(books):
         qs = F.slice(F.col("qv"), s * _PQ_W + 1, _PQ_W)
         cs = F.element_at(F.lit(book), F.col(f"code_{s}") + 1)
         d = S.dot(qs, qs) + S.dot(cs, cs) - 2 * S.dot(qs, cs)
         dist = d if dist is None else dist + d
+    return dist
+
+
+_IVFPQ_N_LISTS = 16
+_IVFPQ_N_PROBE = 4
+
+
+def _ivfpq_oracle() -> str:
+    return f"""
+    WITH {",".join(_pq_fit_ctes())},
+    piv AS (
+        SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) - 1 AS pidx,
+               v AS pv, list_dot_product(v, v) AS pn2
+        FROM base
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT {_IVFPQ_N_LISTS}
+    ),
+    avec AS (
+        -- include_zero_norm assignment: IVF+PQ ranks by L2 ADC, so the
+        -- zero vector is a legitimate corpus point (unlike the cosine
+        -- IVF family's filtered cvec)
+        SELECT vec_id, list_id FROM (
+            SELECT b.vec_id, p.pidx AS list_id,
+                   row_number() OVER (PARTITION BY b.vec_id
+                       ORDER BY list_dot_product(b.v, b.v) + p.pn2
+                                - 2 * list_dot_product(b.v, p.pv),
+                                p.pidx) AS rn
+            FROM base b CROSS JOIN piv p
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS query_id, v FROM base
+        WHERE vec_id < 5 AND list_dot_product(v, v) > 0
+    ),
+    probes AS (
+        SELECT query_id, list_id FROM (
+            SELECT q.query_id, p.pidx AS list_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.v, q.v) + p.pn2
+                                - 2 * list_dot_product(q.v, p.pv),
+                                p.pidx) AS pr
+            FROM q CROSS JOIN piv p
+        ) WHERE pr <= {_IVFPQ_N_PROBE}
+    ),
+    scored AS (
+        SELECT q.query_id, p.vec_id AS neighbor_id, {_pq_adc_sql()} AS adc_d2
+        FROM pqvec p
+        JOIN avec a ON p.vec_id = a.vec_id
+        JOIN probes pr ON a.list_id = pr.list_id
+        JOIN q ON q.query_id = pr.query_id
+        WHERE p.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, adc_d2, CAST(rnk AS INT) AS rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY adc_d2, neighbor_id) AS rnk
+        FROM scored
+    ) WHERE rnk <= 5
+    """
+
+
+@register("ann_ivfpq_topk", oracle=_ivfpq_oracle())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ -- the composition production vector indexes actually ship
+    (FAISS IVFPQ): the coarse quantizer routes each query to its
+    n_probe=4 nearest of 16 inverted lists, and WITHIN the probed lists
+    candidates are ranked by PQ asymmetric distance over m=4 one-byte
+    codes. The scan reduction (IVF) and the memory reduction (PQ)
+    multiply: at 100M vectors a probe touches n_probe/n_lists of the
+    corpus and reads m bytes per candidate, against 4*dim*|corpus| for
+    the flat exact scan.
+
+    Composition is where silent drift hides, so the oracle replays BOTH
+    halves end to end: the four per-subspace kmeans fits (shared
+    _pq_fit_ctes), the md5-seeded pivot sample, the include-zero-norm
+    argmin list assignment (PQ ranks by L2, so the zero vector is a
+    legitimate corpus point -- deliberately unlike the cosine IVF
+    family's filtered index), the per-query probe ranking, and the ADC
+    formula with identical left-associated additions.
+
+    Plan shape: corpus side is ONE scan-speed map emitting (list_id,
+    code_0..3) -- at rest this IS the persisted index layout, bucketable
+    by list_id; the |Q| x n_probe probe frame broadcasts onto it as a
+    list_id equi-join (no nested loop anywhere -- unlike the flat ADC
+    scan, the join IS list-pruned), then one window takes top-5."""
+    books = _pq_books(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    pivots = S.ivf_pivots(e, _IVFPQ_N_LISTS)
+    assigned = S.ivf_assign(e, pivots, include_zero_norm=True)
+    codes = assigned.select(
+        "neighbor_id", "list_id", *S.pq_code_cols(books, F.col("cv"))
+    )
+    probes = S._probe_frame(
+        e.where(F.col("vec_id") < 5), pivots, _IVFPQ_N_PROBE,
+        "vec_id", "embedding",
+    )
+    pair = codes.join(F.broadcast(probes), "list_id").where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
     scored = pair.select(
-        "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        dist.alias("adc_d2"),
+        "query_id", "neighbor_id", _adc_dist_expr(books).alias("adc_d2")
     )
     w = Window.partitionBy("query_id").orderBy("adc_d2", "neighbor_id")
     return (

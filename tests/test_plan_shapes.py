@@ -544,3 +544,13 @@ def test_pq_encoding_is_scan_speed_map(spark, sf_dir):
     plan = S.pq_codes(e, books)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Join" not in plan
+
+
+def test_ivfpq_is_list_pruned_equi_join(spark, sf_dir):
+    # IVF+PQ must join the probe frame onto the code table by list_id --
+    # an equi-join, never the flat ADC scan's nested loop; scoring reads
+    # codes, so no full-vector corpus column survives into the join
+    plan = plan_of(spark, sf_dir, "ann_ivfpq_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin [list_id" in plan
