@@ -379,8 +379,8 @@ def _angular_stage(
     # expression tree (and codegen compile time) O(1) in the pivot count
     # instead of unrolling k fold expressions.
     cos_arr = F.zip_with(
-        F.lit(pivots),
-        F.lit(pn2),
+        const_doubles(pivots),
+        const_doubles(pn2),
         lambda p, pn: F.try_divide(dot(F.col("v"), p), F.sqrt(F.col("n2") * pn)),
     )
     assigned = (
@@ -894,7 +894,7 @@ def srp_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
     """Signed-random-projection bucket id: bit i = (vec . plane_i) >= 0."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        proj = dot(vec_col, F.lit(plane))
+        proj = dot(vec_col, const_doubles(plane))
         bucket = bucket + F.when(proj >= 0, F.lit(2**i).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -966,19 +966,58 @@ def ivf_pivots(
     return [[float(x) for x in r.v] for r in pivot_rows]
 
 
+def const_doubles(values) -> Column:
+    """A (possibly nested) double-array CONSTANT as one expression node:
+    ``F.lit(nested_list)`` expands to a CreateArray tree with one Literal
+    leaf PER ELEMENT, so a k x dim codebook costs ~k*dim analyzer/codegen
+    leaves -- measured seconds of driver plan-compile per distinct
+    codebook (the small-scale sibling of the n_lists=1024 pivot-literal
+    probe compile the r09 verdict flagged). A from_json literal is a
+    single node that ConstantFolding collapses to one folded array Literal
+    at optimization time (verified: the optimized plan contains no
+    from_json), with bit-identical values: json.dumps emits shortest
+    round-trip reprs and Jackson parses to the same binary double."""
+    import json
+
+    t, v = "double", values
+    while isinstance(v, (list, tuple)):
+        t, v = f"array<{t}>", v[0] if v else None
+    return F.from_json(F.lit(json.dumps(values)), t)
+
+
 def _d2s_to_pivots(pivots: list[list[float]], vec: Column, n2: Column) -> Column:
     """Array of squared distances to every pivot: |v|^2 + |p_i|^2 -
     2 v.p_i, computed as ONE zip_with over a single array-of-arrays
-    pivot literal. vs unrolling len(pivots) fold expressions: the
+    pivot constant. vs unrolling len(pivots) fold expressions: the
     expression tree (and its codegen compile time) stays O(1) in the
     pivot count -- measured ~4x faster end-to-end at n_lists=16,
-    identical values (same per-element double ops in the same order)."""
+    identical values (same per-element double ops in the same order).
+    The constants ride const_doubles (r10): one folded node each, not
+    n_lists*dim literal leaves."""
     pn2 = [sum(x * x for x in p) for p in pivots]
     return F.zip_with(
-        F.lit(pivots),
-        F.lit(pn2),
+        const_doubles(pivots),
+        const_doubles(pn2),
         lambda p, pn: n2 + pn - 2 * dot(vec, p),
     )
+
+
+def argmin_index(d2s: Column, k: int) -> Column:
+    """0-based index of the minimum of a k-element double array, ties to
+    the SMALLEST index -- as array_min over (value, index) structs
+    (lexicographic struct ordering IS exactly that tie rule). Replaces
+    ``array_position(d2s, array_min(d2s)) - 1`` (r10): that form embeds
+    the d2s subtree TWICE, and for the pivot/codebook argmins d2s is a
+    zip_with-of-folds tree over a k x dim constant, so the duplication
+    doubled py4j expression construction and Janino compile per distinct
+    plan -- measured 5.1 s -> 2.6 s on the PQ fit round, bit-identical
+    results (same min, same tie rule)."""
+    structs = F.zip_with(
+        d2s,
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda d, i: F.struct(d.alias("d2"), i.cast("int").alias("i")),
+    )
+    return F.array_min(structs)["i"]
 
 
 def ivf_assign(
@@ -1006,7 +1045,7 @@ def ivf_assign(
 
     def nearest_list(vec: Column, n2: Column) -> Column:
         d2s = _d2s_to_pivots(pivots, vec, n2)
-        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+        return argmin_index(d2s, len(pivots)).cast("int")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(vec_col).alias("cv")
@@ -1629,7 +1668,7 @@ def pq_fit(
         for s, book in enumerate(books):
             sub = F.slice(v, s * w + 1, w)
             d2s = _d2s_to_pivots(book, sub, dot(sub, sub))
-            code = (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
+            code = argmin_index(d2s, len(book)).cast("int")
             subs.append(F.struct(F.lit(s).alias("s"), code.alias("cid"),
                                  sub.alias("sv")))
         mean_rows = (
@@ -1666,9 +1705,7 @@ def pq_code_cols(
         sub = F.slice(v, s * w + 1, w)
         d2s = _d2s_to_pivots(book, sub, dot(sub, sub))
         cols.append(
-            (F.array_position(d2s, F.array_min(d2s)) - 1)
-            .cast("int")
-            .alias(f"code_{s}")
+            argmin_index(d2s, len(book)).cast("int").alias(f"code_{s}")
         )
     return cols
 

@@ -918,7 +918,7 @@ def _adc_dist_expr(books: list[list[list[float]]]) -> F.Column:
     dist = None
     for s, book in enumerate(books):
         qs = F.slice(F.col("qv"), s * _PQ_W + 1, _PQ_W)
-        cs = F.element_at(F.lit(book), F.col(f"code_{s}") + 1)
+        cs = F.element_at(S.const_doubles(book), F.col(f"code_{s}") + 1)
         d = S.dot(qs, qs) + S.dot(cs, cs) - 2 * S.dot(qs, cs)
         dist = d if dist is None else dist + d
     return dist
