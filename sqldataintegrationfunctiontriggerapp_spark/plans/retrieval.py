@@ -44,7 +44,7 @@ _TOPK = 5
         SELECT doc_id, dl, term, COUNT(*) AS tf
         FROM corpus GROUP BY doc_id, dl, term
     ),
-    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    tfd AS (SELECT *, COUNT(*) OVER (PARTITION BY term) AS df FROM tf),
     stats AS (
         SELECT COUNT(*) AS n_docs,
                CAST(SUM(CAST(len(tk) AS DECIMAL(18,6))) AS DOUBLE)
@@ -58,16 +58,15 @@ _TOPK = 5
     scored AS (
         SELECT q.query_id, t.doc_id,
                CAST(SUM(CAST(
-                   ((s.n_docs - d.df + CAST(0.5 AS DOUBLE))
-                      / (d.df + CAST(0.5 AS DOUBLE)))
+                   ((s.n_docs - t.df + CAST(0.5 AS DOUBLE))
+                      / (t.df + CAST(0.5 AS DOUBLE)))
                    * ((t.tf * CAST({_K1} AS DOUBLE))
                       / (t.tf + CAST({_K1_RAW} AS DOUBLE)
                            * (CAST(1 AS DOUBLE) - CAST({_B} AS DOUBLE)
                               + CAST({_B} AS DOUBLE) * t.dl / s.avgdl)))
                AS DECIMAL(18,6))) AS DOUBLE) AS score
         FROM qterms q
-        JOIN tf t USING (term)
-        JOIN df d USING (term)
+        JOIN tfd t USING (term)
         CROSS JOIN stats s
         GROUP BY q.query_id, t.doc_id
     )
@@ -98,14 +97,16 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     independence.
 
     Plan shape (100 TB): tf is one explode + hash aggregate (the inverted
-    index, term-keyed); df is a second aggregate over tf; the query-term
-    join fans each query term out to its postings -- shuffle keyed by
-    term, merge-hinted because BOTH sides descend from explodes whose
-    Catalyst size estimate is the pre-explode bytes (the sf10
-    auto-broadcast OOM class, COVERAGE r10); the 1-row stats frame is a
-    broadcast crossJoin (allowlisted 1-row BNLJ). Per-query cost scales
-    with posting-list length, never corpus size; top-k is a per-query
-    window over the |queries|x|matched docs| scored table."""
+    index, term-keyed); df rides a COUNT window over the SAME term-keyed
+    shuffle the query join needs (a separate df aggregate branch would
+    re-evaluate the tf subtree and add a second sort-merge join); the
+    query-term join fans each query term out to its postings --
+    merge-hinted because both sides descend from explodes whose Catalyst
+    size estimate is the pre-explode bytes (the sf10 auto-broadcast OOM
+    class, COVERAGE r10); the 1-row stats frame is a broadcast crossJoin
+    (allowlisted 1-row BNLJ). Per-query cost scales with posting-list
+    length, never corpus size; top-k is a per-query window over the
+    |queries|x|matched docs| scored table."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", TX.tokens("text").alias("tk"))
     is_query = F.col("doc_id") % _QUERY_MOD == 0
@@ -114,7 +115,13 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode("tk").alias("term"), F.size("tk").alias("dl"))
     )
     tf = corpus.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df folded into a window over the term-shuffled postings (r10): a
+    # separate df aggregate branch re-evaluates the tf subtree and adds a
+    # second term-keyed sort-merge join; COUNT over (PARTITION BY term)
+    # reuses the single shuffle the qterms join needs anyway
+    tfd = tf.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+    )
     stats = toks.where(~is_query).agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
@@ -138,12 +145,11 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tf")
         + k1_raw * (F.lit(1.0) - b + b * F.col("dl") / F.col("avgdl"))
     )
-    # merge hints: qterms, tf, and df all descend from token explodes, so
-    # static size estimates are the pre-explode document bytes -- the
-    # auto-broadcast OOM class the sf10 spot-bench caught (COVERAGE r10)
+    # merge hint: qterms and the postings both descend from token
+    # explodes, so static size estimates are the pre-explode document
+    # bytes -- the auto-broadcast OOM class the sf10 spot-bench caught
     scored = (
-        qterms.join(tf.hint("merge"), "term")
-        .join(df_.hint("merge"), "term")
+        qterms.join(tfd.hint("merge"), "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("query_id", "doc_id")
         .agg(F.sum((idf * sat).cast("decimal(18,6)")).cast("double").alias("score"))
