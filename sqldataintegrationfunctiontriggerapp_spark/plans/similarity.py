@@ -889,7 +889,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself against the exact oracle."""
     books = _pq_books(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
-    codes = S.pq_codes(e, books)
+    codes = S.pq_codes_auto(e, books)
     q = e.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         S._as_double("embedding").alias("qv"),
@@ -1009,10 +1009,20 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _pq_books(spark, sf_dir)
     e = load_table(spark, sf_dir, "embeddings")
     pivots = S.ivf_pivots(e, _IVFPQ_N_LISTS)
-    assigned = S.ivf_assign(e, pivots, include_zero_norm=True)
-    codes = assigned.select(
-        "neighbor_id", "list_id", *S.pq_code_cols(books, F.col("cv"))
-    )
+    # both the list assignment and the encoding are HOF argmin maps --
+    # interpreted per row, so above the BLAS gate both route to the dgemm
+    # kernels (bit-identical by the candidate+exact-rescore contract)
+    if e.count() > S._PQ_BLAS_MIN_ROWS:
+        assigned = S.ivf_assign_blas(e, pivots, include_zero_norm=True)
+        codes = S.pq_codes_blas(
+            assigned, books, id_col="neighbor_id", vec_col="cv",
+            extra_cols=["list_id"],
+        )
+    else:
+        assigned = S.ivf_assign(e, pivots, include_zero_norm=True)
+        codes = assigned.select(
+            "neighbor_id", "list_id", *S.pq_code_cols(books, F.col("cv"))
+        )
     probes = S._probe_frame(
         e.where(F.col("vec_id") < 5), pivots, _IVFPQ_N_PROBE,
         "vec_id", "embedding",
@@ -1098,7 +1108,7 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy("d", "neighbor_id")
 
-    codes = S.pq_codes(e, books)
+    codes = S.pq_codes_auto(e, books)
     approx = (
         codes.crossJoin(F.broadcast(q))
         .where(F.col("vec_id") != F.col("query_id"))

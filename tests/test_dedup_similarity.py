@@ -453,3 +453,37 @@ def test_pq_codes_are_bounded_ints(spark, sf_dir):
     for r in codes:
         for s in range(4):
             assert 0 <= r[f"code_{s}"] < 16
+
+
+def test_pq_codes_blas_matches_jvm_exactly(spark, sf_dir):
+    """The dgemm encode kernel must produce the JVM argmin expression's
+    codes bit for bit (candidate + exact-rescore + lowest-index tie
+    rule), and the forced-blas fit must return the same codebooks as the
+    JVM fit (the decimal mean aggregate never leaves Spark)."""
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    jvm_books = S.pq_fit(e, m=4, k=16, iters=2, dim=64, via_blas=False)
+    blas_books = S.pq_fit(e, m=4, k=16, iters=2, dim=64, via_blas=True)
+    assert jvm_books == blas_books
+    jvm = {tuple(r) for r in S.pq_codes(e, jvm_books).collect()}
+    blas = {tuple(r) for r in S.pq_codes_blas(e, jvm_books).collect()}
+    assert jvm == blas and len(jvm) == e.count()
+
+
+def test_pq_codes_blas_carries_extra_cols(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    books = S.pq_fit(e, m=4, k=16, iters=2, dim=64, via_blas=False)
+    tagged = e.withColumn("tag", F.col("vec_id") * 2)
+    out = S.pq_codes_blas(tagged, books, extra_cols=["tag"]).collect()
+    assert all(r.tag == r.vec_id * 2 for r in out)
