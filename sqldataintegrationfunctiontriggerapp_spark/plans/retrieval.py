@@ -256,3 +256,110 @@ def frequent_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("df1") * F.col("df2")).cast("double")
         ).alias("lift"),
     )
+
+
+@register(
+    "frequent_term_triples",
+    oracle=f"""
+    WITH baskets AS (
+        SELECT DISTINCT doc_id, UNNEST({_TOKS}) AS term FROM documents
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM baskets),
+    df AS (SELECT term, COUNT(*) AS df FROM baskets GROUP BY term),
+    l1 AS (
+        SELECT b.doc_id, b.term, n.n_docs
+        FROM baskets b JOIN df d USING (term) CROSS JOIN n
+        WHERE d.df * {_MINSUP_DEN} >= n.n_docs * {_MINSUP_NUM}
+    ),
+    pairs AS (
+        SELECT a.term AS t1, c.term AS t2,
+               CAST(COUNT(*) AS BIGINT) AS support, MAX(a.n_docs) AS n_docs
+        FROM l1 a JOIN l1 c ON a.doc_id = c.doc_id AND a.term < c.term
+        GROUP BY a.term, c.term
+    ),
+    l2 AS (
+        SELECT t1, t2 FROM pairs
+        WHERE support * {_MINSUP_DEN} >= n_docs * {_MINSUP_NUM}
+    ),
+    cand AS (
+        SELECT e1.t1 AS a, e1.t2 AS b, e2.t2 AS c
+        FROM l2 e1
+        JOIN l2 e2 ON e2.t1 = e1.t2
+        JOIN l2 e3 ON e3.t1 = e1.t1 AND e3.t2 = e2.t2
+    ),
+    sup AS (
+        SELECT c.a AS t1, c.b AS t2, c.c AS t3,
+               CAST(COUNT(*) AS BIGINT) AS support, MAX(x.n_docs) AS n_docs
+        FROM cand c
+        JOIN l1 x ON x.term = c.a
+        JOIN l1 y ON y.doc_id = x.doc_id AND y.term = c.b
+        JOIN l1 z ON z.doc_id = x.doc_id AND z.term = c.c
+        GROUP BY c.a, c.b, c.c
+    )
+    SELECT t1, t2, t3, support,
+           CAST(support AS DOUBLE) / n_docs AS support_frac
+    FROM sup
+    WHERE support * {_MINSUP_DEN} >= n_docs * {_MINSUP_NUM}
+    """,
+)
+def frequent_term_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent 3-itemsets -- the L3 step over frequent_term_pairs'
+    L2 output: candidate triples are TRIANGLES in the frequent-pair graph
+    (every 2-subset of a frequent triple must be frequent, so the
+    candidate join is two equi-joins over the oriented t1<t2<t3 edge
+    list -- the classic distributed candidate generation), then each
+    candidate's true support is counted with a doc-keyed three-way basket
+    join and filtered at the same >=50% threshold.
+
+    Scale shape: the candidate stage runs entirely on AGGREGATED frames
+    (the L2 edge list -- |frequent pairs| rows, tiny next to the corpus);
+    the only corpus-sized work is the verification join, whose fan-out is
+    sum of df over candidate members -- exactly the quantity the L2 prune
+    already bounded. Same integral support compares as the pair query;
+    same honest sf1 behavior (no frequent singletons in the replica-
+    suffixed corpus means L1, and therefore every later level, is
+    empty)."""
+    d = _docs(spark, sf_dir)
+    baskets = d.select("doc_id", F.explode(TX.tokens("text")).alias("term")).distinct()
+    n = baskets.agg(F.count_distinct("doc_id").alias("n_docs"))
+    df_ = baskets.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    l1 = (
+        baskets.join(df_.hint("merge"), "term")
+        .crossJoin(F.broadcast(n))
+        .where(F.col("df") * _MINSUP_DEN >= F.col("n_docs") * _MINSUP_NUM)
+        .select("doc_id", "term", "n_docs")
+    )
+    a = l1.select("doc_id", F.col("term").alias("t1"), "n_docs")
+    c = l1.select("doc_id", F.col("term").alias("t2"))
+    pairs = (
+        a.join(c.hint("merge"), ["doc_id"])
+        .where(F.col("t1") < F.col("t2"))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("support"), F.max("n_docs").alias("n_docs"))
+    )
+    l2 = pairs.where(
+        F.col("support") * _MINSUP_DEN >= F.col("n_docs") * _MINSUP_NUM
+    ).select("t1", "t2")
+    e1 = l2.select(F.col("t1").alias("a"), F.col("t2").alias("b"))
+    e2 = l2.select(F.col("t1").alias("b"), F.col("t2").alias("c"))
+    e3 = l2.select(F.col("t1").alias("a"), F.col("t2").alias("c"))
+    cand = e1.join(e2.hint("merge"), "b").join(e3.hint("merge"), ["a", "c"])
+    x = l1.select("doc_id", F.col("term").alias("a"), "n_docs")
+    y = l1.select("doc_id", F.col("term").alias("b"))
+    z = l1.select("doc_id", F.col("term").alias("c"))
+    sup = (
+        cand.join(x.hint("merge"), "a")
+        .join(y.hint("merge"), ["doc_id", "b"])
+        .join(z.hint("merge"), ["doc_id", "c"])
+        .groupBy("a", "b", "c")
+        .agg(F.count(F.lit(1)).alias("support"), F.max("n_docs").alias("n_docs"))
+    )
+    return sup.where(
+        F.col("support") * _MINSUP_DEN >= F.col("n_docs") * _MINSUP_NUM
+    ).select(
+        F.col("a").alias("t1"),
+        F.col("b").alias("t2"),
+        F.col("c").alias("t3"),
+        "support",
+        (F.col("support").cast("double") / F.col("n_docs")).alias("support_frac"),
+    )

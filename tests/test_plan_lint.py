@@ -45,6 +45,7 @@ _BNLJ_ALLOWED = {
     "bpe_apply_segmentation":    "1-row x5: per-round argmax merge pair",
     "bm25_topk":                 "1-row: corpus size + avgdl normalizer",
     "frequent_term_pairs":       "1-row: corpus-size support threshold",
+    "frequent_term_triples":     "1-row: corpus-size support threshold",
     "hll_shard_merge":           "1-row: global-vs-merged estimate combine",
     "ann_pq_adc_topk":           "gated: ADC scan, fixed query set broadcast",
     "ann_pq_recall":             "gated: ADC + exact scans, query set broadcast",
