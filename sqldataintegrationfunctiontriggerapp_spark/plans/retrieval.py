@@ -304,20 +304,26 @@ def frequent_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def frequent_term_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A-priori frequent 3-itemsets -- the L3 step over frequent_term_pairs'
-    L2 output: candidate triples are TRIANGLES in the frequent-pair graph
-    (every 2-subset of a frequent triple must be frequent, so the
-    candidate join is two equi-joins over the oriented t1<t2<t3 edge
-    list -- the classic distributed candidate generation), then each
-    candidate's true support is counted with a doc-keyed three-way basket
-    join and filtered at the same >=50% threshold.
+    L2 output, counted as a SELF-JOIN of the frequent-pair-per-document
+    incidence: a document supports triple a<b<c iff it holds pairs (a,b)
+    AND (b,c), so the triple-support stream is pd JOIN pd on (doc, middle
+    term), flowing straight into a map-side-combined (a,b,c) aggregate;
+    the >=50% filter then implies every 2-subset is frequent (subset
+    support dominates triple support), so the classic triangle candidate
+    prune is subsumed by the final filter.
 
-    Scale shape: the candidate stage runs entirely on AGGREGATED frames
-    (the L2 edge list -- |frequent pairs| rows, tiny next to the corpus);
-    the only corpus-sized work is the verification join, whose fan-out is
-    sum of df over candidate members -- exactly the quantity the L2 prune
-    already bounded. Same integral support compares as the pair query;
-    same honest sf1 behavior (no frequent singletons in the replica-
-    suffixed corpus means L1, and therefore every later level, is
+    This shape replaced a candidate-triangle x three-way basket join that
+    was CORRECT but OOMed the default 1g suite heap at sf0.1: its 12.7M
+    candidate-x-doc intermediate hit the sort-merge sorter, whose spill-
+    file READBACK allocates a ~1 MB read-ahead buffer per spill segment
+    -- dozens of segments x 32 concurrent tasks exhausted the heap
+    (UnsafeSorterSpillReader OOM). Here both join INPUTS stay at
+    sum-of-L2-supports rows (~1.3M at sf0.1 -- small sorts, no spill
+    storm) and the 12.7M join OUTPUT is never sorted or buffered: it
+    streams into the partial hash aggregate, which collapses to at most
+    |triples| groups map-side. Same integral support compares as the
+    pair query; same honest sf1 behavior (no frequent singletons in the
+    replica-suffixed corpus means L1, and every later level, is
     empty)."""
     d = _docs(spark, sf_dir)
     baskets = d.select("doc_id", F.explode(TX.tokens("text")).alias("term")).distinct()
@@ -331,26 +337,25 @@ def frequent_term_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = l1.select("doc_id", F.col("term").alias("t1"), "n_docs")
     c = l1.select("doc_id", F.col("term").alias("t2"))
-    pairs = (
+    pair_docs = (
         a.join(c.hint("merge"), ["doc_id"])
         .where(F.col("t1") < F.col("t2"))
-        .groupBy("t1", "t2")
-        .agg(F.count(F.lit(1)).alias("support"), F.max("n_docs").alias("n_docs"))
+    )
+    pairs = pair_docs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("support"), F.max("n_docs").alias("n_docs")
     )
     l2 = pairs.where(
         F.col("support") * _MINSUP_DEN >= F.col("n_docs") * _MINSUP_NUM
     ).select("t1", "t2")
-    e1 = l2.select(F.col("t1").alias("a"), F.col("t2").alias("b"))
-    e2 = l2.select(F.col("t1").alias("b"), F.col("t2").alias("c"))
-    e3 = l2.select(F.col("t1").alias("a"), F.col("t2").alias("c"))
-    cand = e1.join(e2.hint("merge"), "b").join(e3.hint("merge"), ["a", "c"])
-    x = l1.select("doc_id", F.col("term").alias("a"), "n_docs")
-    y = l1.select("doc_id", F.col("term").alias("b"))
-    z = l1.select("doc_id", F.col("term").alias("c"))
+    # per-doc incidence of FREQUENT pairs only (sum of L2 supports rows)
+    pd_ = pair_docs.join(l2.hint("merge"), ["t1", "t2"]).select(
+        "doc_id", "t1", "t2", "n_docs"
+    )
+    pd1 = pd_.select("doc_id", F.col("t1").alias("a"), F.col("t2").alias("b"),
+                     "n_docs")
+    pd2 = pd_.select("doc_id", F.col("t1").alias("b"), F.col("t2").alias("c"))
     sup = (
-        cand.join(x.hint("merge"), "a")
-        .join(y.hint("merge"), ["doc_id", "b"])
-        .join(z.hint("merge"), ["doc_id", "c"])
+        pd1.join(pd2.hint("merge"), ["doc_id", "b"])
         .groupBy("a", "b", "c")
         .agg(F.count(F.lit(1)).alias("support"), F.max("n_docs").alias("n_docs"))
     )
