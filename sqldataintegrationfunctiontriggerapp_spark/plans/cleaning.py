@@ -387,3 +387,105 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         davg("p", "mean_p"),
     )
+
+
+_QC_BUCKETS = 256          # hashed-feature dimensionality
+_QC_SCALE = 1 << 20        # fixed-point weight scale (weights in [-2^19, 2^19))
+
+
+def _qc_weights() -> list[int]:
+    """Deterministic md5-derived integer weights, one per feature bucket:
+    int(md5("qw:b")[:5], 16) - 2^19 -- a 20-bit signed fixed-point stand-in
+    for a trained weight vector (same no-RNG seeding discipline as
+    S._hyperplanes). Integer-valued so every per-document sum is EXACT in
+    both engines regardless of fold order."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"qw:{b}".encode()).hexdigest()[:5], 16) - (1 << 19)
+        for b in range(_QC_BUCKETS)
+    ]
+
+
+_QC_BUCKET_SQL = (
+    "((instr('0123456789abcdef', substring(md5(token), 1, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substring(md5(token), 2, 1)) - 1))"
+)
+
+
+def _qc_oracle() -> str:
+    wlit = "[" + ", ".join(str(w) for w in _qc_weights()) + "]"
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               CAST({wlit}[{_QC_BUCKET_SQL} + 1] AS BIGINT) AS wt
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(wt) AS BIGINT) AS wsum,
+           CAST(SUM(wt) AS DOUBLE)
+               / (CAST(COUNT(*) AS DOUBLE) * {float(_QC_SCALE)!r}) AS margin,
+           (SUM(wt) >= 0) AS keep
+    FROM f GROUP BY doc_id
+    """
+
+
+@register("quality_classifier_linear", oracle=_qc_oracle())
+def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style linear quality classifier (Joulin et al. 2016 -- the
+    model class behind CCNet/GPT-3-era quality filtering): each token is
+    hashed into one of 256 feature buckets (first two md5 nibbles -- the
+    hashing trick, so the model is a fixed-size weight vector independent
+    of vocabulary), the document's score is the mean bucket weight, and
+    keep/drop is the sign. The weight vector here is an md5-derived
+    deterministic stand-in (no trained model ships in this container);
+    everything a production deployment would swap in is a 256-number
+    array literal, and everything that stays -- tokenization, feature
+    hashing, the exact-margin arithmetic, the plan shape -- is what this
+    query pins.
+
+    Determinism contract: weights are INTEGER fixed-point (20-bit, scale
+    2^20), so per-document SUMs are exact BIGINTs in both engines --
+    fold-order-independent by construction, no decimal-cast round trip
+    (the trap plans/graph.py documents); the margin divides two
+    identically-constructed doubles once, at the end.
+
+    Scale shape: one explode + element_at into a 256-int literal (single
+    folded constant node, const_doubles discipline) + one hash aggregate
+    -- the exchange carries one row per document; the weight table is
+    model metadata, never data-dependent. At 100 TB this is THE cheap
+    first-pass filter: a scan-speed scorer whose output gates every more
+    expensive stage (dedup, ANN, curation) downstream."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.similarity import (
+        const_doubles,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(TX.tokens("text")).alias("token")
+    )
+    nib = "instr('0123456789abcdef', substring(md5(token), {}, 1)) - 1"
+    bucket = (
+        (F.expr(nib.format(1))) * 16 + F.expr(nib.format(2))
+    ).cast("int")
+    wt = F.element_at(
+        const_doubles([float(w) for w in _qc_weights()]), bucket + 1
+    ).cast("long")
+    agg = tok.select("doc_id", wt.alias("wt")).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum("wt").alias("wsum"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "wsum",
+        (
+            F.col("wsum").cast("double")
+            / (F.col("n_tokens").cast("double") * F.lit(float(_QC_SCALE)))
+        ).alias("margin"),
+        (F.col("wsum") >= 0).alias("keep"),
+    )

@@ -575,3 +575,104 @@ def crossdoc_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_runs"),
         F.sum("run_tokens").alias("sum_run_tokens"),
     )
+
+
+_MH_MERGE_SALTS = 16
+_MH_MERGE_SHARDS = 8
+
+
+@register(
+    "minhash_shard_merge",
+    oracle=f"""
+    WITH ex AS ({_SHINGLED}),
+    salts AS (SELECT CAST(range AS INTEGER) AS salt FROM range({_MH_MERGE_SALTS})),
+    g AS (
+        SELECT salt,
+               MIN(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS sig
+        FROM ex CROSS JOIN salts
+        GROUP BY salt
+    ),
+    s AS (
+        SELECT salt, doc_id % {_MH_MERGE_SHARDS} AS shard,
+               MIN(md5(CAST(salt AS VARCHAR) || '|' || shingle)) AS m
+        FROM ex CROSS JOIN salts
+        GROUP BY salt, shard
+    ),
+    m AS (
+        SELECT salt, MIN(m) AS m, CAST(COUNT(*) AS BIGINT) AS n_shards
+        FROM s GROUP BY salt
+    )
+    SELECT g.salt, g.sig, m.n_shards,
+           (m.m = g.sig) AS merge_equals_global
+    FROM g JOIN m USING (salt)
+    """,
+)
+def minhash_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability contract for MinHash signatures -- the property the
+    MinHash-LSH dedup family's map-side combine silently relies on, pinned
+    the way hll_shard_merge pins HLL: a corpus-level signature (per-salt
+    min of md5(salt || '|' || shingle) over the union of every document's
+    shingles) built from 8 INDEPENDENT per-shard partials (doc_id % 8 --
+    in production, one partial per partition/day/source file) and merged
+    by elementwise min MUST equal the signature built in one global pass,
+    because min is associative-commutative over the same hash stream and
+    sharding merely partitions it. Unlike HLL (whose registers the oracle
+    can only bracket with a tolerance), the md5-min signature is exactly
+    SQL-expressible, so the oracle replays BOTH constructions and the
+    driver hash covers the merged==global identity per salt, not just a
+    boolean summary.
+
+    At 100 TB this identity is what makes corpus sketches free: every
+    executor folds its partition into 16 fixed-size strings (a map-side
+    partial aggregate -- the exchange carries shards x salts rows, never
+    shingles), and cross-datacenter / cross-day signatures combine by the
+    same min. The 16-salt corpus signature is also the input grain for
+    estimating corpus-vs-corpus Jaccard (minhash_jaccard_estimate's
+    per-document logic lifted to whole datasets).
+
+    Plan shape: the shared localCheckpointed shingle stage feeds two wide
+    aggregates (16 min columns each; the sharded one groups by doc_id % 8
+    first, 8 rows, then folds -- the two-level tree IS the merge under
+    test), each stacked to (salt, value) rows and equi-joined on salt:
+    16-row frames, zero skew, no nested loop."""
+    sh = _shingles_stage(spark, sf_dir)
+    mins = [
+        F.min(
+            F.md5(F.concat(F.lit(f"{i}|"), F.col("shingle")))
+        ).alias(f"h{i}")
+        for i in range(_MH_MERGE_SALTS)
+    ]
+    stack_expr = ", ".join(
+        f"{i}, h{i}" for i in range(_MH_MERGE_SALTS)
+    )
+    g = (
+        sh.agg(*mins)
+        .select(
+            F.expr(
+                f"stack({_MH_MERGE_SALTS}, {stack_expr}) AS (salt, sig)"
+            )
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    shard_partials = sh.groupBy(
+        (F.col("doc_id") % _MH_MERGE_SHARDS).alias("shard")
+    ).agg(*mins)
+    merged = (
+        shard_partials.agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            *[F.min(f"h{i}").alias(f"h{i}") for i in range(_MH_MERGE_SALTS)],
+        )
+        .select(
+            "n_shards",
+            F.expr(
+                f"stack({_MH_MERGE_SALTS}, {stack_expr}) AS (salt, m)"
+            ),
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+    )
+    return g.join(merged, "salt").select(
+        "salt",
+        "sig",
+        F.col("n_shards").cast("long").alias("n_shards"),
+        (F.col("m") == F.col("sig")).alias("merge_equals_global"),
+    )
