@@ -676,3 +676,124 @@ def minhash_shard_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shards").cast("long").alias("n_shards"),
         (F.col("m") == F.col("sig")).alias("merge_equals_global"),
     )
+
+
+@register(
+    "crossdoc_span_removal",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, u.p AS pos, u.s AS shingle
+        FROM (
+            SELECT doc_id,
+                   UNNEST([{{'p': i, 's': array_to_string(tk[i:i+{_RUN_K - 1}], ' ')}}
+                           for i in range(1, len(tk) - {_RUN_K - 2})]) AS u
+            FROM t WHERE len(tk) >= {_RUN_K}
+        )
+    ),
+    mpos AS (
+        SELECT DISTINCT b.doc_id AS doc_id, b.pos AS pb
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+    ),
+    cov AS (
+        SELECT DISTINCT doc_id, pb + i.o AS cpos
+        FROM mpos, UNNEST(range({_RUN_K})) AS i(o)
+    ),
+    tok AS (
+        SELECT doc_id, UNNEST(tk) AS token,
+               UNNEST(range(1, len(tk) + 1)) AS pos
+        FROM t
+    )
+    SELECT tok.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN c.cpos IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed,
+           string_agg(CASE WHEN c.cpos IS NULL THEN token END,
+                      ' ' ORDER BY tok.pos) AS cleaned_text
+    FROM tok LEFT JOIN cov c
+      ON c.doc_id = tok.doc_id AND c.cpos = tok.pos
+    GROUP BY tok.doc_id
+    """,
+)
+def crossdoc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVE half of substring-level dedup (Lee et al. 2022 section 4:
+    'we remove the duplicate substring from all but one document'):
+    crossdoc_span_runs detects shared spans; this query materializes the
+    cleaned corpus under keep-earliest semantics -- every token of a later
+    document (higher doc_id) that sits inside ANY 8-token shingle also
+    present in an earlier document is dropped, and the survivor text is
+    re-stitched from the remaining tokens in position order. Output per
+    document: original token count, removed token count, and the cleaned
+    text (NULL when a document is entirely boilerplate -- fully covered);
+    the earliest holder of each span keeps it untouched.
+
+    Coverage semantics: a matched shingle at position p covers tokens
+    p..p+7, and overlapping matches union (DISTINCT positions) -- exactly
+    the span algebra of the runs query, re-expressed at token grain so
+    surgery is possible. Re-stitching joins tokens with single spaces
+    (the tokenizer's inverse up to whitespace normalization -- the same
+    contract BPE apply and the chunker already pin).
+
+    Plan shape: the positional posting self-join is crossdoc_span_runs'
+    stage (same merge hints, same posting-frequency cap as the production
+    knob); covered positions distinct at (doc, pos) grain BEFORE the 8x
+    window expansion (match volume collapses to |matched positions|
+    first); then one left join at token grain and one hash aggregate
+    whose collect_list is bounded by document length -- per-doc state,
+    never corpus-wide. 100 TB: every shuffle is keyed by doc_id or
+    shingle; the rebuild cost is linear in surviving tokens."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.word_shingles_pos(docs, n=_RUN_K)
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "shingle"
+    )
+    mpos = (
+        a.join(b.hint("merge"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(F.col("doc_b").alias("doc_id"), "pb")
+        .distinct()
+    )
+    cov = (
+        mpos.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pb"), F.col("pb") + (_RUN_K - 1))
+            ).alias("cpos"),
+        )
+        .distinct()
+        .withColumn("covered", F.lit(1))
+    )
+    tok = docs.select(
+        "doc_id", F.posexplode(D.tokens("text")).alias("pos", "token")
+    )
+    j = tok.join(
+        cov,
+        (tok.doc_id == cov.doc_id) & (tok.pos == cov.cpos),
+        "left",
+    ).select(tok.doc_id, "pos", "token", "covered")
+    kept_tok = F.when(F.col("covered").isNull(), F.col("token"))
+    agg = j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("covered").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), kept_tok.alias("t")))
+                ),
+                lambda s: s["t"],
+            ),
+            " ",
+        ).alias("_joined"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.when(
+            F.col("n_removed") < F.col("n_tokens"), F.col("_joined")
+        ).alias("cleaned_text"),
+    )

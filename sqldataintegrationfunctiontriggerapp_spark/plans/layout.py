@@ -182,3 +182,189 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_day", "max_day", "min_part", "max_part",
         _PRUNABLE.format(**_box_exprs("DIV")) + " AS prunable",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hive-style partition pruning: the OTHER half of file skipping. Z-order
+# skips via per-file column stats; directory partitioning skips at PLANNING
+# time (static partition filters) or at RUNTIME from a join's build side
+# (dynamic partition pruning). At 100 TB the date/source partition column is
+# the first scan reducer every warehouse query leans on.
+# ---------------------------------------------------------------------------
+
+_PRUNE_LO, _PRUNE_HI = "1995-01", "1995-03"
+_DPP_QTR = "1995-Q2"
+
+_SQL_MONTH = "strftime(CAST(l_shipdate AS DATE), '%Y-%m')"
+
+
+def _month_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
+    """Session-memoized hive-partitioned materialization of lineitem's
+    revenue columns, partitioned by ship month (~84 directories over the
+    TPC-H date range): the at-rest layout whose directory names ARE the
+    predicate index. repartition(ship_month) first so each month is
+    written by one task -- one file per partition, not one per (task,
+    month) pair."""
+    import hashlib
+    import os
+    import tempfile
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        StagedDir,
+    )
+
+    def build():
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        base = tempfile.mkdtemp(prefix=f"li_month_part_{tag}_")
+        path = os.path.join(base, "lineitem_by_month")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")
+            .alias("ship_month"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        (
+            li.repartition("ship_month")
+            .write.partitionBy("ship_month")
+            .parquet(path)
+        )
+        return StagedDir(path)
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+
+    return session_stage(spark, sf_dir, "lineitem_month_partitioned", build)
+
+
+@register(
+    "partition_pruned_revenue",
+    oracle=f"""
+    SELECT {_SQL_MONTH} AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE {_SQL_MONTH} BETWEEN '{_PRUNE_LO}' AND '{_PRUNE_HI}'
+    GROUP BY 1
+    """,
+)
+def partition_pruned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static partition pruning end to end: lineitem is materialized ONCE
+    per session as a hive-partitioned table (ship_month=YYYY-MM
+    directories), and a three-month revenue query filters on the partition
+    column -- so the predicate resolves at PLANNING time against directory
+    names and the scan never opens a file outside the window
+    (PartitionFilters in the scan node, pinned by
+    tests/test_plan_shapes.py; at ~84 month partitions the query reads
+    3/84ths of the files, and the fraction is independent of table size).
+    The driver hash proves the write -> partitioned re-read -> pruned scan
+    loses nothing vs the straight filtered aggregate over the raw parquet
+    (the oracle) -- the round-trip correctness half of the pruning claim.
+
+    Scale shape: the staged write is one shuffle keyed by month (each
+    month written by one task -- file count = partition count, the
+    compaction discipline); the query is scan -> partial/final hash agg
+    on the partition column, shuffle bounded by months, never rows."""
+    path = _month_partitioned_lineitem(spark, sf_dir)
+    pr = spark.read.parquet(str(path))
+    return (
+        pr.where(F.col("ship_month").between(_PRUNE_LO, _PRUNE_HI))
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def _month_dim(spark: SparkSession) -> DataFrame:
+    """Tiny calendar dimension (84 rows, 1992-1998): month -> quarter.
+    Generated, not scanned -- fixed-size metadata, same class as the
+    sketch/codebook literals."""
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1992-01-01").cast("date"),
+                    F.lit("1998-12-01").cast("date"),
+                    F.expr("interval 1 month"),
+                )
+            ).alias("d")
+        )
+        .select(
+            F.date_format("d", "yyyy-MM").alias("ship_month"),
+            F.concat(
+                F.year("d").cast("string"),
+                F.lit("-Q"),
+                F.quarter("d").cast("string"),
+            ).alias("qtr"),
+        )
+    )
+
+
+@register(
+    "dpp_quarter_revenue",
+    oracle=f"""
+    WITH dim AS (
+        SELECT strftime(m, '%Y-%m') AS ship_month,
+               CAST(year(m) AS VARCHAR) || '-Q'
+                   || CAST(quarter(m) AS VARCHAR) AS qtr
+        FROM (SELECT UNNEST(generate_series(DATE '1992-01-01',
+                                            DATE '1998-12-01',
+                                            INTERVAL 1 MONTH)) AS m)
+    ),
+    fact AS (
+        SELECT {_SQL_MONTH} AS ship_month, l_extendedprice, l_discount
+        FROM lineitem
+    )
+    SELECT f.ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM fact f JOIN dim d USING (ship_month)
+    WHERE d.qtr = '{_DPP_QTR}'
+    GROUP BY f.ship_month
+    """,
+)
+def dpp_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the quarter filter lives on a joined
+    dimension (the calendar dim -- the star-schema shape where the fact
+    table's partition column is an opaque key and selectivity arrives
+    through the dim), so no static filter exists on the fact scan at all.
+    Catalyst inserts a dynamicpruningexpression into the partitioned
+    scan's PartitionFilters -- the broadcast build side executes first and
+    its ship_month set prunes fact DIRECTORIES at runtime (pinned in
+    tests/test_plan_shapes.py). Without DPP this plan reads all ~84
+    months and throws away 81 after the join; with it, the scan opens 3.
+
+    The dim is generated (84 rows, month -> quarter), never scanned, and
+    broadcasts explicitly -- satisfying DPP's reuse-broadcast condition
+    by construction. Oracle mirrors the dim generation and the join over
+    raw parquet; the hash proves runtime pruning drops no rows."""
+    path = _month_partitioned_lineitem(spark, sf_dir)
+    pr = spark.read.parquet(str(path))
+    dim = _month_dim(spark).where(F.col("qtr") == _DPP_QTR)
+    return (
+        pr.join(F.broadcast(dim), "ship_month")
+        .groupBy("ship_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(
+                (
+                    F.col("l_extendedprice")
+                    * (F.lit(1) - F.col("l_discount"))
+                ).cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )

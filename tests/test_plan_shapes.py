@@ -554,3 +554,28 @@ def test_ivfpq_is_list_pruned_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin [list_id" in plan
+
+
+def test_partitioned_scan_prunes_statically(spark, sf_dir):
+    """partition_pruned_revenue's claim: the month predicate resolves
+    against hive directory names at planning time. The scan node must
+    carry non-empty PartitionFilters on ship_month (and the data filter
+    list stays empty -- there is nothing to evaluate per row)."""
+    plan = plan_of(spark, sf_dir, "partition_pruned_revenue")
+    scan_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert scan_lines, plan
+    ln = scan_lines[0]
+    filters = ln.split("PartitionFilters: [", 1)[1]
+    assert "ship_month" in filters.split("]")[0], ln
+    assert "PartitionFilters: []" not in ln
+
+
+def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
+    """dpp_quarter_revenue: no static month filter exists, so the
+    partitioned scan must carry a dynamicpruningexpression fed by the
+    broadcast calendar dim -- losing this silently reads all ~84 months
+    and filters after the join."""
+    plan = plan_of(spark, sf_dir, "dpp_quarter_revenue")
+    assert "dynamicpruningexpression" in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
