@@ -13,6 +13,11 @@ from sqldataintegrationfunctiontriggerapp_spark.operators import dedup as D
 from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
 from sqldataintegrationfunctiontriggerapp_spark.plans._util import session_stage
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
+from sqldataintegrationfunctiontriggerapp_spark.plans import sampling as SPLITS
+from sqldataintegrationfunctiontriggerapp_spark.plans.sampling import (
+    _TEST_HI as _SPLIT_TEST_HI,
+    _VAL_HI as _SPLIT_VAL_HI,
+)
 
 _TOKS = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
@@ -796,4 +801,116 @@ def crossdoc_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.col("n_removed") < F.col("n_tokens"), F.col("_joined")
         ).alias("cleaned_text"),
+    )
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH ex AS ({_SHINGLED}),
+    bands AS (SELECT CAST(range AS INTEGER) AS band FROM range(8)),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(md5(CAST(band * 2 AS VARCHAR) || '|' || shingle))
+               || MIN(md5(CAST(band * 2 + 1 AS VARCHAR) || '|' || shingle)) AS sig
+        FROM ex CROSS JOIN bands
+        GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.doc_a
+        JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.7
+    ),
+    sp AS (
+        SELECT doc_id,
+               CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_SPLIT_VAL_HI}'
+                        THEN 'val'
+                    WHEN md5(CAST(doc_id AS VARCHAR)) < '{_SPLIT_TEST_HI}'
+                        THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    ),
+    cl AS (
+        SELECT least(a.split, b.split) AS split_lo,
+               greatest(a.split, b.split) AS split_hi,
+               p.jaccard
+        FROM pairs p
+        JOIN sp a ON a.doc_id = p.doc_a
+        JOIN sp b ON b.doc_id = p.doc_b
+    )
+    SELECT split_lo, split_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           MAX(jaccard) AS max_jaccard,
+           (split_lo <> split_hi) AS is_leak
+    FROM cl GROUP BY split_lo, split_hi
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination audit -- the check every eval pipeline
+    needs BEFORE trusting a held-out score: near-duplicate pairs (exact
+    Jaccard >= 0.7 over the shared MinHash-LSH stage, the same pair set
+    dedup_minhash_lsh serves) classified by the train/val/test assignment
+    of their endpoints (train_val_split's md5 rule). A pair straddling
+    two splits is a LEAK: the val/test member is effectively training
+    data, and a model's held-out score on it is memorization, not
+    generalization (the within-corpus sibling of contamination_check's
+    benchmark n-gram overlap). Output is the full split-x-split matrix
+    (canonicalized least/greatest so each unordered class is one row):
+    pair count, worst-case Jaccard, and the is_leak flag on off-diagonal
+    rows -- the diagonal rows are the dedup backlog inside each split.
+
+    Why leaks are GUARANTEED here: the split hashes doc_id while
+    near-duplication lives in text, so independent assignment puts ~2
+    x 10% x 90% of dup pairs across the train boundary -- exactly the
+    failure mode this audit exists to catch (the fix is splitting by
+    CLUSTER, e.g. dedup_components' component id, not by doc).
+
+    Plan shape: everything expensive is the session-memoized LSH stage
+    (shingle -> signature -> banded candidates -> exact verify, shared
+    with 3 other queries); this query adds two broadcast-sized
+    doc_id-keyed joins against the split assignment (a pure md5 map on
+    the documents scan) and one <=6-group hash aggregate. At 100 TB the
+    audit is FREE once dedup ran -- which is the operational point: run
+    it on the pair table you already have."""
+    _sigs, _cands, jacc0 = _minhash_stage(spark, sf_dir)
+    pairs = jacc0.where(F.col("jaccard") >= 0.7)
+    sp = SPLITS.split_assign(
+        load_table(spark, sf_dir, "documents")
+    ).select("doc_id", "split")
+    pa = sp.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    pb = sp.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    cl = (
+        pairs.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("split_lo"),
+            F.greatest("sa", "sb").alias("split_hi"),
+            "jaccard",
+        )
+    )
+    return (
+        cl.groupBy("split_lo", "split_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+        .withColumn(
+            "is_leak", F.col("split_lo") != F.col("split_hi")
+        )
     )
