@@ -413,6 +413,25 @@ _QC_BUCKET_SQL = (
 )
 
 
+def qc_weight_col() -> "F.Column":
+    """The classifier's per-token weight as a Column over a `token` input
+    column: two-md5-nibble bucket -> element_at into the 256-int literal
+    (single folded constant node), as an exact BIGINT. Shared by the
+    registered batch query and the streaming curation parity so the model
+    arithmetic cannot drift between them."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.similarity import (
+        const_doubles,
+    )
+
+    nib = "instr('0123456789abcdef', substring(md5(token), {}, 1)) - 1"
+    bucket = (
+        (F.expr(nib.format(1))) * 16 + F.expr(nib.format(2))
+    ).cast("int")
+    return F.element_at(
+        const_doubles([float(w) for w in _qc_weights()]), bucket + 1
+    ).cast("long")
+
+
 def _qc_oracle() -> str:
     wlit = "[" + ", ".join(str(w) for w in _qc_weights()) + "]"
     return f"""
@@ -460,22 +479,11 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     model metadata, never data-dependent. At 100 TB this is THE cheap
     first-pass filter: a scan-speed scorer whose output gates every more
     expensive stage (dedup, ANN, curation) downstream."""
-    from sqldataintegrationfunctiontriggerapp_spark.operators.similarity import (
-        const_doubles,
-    )
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id", F.explode(TX.tokens("text")).alias("token")
     )
-    nib = "instr('0123456789abcdef', substring(md5(token), {}, 1)) - 1"
-    bucket = (
-        (F.expr(nib.format(1))) * 16 + F.expr(nib.format(2))
-    ).cast("int")
-    wt = F.element_at(
-        const_doubles([float(w) for w in _qc_weights()]), bucket + 1
-    ).cast("long")
-    agg = tok.select("doc_id", wt.alias("wt")).groupBy("doc_id").agg(
+    agg = tok.select("doc_id", qc_weight_col().alias("wt")).groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.sum("wt").alias("wsum"),
     )

@@ -1568,3 +1568,236 @@ def streaming_scd2_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         return holder["hist"]
 
     return session_stage(spark, sf_dir, "scd2_standing_history", build)
+
+
+def _staged_docs_dir(spark: SparkSession, sf_dir: str):
+    """(dir_path, schema) of a 2-file staged DOCUMENTS replay -- the
+    corpus-ingestion sibling of _staged_events_dir. Documents carry no
+    event time, so the split is by doc_id midpoint (integer floor of
+    (min+max)/2, trivially mirrored in SQL), file names and mtimes forcing
+    replay order low-ids-then-high-ids -- the arrival order of an
+    id-ordered crawl backfill."""
+    import atexit
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans import _util
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+
+    def build():
+        d = tempfile.mkdtemp(prefix="strm_docs_src_", dir=_fast_tmp())
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        docs = load_table(spark, sf_dir, "documents")
+        lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+        if lo is None or lo == hi:
+            raise ValueError(
+                f"documents doc_id span in {sf_dir} is degenerate"
+                f" ({lo!r}..{hi!r}); the id-split staging needs >=2 ids"
+            )
+        mid = (int(lo) + int(hi)) // 2
+        halves = [
+            docs.where(F.col("doc_id") <= mid),
+            docs.where(F.col("doc_id") > mid),
+        ]
+        now = time.time()
+        for i, half in enumerate(halves):
+            tmp = tempfile.mkdtemp(prefix="strm_docs_half_")
+            try:
+                half.coalesce(1).write.mode("overwrite").parquet(tmp)
+                (part,) = globmod.glob(os.path.join(tmp, "part-*.parquet"))
+                dest = os.path.join(d, f"{i:02d}-half.parquet")
+                shutil.move(part, dest)
+                os.utime(dest, (now - 100 + 60 * i, now - 100 + 60 * i))
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        return _util.StagedDir(d), docs.schema
+
+    return session_stage(spark, sf_dir, "staged_docs_idsplit", build)
+
+
+def _staged_docs_foreach_replay(spark: SparkSession, sf_dir: str,
+                                batch_fn) -> None:
+    """_staged_foreach_replay over the staged DOCUMENTS source."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    src_dir, schema = _staged_docs_dir(spark, sf_dir)
+    shuffle_conf = "spark.sql.shuffle.partitions"
+    prev_parts = spark.conf.get(shuffle_conf)
+    ckpt_dir = q = None
+    try:
+        spark.conf.set(
+            shuffle_conf, _os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8")
+        )
+        ckpt_dir = tempfile.mkdtemp(prefix="cur_ckpt_", dir=_fast_tmp())
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir))
+            .writeStream.foreachBatch(batch_fn)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(shuffle_conf, prev_parts)
+        if q is not None:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        if ckpt_dir is not None:
+            shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+
+def _curation_oracle() -> str:
+    from sqldataintegrationfunctiontriggerapp_spark.plans.cleaning import (
+        _QC_BUCKET_SQL,
+        _qc_weights,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.plans.text import _TOKS
+
+    wlit = "[" + ", ".join(str(w) for w in _qc_weights()) + "]"
+    return f"""
+    WITH mid AS (
+        SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents
+    ),
+    tok AS (SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents),
+    f AS (
+        SELECT doc_id,
+               CAST({wlit}[{_QC_BUCKET_SQL} + 1] AS BIGINT) AS wt
+        FROM tok
+    ),
+    sc AS (
+        SELECT doc_id, SUM(wt) AS wsum, COUNT(*) AS n_tokens
+        FROM f GROUP BY doc_id
+    ),
+    kept AS (
+        SELECT d.doc_id, d.text, s.n_tokens
+        FROM documents d JOIN sc s USING (doc_id)
+        WHERE s.wsum >= 0
+    ),
+    surv AS (
+        SELECT text, MIN(doc_id) AS doc_id, COUNT(*) - 1 AS n_dropped
+        FROM kept GROUP BY text
+    )
+    SELECT k.doc_id,
+           CAST(CASE WHEN k.doc_id <= mid.m THEN 1 ELSE 2 END
+                AS INTEGER) AS admitted_batch,
+           CAST(k.n_tokens AS BIGINT) AS n_tokens,
+           CAST(s.n_dropped AS BIGINT) AS n_dropped
+    FROM surv s
+    JOIN kept k ON k.doc_id = s.doc_id
+    CROSS JOIN mid
+    """
+
+
+@register("streaming_curation_parity", oracle=_curation_oracle())
+def streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A COMPOSED curation pipeline through the deployed streaming wrapper
+    -- quality gate, then stateful cross-batch exact dedup, then standing
+    corpus maintenance, chained inside ONE foreachBatch body (where every
+    other streaming parity pins a single operator, this one pins that the
+    curation operators COMPOSE under micro-batch semantics): documents
+    replay in 2 id-ordered micro-batches; each batch is (1) scored by the
+    hashed-BoW linear classifier (the shared qc_weight_col expression --
+    the exact-BIGINT margin arithmetic of quality_classifier_linear) and
+    filtered to margin >= 0, (2) deduplicated against the STANDING
+    seen-texts state with keep-first-arrival semantics (min doc_id within
+    the batch; an already-seen text only increments the survivor's
+    dropped-duplicate counter -- never re-admits), and (3) merged into the
+    standing corpus table, localCheckpointed between triggers.
+
+    THE ORACLE IS THE FULL BATCH RECOMPUTE (classifier + min-doc_id
+    dedup over the whole corpus at once): because batches arrive in
+    doc_id order, keep-first-across-batches equals the global min-id
+    survivor rule, and the admitted_batch column is reconstructible as
+    doc_id <= floor((min+max)/2) -- so the driver hash proves the
+    filter -> stateful-dedup -> merge chain loses nothing across the
+    batch boundary: a re-delivered or state-dropping batch would
+    re-admit batch-1 texts (extra rows) or miscount drops.
+
+    Scale shape: per batch one explode + hash agg (classifier), one
+    per-text agg, one full-outer merge against standing state keyed by
+    text -- every shuffle keyed by doc or text; standing state is one row
+    per distinct kept text, the same bound dedup_exact carries."""
+    from sqldataintegrationfunctiontriggerapp_spark.functions import text as TX
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.plans.cleaning import (
+        qc_weight_col,
+    )
+
+    def build():
+        holder: dict = {"state": None}
+
+        def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+            tok = batch_df.select(
+                "doc_id", "text", F.explode(TX.tokens("text")).alias("token")
+            )
+            sc = (
+                tok.select("doc_id", "text", qc_weight_col().alias("wt"))
+                .groupBy("doc_id", "text")
+                .agg(
+                    F.sum("wt").alias("wsum"),
+                    F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                )
+            )
+            kept = sc.where(F.col("wsum") >= 0)
+            bsum = kept.groupBy("text").agg(
+                F.min("doc_id").alias("b_doc_id"),
+                F.expr("min_by(n_tokens, doc_id)").alias("b_n_tokens"),
+                (F.count(F.lit(1)) - 1).cast("long").alias("b_new_dropped"),
+            )
+            st = holder["state"]
+            if st is None:
+                merged = bsum.select(
+                    "text",
+                    F.col("b_doc_id").alias("doc_id"),
+                    F.lit(int(epoch_id) + 1).cast("int").alias("admitted_batch"),
+                    F.col("b_n_tokens").alias("n_tokens"),
+                    F.col("b_new_dropped").alias("n_dropped"),
+                )
+            else:
+                merged = st.join(bsum, "text", "full_outer").select(
+                    "text",
+                    F.coalesce(st.doc_id, F.col("b_doc_id")).alias("doc_id"),
+                    F.coalesce(
+                        st.admitted_batch,
+                        F.lit(int(epoch_id) + 1).cast("int"),
+                    ).alias("admitted_batch"),
+                    F.coalesce(st.n_tokens, F.col("b_n_tokens")).alias(
+                        "n_tokens"
+                    ),
+                    (
+                        F.coalesce(st.n_dropped, F.lit(0).cast("long"))
+                        + F.when(
+                            st.doc_id.isNotNull()
+                            & F.col("b_doc_id").isNotNull(),
+                            F.col("b_new_dropped") + 1,
+                        ).otherwise(
+                            F.coalesce(
+                                F.col("b_new_dropped"), F.lit(0).cast("long")
+                            )
+                        )
+                    ).alias("n_dropped"),
+                )
+            holder["state"] = merged.localCheckpoint()
+
+        _staged_docs_foreach_replay(spark, sf_dir, refresh)
+        if holder["state"] is None:
+            raise ValueError("staged docs replay delivered no micro-batches")
+        return holder["state"]
+
+    standing = session_stage(spark, sf_dir, "curation_standing_corpus", build)
+    return standing.select(
+        "doc_id", "admitted_batch", "n_tokens", "n_dropped"
+    )

@@ -78,6 +78,7 @@ _EXECUTES_ON_BUILD = {
     # during construction (2R tiny eager jobs); the returned union of
     # checkpointed 1-row frames is the only lintable remainder
     "bpe_vocab_checkpointed",
+    "streaming_curation_parity",
 }
 
 
