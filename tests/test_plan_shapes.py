@@ -579,3 +579,36 @@ def test_dpp_join_prunes_partitions_dynamically(spark, sf_dir):
     assert "dynamicpruningexpression" in plan, plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_span_removal_is_postings_join_and_doc_keyed(spark, sf_dir):
+    # the remove half must inherit the detect half's shape: positional
+    # postings equi-join, never pairwise; the coverage join and the
+    # rebuild aggregate stay doc-keyed
+    plan = plan_of(spark, sf_dir, "crossdoc_span_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # token/sequence explodes
+
+
+def test_minhash_shard_merge_is_two_level_aggregate(spark, sf_dir):
+    # the merge under test IS the plan shape: per-shard wide partials,
+    # then the global fold -- no joins other than the final 16-row
+    # salt equi-join, no nested loop
+    plan = plan_of(spark, sf_dir, "minhash_shard_merge")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # map-side partial aggregation before every exchange (the merge under
+    # test IS this combine); Spark plans the wide string-min aggregates as
+    # SortAggregate, so match the partial marker, not the agg impl
+    assert "partial_min(md5(" in plan
+    # two-level tree on the sharded side: per-shard partials, global fold
+    assert plan.count("partial_min(h0") >= 1
+
+
+def test_quality_classifier_is_scan_and_single_aggregate(spark, sf_dir):
+    # scan-speed scorer: explode + literal lookup + one doc-keyed hash
+    # aggregate; no joins at all
+    plan = plan_of(spark, sf_dir, "quality_classifier_linear")
+    assert "Join" not in plan
+    assert plan.count("Scan parquet") == 1
