@@ -14,6 +14,7 @@ from sqldataintegrationfunctiontriggerapp_spark.plans import (  # noqa: E402,F40
     cleaning,
     dedup,
     graph,
+    ingest,
     layout,
     multimodal,
     relational,
