@@ -77,3 +77,55 @@ def test_simhash_empty_input(spark):
 def test_minhash_signatures_empty_shingles(spark):
     s = spark.createDataFrame([], "doc_id bigint, shingle string")
     assert D.minhash_signatures(s).count() == 0
+
+
+def test_span_removal_semantics_on_tiny_corpus(spark):
+    """crossdoc_span_removal's core rules on a hand-auditable corpus:
+    the earlier doc keeps everything; a verbatim later copy is fully
+    covered (cleaned_text NULL); a doc sharing no 8-token shingle is
+    untouched."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans.dedup import (
+        crossdoc_span_removal,
+    )
+    import sqldataintegrationfunctiontriggerapp_spark.plans.dedup as dd
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import TABLES
+    import tempfile, os
+
+    base = " ".join(f"w{i}" for i in range(12))          # 12 tokens
+    other = " ".join(f"x{i}" for i in range(12))
+    d = tempfile.mkdtemp(prefix="spanrm_fixture_")
+    docs = spark.createDataFrame(
+        [(1, base, "en", "a", len(base)),
+         (2, base, "en", "a", len(base)),
+         (3, other, "en", "a", len(other))],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    docs.coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    out = {r.doc_id: r for r in crossdoc_span_removal(spark, d).collect()}
+    assert out[1].n_removed == 0 and out[1].cleaned_text == base
+    assert out[2].n_removed == 12 and out[2].cleaned_text is None
+    assert out[3].n_removed == 0 and out[3].cleaned_text == other
+
+
+def test_classifier_weight_is_vocabulary_independent(spark):
+    """qc_weight_col must map a token to the same weight regardless of
+    surrounding rows (pure hashing-trick lookup) and stay inside the
+    20-bit fixed-point range."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans.cleaning import (
+        qc_weight_col, _qc_weights,
+    )
+    import hashlib
+
+    toks = spark.createDataFrame(
+        [("hello",), ("world",), ("hello",)], "token string"
+    )
+    rows = toks.select("token", qc_weight_col().alias("wt")).collect()
+    by_tok = {}
+    for r in rows:
+        assert -(1 << 19) <= r.wt < (1 << 19)
+        by_tok.setdefault(r.token, set()).add(r.wt)
+    assert all(len(v) == 1 for v in by_tok.values())
+    # spot-check one weight against the Python-side rule
+    h = hashlib.md5(b"hello").hexdigest()
+    bucket = (int(h[0], 16)) * 16 + int(h[1], 16)
+    assert by_tok["hello"] == {_qc_weights()[bucket]}
