@@ -11,6 +11,11 @@ Numeric-parity rules used throughout (see plans/_util.py):
   in the last ulp and fail the value hash).
 - DuckDB ``SUM(BIGINT)`` returns HUGEINT; oracles cast back to BIGINT.
 - Timestamps are cast explicitly where the parquet physical type is ns.
+- Double LITERALS in oracles must be ``CAST('<repr>' AS DOUBLE)`` string
+  parses: DuckDB types a bare 17-digit literal DECIMAL(17,16), and the
+  decimal->double hop can land 1 ulp off Python's repr round-trip
+  (found by embedding_random_projection; same family as the
+  plans/graph.py decimal-cast finding).
 """
 
 from __future__ import annotations
