@@ -914,3 +914,99 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_leak", F.col("split_lo") != F.col("split_hi")
         )
     )
+
+
+_CAP_F = 4  # max docs a shingle may appear in before it is masked
+
+
+@register(
+    "crossdoc_span_runs_capped",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+    sh AS (
+        SELECT doc_id, u.p AS pos, u.s AS shingle
+        FROM (
+            SELECT doc_id,
+                   UNNEST([{{'p': i, 's': array_to_string(tk[i:i+{_RUN_K - 1}], ' ')}}
+                           for i in range(1, len(tk) - {_RUN_K - 2})]) AS u
+            FROM t WHERE len(tk) >= {_RUN_K}
+        )
+    ),
+    keepable AS (
+        SELECT shingle FROM sh
+        GROUP BY shingle HAVING COUNT(DISTINCT doc_id) <= {_CAP_F}
+    ),
+    shc AS (SELECT sh.* FROM sh JOIN keepable USING (shingle)),
+    m AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        FROM shc a JOIN shc b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, pa, pb,
+               pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                       ORDER BY pa) AS island
+        FROM m
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, COUNT(*) + {_RUN_K - 1} AS run_tokens
+        FROM isl GROUP BY doc_a, doc_b, pa - pb, island
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(run_tokens) AS BIGINT) AS max_run_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(SUM(run_tokens) AS BIGINT) AS sum_run_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    """,
+)
+def crossdoc_span_runs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """crossdoc_span_runs WITH the production posting-frequency cap the
+    uncapped query's docstring names as the 100 TB knob -- here the knob's
+    SEMANTICS are themselves hash-pinned: shingles appearing in more than
+    F=4 documents are masked BEFORE the posting self-join, so the join's
+    per-shingle fan-out is bounded by F^2 regardless of how much
+    boilerplate the corpus holds (the same trade suffix-array pipelines
+    make by masking high-frequency seeds). Masking can only SPLIT runs at
+    ubiquitous shingles or drop boilerplate-only pairs -- never invent a
+    span -- and the capped-vs-uncapped row diff IS that effect, measured.
+
+    Plan shape adds one aggregate (per-shingle distinct-doc count) and a
+    semi-shaped join over the postings; everything downstream is the
+    detect query's diagonal-window pipeline. At scale the cap converts
+    the join's worst case from |hottest posting list|^2 to F^2 x
+    |shingles| -- the difference between a skew straggler and a flat
+    stage."""
+    sh = D.word_shingles_pos(load_table(spark, sf_dir, "documents"),
+                             n=_RUN_K)
+    keepable = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= _CAP_F)
+        .select("shingle")
+    )
+    shc = sh.join(keepable.hint("merge"), "shingle")
+    a = shc.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "shingle"
+    )
+    b = shc.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "shingle"
+    )
+    m = (
+        a.join(b.hint("merge"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+    )
+    diag = (F.col("pa") - F.col("pb")).alias("diag")
+    w = Window.partitionBy("doc_a", "doc_b", diag).orderBy("pa")
+    isl = m.select(
+        "doc_a", "doc_b", "pa", diag,
+        (F.col("pa") - F.row_number().over(w)).alias("island"),
+    )
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "island").agg(
+        (F.count(F.lit(1)) + (_RUN_K - 1)).alias("run_tokens")
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run_tokens").alias("max_run_tokens"),
+        F.count(F.lit(1)).alias("n_runs"),
+        F.sum("run_tokens").alias("sum_run_tokens"),
+    )
