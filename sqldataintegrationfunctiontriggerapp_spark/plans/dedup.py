@@ -916,7 +916,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CAP_F = 4  # max docs a shingle may appear in before it is masked
+_CAP_F = 2  # max docs a shingle may appear in before it is masked
 
 
 @register(
@@ -963,7 +963,7 @@ def crossdoc_span_runs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """crossdoc_span_runs WITH the production posting-frequency cap the
     uncapped query's docstring names as the 100 TB knob -- here the knob's
     SEMANTICS are themselves hash-pinned: shingles appearing in more than
-    F=4 documents are masked BEFORE the posting self-join, so the join's
+    F=2 documents are masked BEFORE the posting self-join, so the join's
     per-shingle fan-out is bounded by F^2 regardless of how much
     boilerplate the corpus holds (the same trade suffix-array pipelines
     make by masking high-frequency seeds). Masking can only SPLIT runs at
