@@ -1444,3 +1444,119 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distortion"
         ),
     )
+
+
+_CT_NEG_EXCLUDE = 50  # candidates inside the cosine top-50 are never negatives
+_CT_N_NEG = 3
+
+
+@register(
+    "contrastive_triplets",
+    oracle=f"""
+    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                 FROM embeddings
+                 WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                        CAST(embedding AS DOUBLE[])) > 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM raw WHERE vec_id < 8),
+    c AS (SELECT vec_id AS cand_id, v AS cv FROM raw),
+    scored AS (
+        SELECT query_id, cand_id,
+               list_dot_product(qv, cv)
+               / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv))
+                   AS cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY list_dot_product(qv, cv)
+                                           / sqrt(list_dot_product(qv, qv)
+                                             * list_dot_product(cv, cv)) DESC,
+                                           cand_id) AS rnk
+        FROM c CROSS JOIN q
+        WHERE cand_id <> query_id
+    ),
+    pos AS (
+        SELECT query_id, cand_id AS pos_id, cos AS pos_cos
+        FROM scored WHERE rnk = 1
+    ),
+    negs AS (
+        SELECT query_id, cand_id AS neg_id, cos AS neg_cos,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id
+                   ORDER BY md5(CAST(query_id AS VARCHAR) || ':'
+                                || CAST(cand_id AS VARCHAR)), cand_id)
+                   AS INTEGER) AS neg_rank
+        FROM scored WHERE rnk > {_CT_NEG_EXCLUDE}
+    )
+    SELECT p.query_id, p.pos_id, p.pos_cos,
+           n.neg_rank, n.neg_id, n.neg_cos
+    FROM pos p JOIN negs n USING (query_id)
+    WHERE n.neg_rank <= {_CT_N_NEG}
+    """,
+)
+def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining -- the data-generation step for
+    embedding-model training (SimCLR/DPR-style (anchor, positive,
+    negative) triplets): per anchor (vec_id < 8), the POSITIVE is its
+    exact cosine top-1 neighbor, and the NEGATIVES are 3 md5-seeded
+    candidates drawn deterministically from OUTSIDE the cosine top-50 --
+    the exclusion zone is what keeps a sampled "negative" from being an
+    unlabeled positive (the classic false-negative trap in contrastive
+    sampling; production pipelines use exactly this exclude-the-ANN-
+    neighborhood rule, often with the IVFPQ index standing in for the
+    exact ranks). All three draws are md5(query:cand) order -- no RNG
+    state, every engine and every re-run mines the same triplets.
+
+    Plan shape: ONE scored frame (the allowlisted broadcast exact scan,
+    same class as ann_cosine_topk's baseline) feeds both the rnk=1
+    positive and the rnk>50 negative pool through one window; the
+    negative draw is a second window over the already-ranked rows, and
+    the final join is |Q| x 3 rows against |Q| rows. At corpus scale the
+    scored frame is replaced by the standing-index shortlist (IVFPQ +
+    rerank) for positives and a hash-bucketed sample for negatives; the
+    exclusion-zone semantics pinned here are index-agnostic."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = S._as_double("embedding")
+    raw = e.select("vec_id", v.alias("v")).where(
+        S.dot(F.col("v"), F.col("v")) > 0
+    )
+    q = raw.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = raw.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    cos = S.dot(F.col("qv"), F.col("cv")) / F.sqrt(
+        S.dot(F.col("qv"), F.col("qv")) * S.dot(F.col("cv"), F.col("cv"))
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", cos.alias("cos"))
+        .withColumn("rnk", F.row_number().over(rw))
+    )
+    pos = scored.where(F.col("rnk") == 1).select(
+        "query_id",
+        F.col("cand_id").alias("pos_id"),
+        F.col("cos").alias("pos_cos"),
+    )
+    nw = Window.partitionBy("query_id").orderBy(
+        F.md5(
+            F.concat(
+                F.col("query_id").cast("string"),
+                F.lit(":"),
+                F.col("cand_id").cast("string"),
+            )
+        ),
+        "cand_id",
+    )
+    negs = (
+        scored.where(F.col("rnk") > _CT_NEG_EXCLUDE)
+        .withColumn("neg_rank", F.row_number().over(nw).cast("int"))
+        .where(F.col("neg_rank") <= _CT_N_NEG)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("neg_id"),
+            F.col("cos").alias("neg_cos"),
+            "neg_rank",
+        )
+    )
+    return pos.join(negs, "query_id").select(
+        "query_id", "pos_id", "pos_cos", "neg_rank", "neg_id", "neg_cos"
+    )

@@ -6,7 +6,7 @@ driver hash-checks the semantics, not just row counts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
@@ -925,4 +925,78 @@ def bpe_apply_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("freq").cast("long").alias("freq"),
         F.size("seq").cast("long").alias("n_symbols"),
         F.array_join("seq", " ").alias("segmentation"),
+    )
+
+
+@register(
+    "vocab_coverage_cutoff",
+    oracle=f"""
+    WITH tf AS (
+        SELECT token, COUNT(*) AS cnt
+        FROM (SELECT UNNEST({_TOKS}) AS token FROM documents)
+        GROUP BY token
+    ),
+    tot AS (SELECT SUM(cnt) AS total FROM tf),
+    ranked AS (
+        SELECT token, cnt,
+               row_number() OVER (ORDER BY cnt DESC, token) AS rnk,
+               SUM(cnt) OVER (ORDER BY cnt DESC, token
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM tf
+    )
+    SELECT CAST(rnk AS BIGINT) AS rnk, token,
+           CAST(cnt AS BIGINT) AS cnt,
+           CAST(cum AS BIGINT) AS cum_cnt,
+           CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_frac
+    FROM ranked, tot
+    WHERE (cum - cnt) * 20 < total * 19
+    """,
+)
+def vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimal-vocabulary coverage cutoff -- the measurement that sizes a
+    tokenizer's vocab before training one: terms ranked by corpus
+    frequency (count desc, term asc -- a total, engine-independent order),
+    with the running token-mass sum, truncated to the smallest prefix
+    reaching 95% coverage (every term whose PRECEDING cumulative mass is
+    still below the threshold; the boundary term is included). The 95%
+    test is INTEGER arithmetic -- (cum - cnt) * 20 < total * 19 -- so no
+    float threshold can disagree between engines; cum_frac is one final
+    double division for the human reading the report.
+
+    Scale shape: one token explode + hash aggregate (map-side combined --
+    the shuffle carries the VOCABULARY, not tokens), a 1-row total
+    broadcast back, and a running-sum window over the vocabulary. That
+    window is a single partition BY DESIGN: its input is the bounded
+    vocab table (the same bounded-metadata class as the 128-cell sketch
+    merges), never corpus rows -- real vocabularies are 10^5-10^6 terms
+    regardless of corpus size, which is exactly why this query is cheap
+    at 100 TB while the thing it measures (token mass) is not."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(TX.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = tf.agg(F.sum("cnt").alias("total"))
+    w = Window.orderBy(F.desc("cnt"), "token")
+    ranked = tf.select(
+        "token",
+        "cnt",
+        F.row_number().over(w).cast("long").alias("rnk"),
+        F.sum("cnt")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("cum"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .where((F.col("cum") - F.col("cnt")) * 20 < F.col("total") * 19)
+        .select(
+            "rnk",
+            "token",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.col("cum").cast("long").alias("cum_cnt"),
+            (
+                F.col("cum").cast("double") / F.col("total").cast("double")
+            ).alias("cum_frac"),
+        )
     )

@@ -49,6 +49,8 @@ _BNLJ_ALLOWED = {
     "hll_shard_merge":           "1-row: global-vs-merged estimate combine",
     "ann_pq_adc_topk":           "gated: ADC scan, fixed query set broadcast",
     "ann_pq_recall":             "gated: ADC + exact scans, query set broadcast",
+    "contrastive_triplets":      "gated: exact scan, fixed query set broadcast",
+    "vocab_coverage_cutoff":     "1-row: total token-mass denominator",
 }
 
 
