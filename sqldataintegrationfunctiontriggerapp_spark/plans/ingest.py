@@ -122,3 +122,85 @@ def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("long").alias("n_chars"),
         F.md5("text").alias("text_md5"),
     )
+
+
+@register(
+    "streaming_jsonl_ingest_parity",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def streaming_jsonl_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING leg of the JSONL story: the staged JSONL corpus (the
+    same session-staged files jsonl_ingest_roundtrip reads in batch)
+    replayed through readStream.json one file per trigger, feeding a
+    complete-mode per-source aggregate into a memory sink -- the tail/
+    backfill shape of a live corpus feed. The oracle aggregates the
+    PARQUET ground truth, so the driver hash proves the streaming JSON
+    source parses every record the batch reader does (schema enforced,
+    never inferred) and the stateful aggregate accumulates across
+    micro-batches without loss or double-count -- the exactly-once
+    contract, now pinned for a TEXT source (every other parity streams
+    parquet).
+
+    Scale shape: per micro-batch one map-side-combined partial aggregate;
+    state is one row per source. The sum over LENGTH(text) (not the
+    precomputed n_chars column) is deliberate: it makes the hash depend
+    on the PARSED text of every record, so a single mis-unescaped line
+    anywhere in the replay breaks it."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _staged_text_format(spark, sf_dir, "json")
+
+    def build():
+        shuffle_conf = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(shuffle_conf)
+        ckpt = q = None
+        sink = "jsonl_ingest_counts"
+        try:
+            spark.conf.set(
+                shuffle_conf,
+                _os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"),
+            )
+            ckpt = tempfile.mkdtemp(prefix="jsonl_ingest_ckpt_")
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(str(path))
+            )
+            agg = stream.groupBy("source").agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.length("text")).cast("long").alias("sum_chars"),
+            )
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.table(sink).localCheckpoint()
+        finally:
+            spark.conf.set(shuffle_conf, prev)
+            if q is not None:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+            if ckpt is not None:
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+    return session_stage(spark, sf_dir, "jsonl_ingest_parity", build)

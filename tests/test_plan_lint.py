@@ -81,6 +81,7 @@ _EXECUTES_ON_BUILD = {
     # checkpointed 1-row frames is the only lintable remainder
     "bpe_vocab_checkpointed",
     "streaming_curation_parity",
+    "streaming_jsonl_ingest_parity",
 }
 
 
