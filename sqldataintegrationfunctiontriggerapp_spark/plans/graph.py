@@ -119,3 +119,124 @@ def pagerank_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("nationkey"), F.col("rank").alias("pagerank")
     )
+
+
+# The minhash >= 0.7 near-dup pair chain, as the oracle's edge builder
+# (verbatim the dedup_minhash_lsh oracle CTEs, symmetrized to an
+# undirected unit-weight edge list).
+_DUP_EDGES = """
+    tokd AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+        )) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    bands AS (SELECT CAST(range AS INTEGER) AS band FROM range(8)),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(md5(CAST(band * 2 AS VARCHAR) || '|' || shingle))
+               || MIN(md5(CAST(band * 2 + 1 AS VARCHAR) || '|' || shingle)) AS sig
+        FROM tokd CROSS JOIN bands
+        GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokd GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN tokd ea ON ea.doc_id = c.doc_a
+        JOIN tokd eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.7
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst, 1 AS w FROM pairs
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst, 1 AS w FROM pairs
+    )
+"""
+
+_DUP_PR_ORACLE = (
+    "WITH "
+    + _DUP_EDGES
+    + """,
+    outdeg AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+    nodes AS (SELECT doc_id AS node FROM documents),
+    nnodes AS (SELECT COUNT(*) AS n FROM nodes),
+    r0 AS (
+        SELECT nd.node, CAST(1.0 AS DOUBLE) / nn.n AS rank
+        FROM nodes nd CROSS JOIN nnodes nn
+    ),"""
+    + ",".join(
+        _PR_STEP.format(i=i, prev=i - 1) for i in range(1, _PR_ITERS + 1)
+    )
+    + f"""
+    SELECT node AS doc_id, rank AS pagerank FROM r{_PR_ITERS}
+    """
+)
+
+
+@register("pagerank_dup_graph", oracle=_DUP_PR_ORACLE)
+def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the REAL near-duplication graph (where
+    pagerank_nations exercises the operator on the 25-node toy, this runs
+    it on corpus-scale data): nodes are all documents, undirected
+    unit-weight edges are the verified MinHash pairs at Jaccard >= 0.7
+    (the shared LSH stage -- the same pair table dedup_minhash_lsh,
+    dedup_survivors, and split_leakage_audit serve). Centrality in this
+    graph is a curation signal the pair list alone cannot give: a
+    template/boilerplate HUB (one page near-duplicating hundreds) ranks
+    far above an isolated mirror pair, so rank order is a principled
+    clean-up priority; isolated documents sit at the (1-d)/n floor.
+
+    Same determinism contract as the operator (fixed-point BIGINT floor
+    before the only order-dependent SUM -- see the module docstring);
+    the oracle replays the full LSH chain to build the identical edge
+    list, then the identical 3-iteration recurrence.
+
+    Scale shape: the edge list is the dedup family's output (bounded by
+    true near-dup pairs, not n^2); each iteration is one node-keyed
+    left join + exact integer aggregate -- linear in |docs| + |edges|
+    per iteration at any corpus size."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans.dedup import (
+        _minhash_stage,
+    )
+
+    _sigs, _cands, jacc0 = _minhash_stage(spark, sf_dir)
+    pairs = jacc0.where(F.col("jaccard") >= 0.7).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"),
+            F.col("doc_b").alias("dst"),
+            F.lit(1).alias("weight"),
+        )
+        .union(
+            pairs.select(
+                F.col("doc_b").alias("src"),
+                F.col("doc_a").alias("dst"),
+                F.lit(1).alias("weight"),
+            )
+        )
+        .localCheckpoint()  # bounded by 2x near-dup pairs; reused per iteration
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    ranks = pagerank(edges, nodes, iterations=_PR_ITERS, damping=_PR_DAMPING)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.col("rank").alias("pagerank")
+    )

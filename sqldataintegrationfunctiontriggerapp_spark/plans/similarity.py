@@ -1560,3 +1560,60 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.join(negs, "query_id").select(
         "query_id", "pos_id", "pos_cos", "neg_rank", "neg_id", "neg_cos"
     )
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH flat AS (
+        SELECT UNNEST(CAST(embedding AS DOUBLE[])) AS val,
+               UNNEST(range(len(embedding))) AS pos
+        FROM embeddings
+    )
+    SELECT CAST(pos AS INTEGER) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS mean,
+           sqrt(
+               CAST(SUM(CAST(val * val AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*)
+               - (CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*))
+                 * (CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*))
+           ) AS std,
+           MIN(val) AS min_val,
+           MAX(val) AS max_val
+    FROM flat GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding QA report -- the first thing to look at
+    before trusting a vector corpus (a dead dimension, a scale outlier,
+    or a mean far from 0 each break downstream cosine/PQ assumptions):
+    mean, population std, min, max for every one of the 64 coordinates.
+    Variance uses the E[x^2] - E[x]^2 identity over DECIMAL-exact sums
+    (both moments accumulate order-independently; the subtraction, the
+    two divisions, and the IEEE-correct sqrt are each performed once on
+    identically-constructed doubles, so the hash holds bit-for-bit).
+    DECIMAL(18,9) rather than the house (18,6): squared components of
+    unit-ish vectors live at 1e-2 - 1e-4, where 1e-6 quantization would
+    eat real signal; 1e-9 keeps the accumulator exact AND meaningful.
+
+    Scale shape: one posexplode + ONE hash aggregate keyed by pos --
+    map-side combined, the exchange carries 64 groups x 5 accumulators
+    regardless of corpus size. The same single-pass two-moment shape
+    handles 100M vectors unchanged."""
+    e = load_table(spark, sf_dir, "embeddings")
+    flat = e.select(
+        F.posexplode(S._as_double("embedding")).alias("pos", "val")
+    )
+    dec = "decimal(18,9)"
+    sum_v = F.sum(F.col("val").cast(dec)).cast("double")
+    sum_v2 = F.sum((F.col("val") * F.col("val")).cast(dec)).cast("double")
+    n = F.count(F.lit(1))
+    mean = sum_v / n
+    return flat.groupBy("pos").agg(
+        n.cast("long").alias("n"),
+        mean.alias("mean"),
+        F.sqrt(sum_v2 / n - mean * mean).alias("std"),
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
+    )
