@@ -64,18 +64,47 @@ def main() -> int:
 
     t01 = run_bench("/root/testdata/sf0.1", queries)
     t1 = run_bench(sf1_dir, queries)
-    print("| query | sf0.1 s | sf1 s | ratio |")
-    print("|---|---|---|---|")
-    tot01 = tot1 = 0.0
+    # optional third column: --sf10 DIR benches the 100x fixture with the
+    # sf10 method from COVERAGE.md (8g driver, 256 shuffle partitions)
+    sf10_dir = opt("--sf10", None)
+    t10 = None
+    if sf10_dir:
+        if not os.path.isdir(sf10_dir):
+            raise SystemExit(f"sf10 fixture missing: {sf10_dir}")
+        prev_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+        prev_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
+        os.environ["SPARK_GRAFT_DRIVER_MEM"] = "8g"
+        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "256"
+        try:
+            t10 = run_bench(sf10_dir, queries)
+        finally:
+            for k, v in (("SPARK_GRAFT_DRIVER_MEM", prev_mem),
+                         ("SPARK_GRAFT_SHUFFLE_PARTITIONS", prev_parts)):
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+    hdr10 = " sf10 s | ratio10 |" if t10 else ""
+    print(f"| query | sf0.1 s | sf1 s | ratio |{hdr10}")
+    print("|---|---|---|---|" + ("---|---|" if t10 else ""))
+    tot01 = tot1 = tot10 = 0.0
     for q in queries:
         a, b = t01.get(q), t1.get(q)
         if a is None or b is None:
             continue
         tot01 += a
         tot1 += b
-        print(f"| `{q}` | {a:.2f} | {b:.2f} | {b / a:.1f}× |")
-    print(f"| **changed-set total** | **{tot01:.1f}** | **{tot1:.1f}** "
-          f"| **{tot1 / tot01:.1f}×** |")
+        row = f"| `{q}` | {a:.2f} | {b:.2f} | {b / a:.1f}× |"
+        if t10 and q in t10:
+            c = t10[q]
+            tot10 += c
+            row += f" {c:.2f} | {c / b:.1f}× |"
+        print(row)
+    total = (f"| **changed-set total** | **{tot01:.1f}** | **{tot1:.1f}** "
+             f"| **{tot1 / tot01:.1f}×** |")
+    if t10:
+        total += f" **{tot10:.1f}** | **{tot10 / tot1:.1f}×** |"
+    print(total)
     return 0
 
 
