@@ -204,3 +204,145 @@ def streaming_jsonl_ingest_parity(spark: SparkSession, sf_dir: str) -> DataFrame
                 shutil.rmtree(ckpt, ignore_errors=True)
 
     return session_stage(spark, sf_dir, "jsonl_ingest_parity", build)
+
+
+# Deterministic second snapshot of `documents`, derived in both engines
+# with identical arithmetic: doc_id % 97 == 0 rows are DELETED in v2,
+# doc_id % 89 == 0 rows have their text amended, one synthetic row is
+# ADDED per source (doc_id = source-max + 1000000).
+_V2_SQL = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 89 = 0 THEN text || ' [rev2]'
+                    ELSE text END AS text,
+               source
+        FROM documents WHERE doc_id % 97 <> 0
+        UNION ALL
+        SELECT MAX(doc_id) + 1000000 AS doc_id,
+               'new in v2' AS text, source
+        FROM documents GROUP BY source
+"""
+
+
+@register(
+    "dataset_snapshot_diff",
+    oracle=f"""
+    WITH v1 AS (SELECT doc_id, text, source FROM documents),
+    v2 AS ({_V2_SQL}),
+    j AS (
+        SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+               COALESCE(a.source, b.source) AS source,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN a.text <> b.text THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM j GROUP BY source, status
+    """,
+)
+def dataset_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-version diff -- the audit every corpus release needs before
+    shipping snapshot N+1 (what changed, where, how much -- regressions
+    in a source's volume or unexpected churn are release blockers): a
+    key-aligned FULL OUTER JOIN of two snapshots classifying every
+    document added / removed / changed / unchanged, rolled up per
+    (source, status). The second snapshot is derived deterministically
+    from the first with identical arithmetic in both engines (delete
+    doc_id % 97, amend text at doc_id % 89, add one row per source), so
+    the oracle hash pins the diff CLASSIFIER -- the null-side logic,
+    the text comparison, the coalesced key -- not the fixture.
+
+    Scale shape: one full outer join keyed by doc_id (both sides
+    pre-partitionable by the key; at rest this is a bucketed-layout
+    merge join -- join_bucketed_colocated's shape) and one tiny
+    (source x 4) hash aggregate. At 100 TB the text comparison rides
+    the join; production diffs compare a content HASH column instead of
+    raw text to keep the shuffle rows narrow -- same plan, narrower
+    payload."""
+    v1 = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    base = v1.where(F.col("doc_id") % 97 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 89 == 0, F.concat(F.col("text"), F.lit(" [rev2]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "source",
+    )
+    added = (
+        v1.groupBy("source")
+        .agg((F.max("doc_id") + 1000000).alias("doc_id"))
+        .select("doc_id", F.lit("new in v2").alias("text"), "source")
+    )
+    v2 = base.unionByName(added)
+    a = v1.alias("a")
+    b = v2.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_id"),
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.text") != F.col("b.text"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+    return j.groupBy("source", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+@register(
+    "union_schema_evolution",
+    oracle="""
+    WITH v1 AS (
+        SELECT doc_id, source, CAST(NULL AS VARCHAR) AS lang_detected,
+               'v1' AS snapshot
+        FROM documents
+    ),
+    v2 AS (
+        SELECT doc_id, source, lang AS lang_detected, 'v2' AS snapshot
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT snapshot, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN lang_detected IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missing_lang
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    GROUP BY snapshot, source
+    """,
+)
+def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union -- the ingestion reality that snapshot N+1
+    carries columns snapshot N lacks (here: a lang_detected column added
+    in v2): `unionByName(allowMissingColumns=True)` aligns by NAME and
+    fills the missing column with NULLs, where positional UNION would
+    silently misalign or fail. The output summarizes per (snapshot,
+    source): row count and how many rows lack the new column -- exactly
+    the backfill-progress report a rolling schema migration watches.
+    The oracle spells the alignment out longhand (explicit NULL
+    projection + UNION ALL), so the hash proves the convenience API's
+    semantics equal the explicit form.
+
+    Scale shape: union is plan-level (no shuffle -- both legs scan
+    straight into the shared aggregate); one hash aggregate on
+    (snapshot, source). Column-name alignment happens at ANALYSIS time,
+    which is the point: drift fails the job at plan time, not silently
+    at row 10^12."""
+    d = load_table(spark, sf_dir, "documents")
+    v1 = d.select("doc_id", "source", F.lit("v1").alias("snapshot"))
+    v2 = d.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        "source",
+        F.col("lang").alias("lang_detected"),
+        F.lit("v2").alias("snapshot"),
+    )
+    u = v1.unionByName(v2, allowMissingColumns=True)
+    return u.groupBy("snapshot", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang_detected").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_lang"),
+    )
