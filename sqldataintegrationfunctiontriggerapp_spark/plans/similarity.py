@@ -1464,53 +1464,61 @@ _CT_N_NEG = 3
                list_dot_product(qv, cv)
                / sqrt(list_dot_product(qv, qv) * list_dot_product(cv, cv))
                    AS cos,
-               row_number() OVER (PARTITION BY query_id
-                                  ORDER BY list_dot_product(qv, cv)
-                                           / sqrt(list_dot_product(qv, qv)
-                                             * list_dot_product(cv, cv)) DESC,
-                                           cand_id) AS rnk
+               md5(CAST(query_id AS VARCHAR) || ':'
+                   || CAST(cand_id AS VARCHAR)) AS mkey
         FROM c CROSS JOIN q
         WHERE cand_id <> query_id
     ),
-    pos AS (
-        SELECT query_id, cand_id AS pos_id, cos AS pos_cos
-        FROM scored WHERE rnk = 1
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, cand_id) AS rnk
+        FROM scored
     ),
-    negs AS (
-        SELECT query_id, cand_id AS neg_id, cos AS neg_cos,
-               CAST(row_number() OVER (
-                   PARTITION BY query_id
-                   ORDER BY md5(CAST(query_id AS VARCHAR) || ':'
-                                || CAST(cand_id AS VARCHAR)), cand_id)
-                   AS INTEGER) AS neg_rank
-        FROM scored WHERE rnk > {_CT_NEG_EXCLUDE}
+    tagged AS (
+        SELECT *,
+               SUM(CASE WHEN rnk > {{_CT_NEG_EXCLUDE}} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY query_id ORDER BY mkey, cand_id
+                         ROWS UNBOUNDED PRECEDING) AS neg_cum
+        FROM ranked
     )
-    SELECT p.query_id, p.pos_id, p.pos_cos,
-           n.neg_rank, n.neg_id, n.neg_cos
-    FROM pos p JOIN negs n USING (query_id)
-    WHERE n.neg_rank <= {_CT_N_NEG}
-    """,
+    SELECT query_id,
+           CASE WHEN rnk = 1 THEN 'positive' ELSE 'negative' END AS role,
+           CAST(CASE WHEN rnk = 1 THEN 1 ELSE neg_cum END AS INTEGER)
+               AS role_rank,
+           cand_id, cos
+    FROM tagged
+    WHERE rnk = 1
+       OR (rnk > {{_CT_NEG_EXCLUDE}} AND neg_cum <= {{_CT_N_NEG}})
+    """.format(_CT_NEG_EXCLUDE=_CT_NEG_EXCLUDE, _CT_N_NEG=_CT_N_NEG),
 )
 def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive training-pair mining -- the data-generation step for
-    embedding-model training (SimCLR/DPR-style (anchor, positive,
-    negative) triplets): per anchor (vec_id < 8), the POSITIVE is its
-    exact cosine top-1 neighbor, and the NEGATIVES are 3 md5-seeded
-    candidates drawn deterministically from OUTSIDE the cosine top-50 --
-    the exclusion zone is what keeps a sampled "negative" from being an
-    unlabeled positive (the classic false-negative trap in contrastive
-    sampling; production pipelines use exactly this exclude-the-ANN-
-    neighborhood rule, often with the IVFPQ index standing in for the
-    exact ranks). All three draws are md5(query:cand) order -- no RNG
-    state, every engine and every re-run mines the same triplets.
+    embedding-model training (SimCLR/DPR-style anchor/positive/negative
+    sets): per anchor (vec_id < 8), the POSITIVE is its exact cosine
+    top-1 neighbor, and the NEGATIVES are 3 md5-seeded candidates drawn
+    deterministically from OUTSIDE the cosine top-50 -- the exclusion
+    zone is what keeps a sampled "negative" from being an unlabeled
+    positive (the classic false-negative trap in contrastive sampling;
+    production pipelines use exactly this exclude-the-ANN-neighborhood
+    rule, often with the IVFPQ index standing in for the exact ranks).
+    All draws are md5(query:cand) order -- no RNG state, every engine
+    and every re-run mines the same rows. Output is LONG format: one
+    row per (anchor, role, rank) -- the grain a training-data writer
+    consumes directly.
 
-    Plan shape: ONE scored frame (the allowlisted broadcast exact scan,
-    same class as ann_cosine_topk's baseline) feeds both the rnk=1
-    positive and the rnk>50 negative pool through one window; the
-    negative draw is a second window over the already-ranked rows, and
-    the final join is |Q| x 3 rows against |Q| rows. At corpus scale the
-    scored frame is replaced by the standing-index shortlist (IVFPQ +
-    rerank) for positives and a hash-bucketed sample for negatives; the
+    Plan shape -- deliberately ONE corpus scan: the first design joined
+    a positives frame to a negatives frame, which physically re-scanned
+    and re-scored the corpus once per branch (verified in the executed
+    plan; only the query broadcast was reused). This form computes both
+    roles from a single scored frame: the cosine-rank window and the
+    md5-order negative-counting window share the query_id exchange, the
+    negative rank is a conditional running COUNT over the already-ranked
+    rows (rank-among-subset as a windowed indicator sum -- row_number
+    cannot skip rows, SUM(CASE) can), and one disjunctive filter emits
+    both roles. Zero joins after the scored frame; the allowlisted
+    broadcast exact scan runs exactly once. At corpus scale the scored
+    frame is replaced by the standing-index shortlist (IVFPQ + rerank)
+    for positives and a hash-bucketed sample for negatives; the
     exclusion-zone semantics pinned here are index-agnostic."""
     e = load_table(spark, sf_dir, "embeddings")
     v = S._as_double("embedding")
@@ -1524,41 +1532,45 @@ def contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = S.dot(F.col("qv"), F.col("cv")) / F.sqrt(
         S.dot(F.col("qv"), F.col("qv")) * S.dot(F.col("cv"), F.col("cv"))
     )
-    rw = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    mkey = F.md5(
+        F.concat(
+            F.col("query_id").cast("string"),
+            F.lit(":"),
+            F.col("cand_id").cast("string"),
+        )
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", cos.alias("cos"))
-        .withColumn("rnk", F.row_number().over(rw))
+        .select("query_id", "cand_id", cos.alias("cos"), mkey.alias("mkey"))
     )
-    pos = scored.where(F.col("rnk") == 1).select(
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos"), "cand_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(rw))
+    nw = (
+        Window.partitionBy("query_id")
+        .orderBy("mkey", "cand_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tagged = ranked.withColumn(
+        "neg_cum",
+        F.sum(
+            F.when(F.col("rnk") > _CT_NEG_EXCLUDE, 1).otherwise(0)
+        ).over(nw),
+    )
+    return tagged.where(
+        (F.col("rnk") == 1)
+        | ((F.col("rnk") > _CT_NEG_EXCLUDE) & (F.col("neg_cum") <= _CT_N_NEG))
+    ).select(
         "query_id",
-        F.col("cand_id").alias("pos_id"),
-        F.col("cos").alias("pos_cos"),
-    )
-    nw = Window.partitionBy("query_id").orderBy(
-        F.md5(
-            F.concat(
-                F.col("query_id").cast("string"),
-                F.lit(":"),
-                F.col("cand_id").cast("string"),
-            )
-        ),
+        F.when(F.col("rnk") == 1, F.lit("positive"))
+        .otherwise(F.lit("negative"))
+        .alias("role"),
+        F.when(F.col("rnk") == 1, F.lit(1))
+        .otherwise(F.col("neg_cum"))
+        .cast("int")
+        .alias("role_rank"),
         "cand_id",
-    )
-    negs = (
-        scored.where(F.col("rnk") > _CT_NEG_EXCLUDE)
-        .withColumn("neg_rank", F.row_number().over(nw).cast("int"))
-        .where(F.col("neg_rank") <= _CT_N_NEG)
-        .select(
-            "query_id",
-            F.col("cand_id").alias("neg_id"),
-            F.col("cos").alias("neg_cos"),
-            "neg_rank",
-        )
-    )
-    return pos.join(negs, "query_id").select(
-        "query_id", "pos_id", "pos_cos", "neg_rank", "neg_id", "neg_cos"
+        "cos",
     )
 
 
