@@ -226,3 +226,50 @@ def test_ivf_topk_identical_across_probe_routes(spark, sf_dir):
         }
 
     assert topk(False) == topk(True)
+
+
+def test_ivfpq_rerank_recall_dominates_adc(spark, sf_dir):
+    """The re-rank stage's reason to exist, CI-enforced: against the exact
+    L2 top-5, the reranked IVFPQ results must recall at least as many true
+    neighbors as ranking the SAME probed candidate set by ADC alone --
+    exact re-scoring of a superset shortlist can only fix quantization
+    mistakes, never introduce them (within the probed lists both rankings
+    see identical candidates)."""
+    import __spark_entry__ as entrymod
+    from pyspark.sql import functions as F
+
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    # exact top-5 per query (squared L2, same tie rule as the queries)
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = e.collect()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in rows}
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    exact = {}
+    for qid in range(5):
+        if qid not in vecs or sum(x * x for x in vecs[qid]) == 0:
+            continue
+        order = sorted(
+            ((d2(vecs[qid], v), i) for i, v in vecs.items() if i != qid)
+        )
+        exact[qid] = {i for _, i in order[:5]}
+
+    reranked = entrymod.queries()["ann_ivfpq_rerank_topk"](spark, sf_dir)
+    adc = entrymod.queries()["ann_ivfpq_topk"](spark, sf_dir)
+
+    def hits(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        return {
+            q: len(got.get(q, set()) & exact[q]) for q in exact
+        }
+
+    h_rr, h_adc = hits(reranked), hits(adc)
+    assert sum(h_rr.values()) >= sum(h_adc.values()), (h_rr, h_adc)
