@@ -883,9 +883,13 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: everything expensive is the session-memoized LSH stage
     (shingle -> signature -> banded candidates -> exact verify, shared
-    with 3 other queries); this query adds two broadcast-sized
-    doc_id-keyed joins against the split assignment (a pure md5 map on
-    the documents scan) and one <=6-group hash aggregate. At 100 TB the
+    with 3 other queries); this query adds two doc_id-keyed equi-joins
+    of the (small) pair table against the split assignment -- a pure md5
+    map on the documents scan; the PAIR side is the broadcastable one,
+    and it is left unhinted so Catalyst shuffles instead when its
+    checkpoint-inherited size estimate is untrustworthy (the
+    dedup_survivors lesson: never force-broadcast a data-dependent
+    table) -- and one <=6-group hash aggregate. At 100 TB the
     audit is FREE once dedup ran -- which is the operational point: run
     it on the pair table you already have."""
     _sigs, _cands, jacc0 = _minhash_stage(spark, sf_dir)
