@@ -1801,3 +1801,180 @@ def streaming_curation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return standing.select(
         "doc_id", "admitted_batch", "n_tokens", "n_dropped"
     )
+
+
+def _staged_late_replay_dir(spark: SparkSession, sf_dir: str):
+    """(dir, schema) of the 3-file OUT-OF-ORDER events replay that forces
+    watermark drops: file 0 = the LATE time-half (advances the watermark
+    to max(ts) - delay), file 1 = the even-event_id early rows (admitted
+    while the operative watermark still lags one batch, finalized at the
+    batch-1 commit), file 2 = the odd-event_id early rows (same hours as
+    file 1 -- now BELOW the operative watermark, dropped). mtimes force
+    replay order 0, 1, 2."""
+    import atexit
+    import glob as globmod
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans import _util
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+
+    def build():
+        d = tempfile.mkdtemp(prefix="strm_late_src_", dir=_fast_tmp())
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        ev = load_table(spark, sf_dir, "events")
+        lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+        if lo is None or lo == hi:
+            raise ValueError(
+                f"events ts span in {sf_dir} is degenerate ({lo!r}..{hi!r})"
+            )
+        import datetime as _dt
+
+        us = _dt.timedelta(microseconds=1)
+        mid = lo + us * (((hi - lo) // us) // 2)
+        early = (F.col("ts") < F.lit(mid)) | F.col("ts").isNull()
+        parts = [
+            ev.where(F.col("ts") >= F.lit(mid)),
+            ev.where(early & (F.col("event_id") % 2 == 0)),
+            ev.where(early & (F.col("event_id") % 2 == 1)),
+        ]
+        now = time.time()
+        for i, half in enumerate(parts):
+            tmp = tempfile.mkdtemp(prefix="strm_late_half_")
+            try:
+                half.coalesce(1).write.mode("overwrite").parquet(tmp)
+                (part,) = globmod.glob(os.path.join(tmp, "part-*.parquet"))
+                dest = os.path.join(d, f"{i:02d}-part.parquet")
+                shutil.move(part, dest)
+                os.utime(dest, (now - 100 + 30 * i, now - 100 + 30 * i))
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        return _util.StagedDir(d), ev.schema
+
+    return session_stage(spark, sf_dir, "staged_events_late_replay", build)
+
+
+@register(
+    "streaming_late_data_parity",
+    oracle="""
+    WITH span AS (
+        SELECT epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS lo_us,
+               epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS hi_us
+        FROM events WHERE ts IS NOT NULL
+    ),
+    wm AS (
+        SELECT MAX(CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR AS w
+        FROM events WHERE ts IS NOT NULL
+    ),
+    contrib AS (
+        -- batch 0 (the late time-half) plus batch 1 (early even rows);
+        -- batch 2's odd early rows are BELOW the operative watermark at
+        -- their arrival and contribute nothing
+        SELECT CAST(e.ts AS TIMESTAMP) AS t, e.event_type, e.value
+        FROM events e, span s
+        WHERE e.ts IS NOT NULL
+          AND (epoch_us(CAST(e.ts AS TIMESTAMP))
+                   >= s.lo_us + (s.hi_us - s.lo_us) // 2
+               OR e.event_id % 2 = 0)
+    )
+    SELECT time_bucket(INTERVAL 1 HOUR, t) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM contrib, wm
+    WHERE time_bucket(INTERVAL 1 HOUR, t) + INTERVAL 1 HOUR <= wm.w
+    GROUP BY 1, 2
+    """,
+)
+def streaming_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA semantics pinned end to end -- the one
+    streaming contract every other parity deliberately avoids by
+    replaying in time order: a 3-file OUT-OF-ORDER replay (late
+    time-half first, then the early rows split in two by event_id
+    parity) through the deployed append-mode tumbling aggregate
+    (windowed_counts, 1 h window, 1 h delay).
+
+    What the driver hash pins (each discovered empirically against
+    recentProgress, then frozen here):
+    - ONE-BATCH WATERMARK LAG: the operative watermark of micro-batch N
+      derives from data through batch N-2, so batch 1's early-even rows
+      are ADMITTED (operative wm still epoch-0) even though the late
+      half already arrived -- they aggregate and finalize at batch 1's
+      commit, where eviction uses the POST-commit watermark
+      (max(ts) - 1 h).
+    - LATE DROP: batch 2's early-odd rows -- same hours, one batch
+      later -- now sit below the operative watermark and are dropped
+      (measured: numRowsDroppedByWatermark = 250 of 260 at sf0.001;
+      the remainder are NULL-ts rows that no window admits anyway).
+    - APPEND FINALIZATION: only windows with end <= final watermark are
+      emitted; the unfinalized tail (the last hour before max ts) stays
+      in state forever under availableNow and never reaches the sink.
+    The oracle reconstructs all three rules relationally: the batch
+    boundary via the floor-microsecond midpoint (the mg-parity
+    machinery), the contribution set as batch-0 OR even-id rows, the
+    emission filter as window_end <= max(ts) - 1 h. Boundary notes:
+    Spark tracks event-time stats in MILLISECONDS, so the <= vs < edge
+    of both comparisons is only observable when max(ts) sits within
+    1 ms of an hour boundary -- impossible on the microsecond-random
+    fixture and noted here for the reader, not load-bearing.
+
+    At scale this is THE bounded-state guarantee: state holds only
+    windows above wm (delay/window_size buckets per key), late
+    stragglers cost zero state, and the drop is observable
+    (numRowsDroppedByWatermark) rather than silent."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.streaming.windows import (
+        windowed_counts,
+    )
+
+    src_dir, schema = _staged_late_replay_dir(spark, sf_dir)
+
+    def build():
+        import os as _os
+        import shutil
+        import tempfile
+
+        shuffle_conf = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(shuffle_conf)
+        ckpt = q = None
+        sink = "late_data_windows"
+        try:
+            spark.conf.set(
+                shuffle_conf,
+                _os.environ.get("SPARK_GRAFT_STATE_PARTITIONS", "8"),
+            )
+            ckpt = tempfile.mkdtemp(prefix="late_ckpt_", dir=_fast_tmp())
+            stream = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(src_dir))
+            )
+            agg = windowed_counts(stream, window="1 hour", watermark="1 hour")
+            q = (
+                agg.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return spark.table(sink).localCheckpoint()
+        finally:
+            spark.conf.set(shuffle_conf, prev)
+            if q is not None:
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+            if ckpt is not None:
+                shutil.rmtree(ckpt, ignore_errors=True)
+
+    out = session_stage(spark, sf_dir, "late_data_parity", build)
+    return out.select("window_start", "event_type", "n", "sum_value")

@@ -82,6 +82,7 @@ _EXECUTES_ON_BUILD = {
     "bpe_vocab_checkpointed",
     "streaming_curation_parity",
     "streaming_jsonl_ingest_parity",
+    "streaming_late_data_parity",
 }
 
 
