@@ -35,8 +35,10 @@ FROM documents
 def _staged_text_format(spark: SparkSession, sf_dir: str, fmt: str,
                         **options) -> str:
     """Write documents in `fmt` once per session+sf_dir; returns the dir."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
@@ -47,6 +49,7 @@ def _staged_text_format(spark: SparkSession, sf_dir: str, fmt: str,
     def build():
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         base = tempfile.mkdtemp(prefix=f"ingest_{fmt}_{tag}_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         path = os.path.join(base, f"documents_{fmt}")
         w = load_table(spark, sf_dir, "documents").write
         for k, v in options.items():

@@ -205,8 +205,10 @@ def _month_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
     predicate index. repartition(ship_month) first so each month is
     written by one task -- one file per partition, not one per (task,
     month) pair."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
@@ -216,6 +218,7 @@ def _month_partitioned_lineitem(spark: SparkSession, sf_dir: str) -> str:
     def build():
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         base = tempfile.mkdtemp(prefix=f"li_month_part_{tag}_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         path = os.path.join(base, "lineitem_by_month")
         li = load_table(spark, sf_dir, "lineitem").select(
             F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM")

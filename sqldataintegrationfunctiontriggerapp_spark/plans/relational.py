@@ -1216,6 +1216,10 @@ def _colocated_tables(spark: SparkSession, sf_dir: str):
     def build():
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         base = tempfile.mkdtemp(prefix=f"colocated_{tag}_")
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         tc, to = f"colocated_cust_{tag}", f"colocated_ord_{tag}"
         c = load_table(spark, sf_dir, "customer").select(
             "c_custkey", "c_mktsegment"

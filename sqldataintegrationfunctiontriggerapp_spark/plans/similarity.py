@@ -250,6 +250,10 @@ def _standing_ivf_index(spark: SparkSession, sf_dir: str):
     def build():
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         base = tempfile.mkdtemp(prefix=f"ivf_standing_{tag}_")
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         name = f"ivf_standing_idx_{tag}"
         e = load_table(spark, sf_dir, "embeddings")
         pivots = S.ivf_pivots(e, 16)
@@ -1071,6 +1075,10 @@ def _standing_ivfpq_index(spark: SparkSession, sf_dir: str):
     def build():
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         base = tempfile.mkdtemp(prefix=f"ivfpq_standing_{tag}_")
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
         name = f"ivfpq_standing_idx_{tag}"
         e = load_table(spark, sf_dir, "embeddings")
         pivots = S.ivf_pivots(e, _IVFPQ_N_LISTS)

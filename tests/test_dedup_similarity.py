@@ -487,3 +487,96 @@ def test_pq_codes_blas_carries_extra_cols(spark, sf_dir):
     tagged = e.withColumn("tag", F.col("vec_id") * 2)
     out = S.pq_codes_blas(tagged, books, extra_cols=["tag"]).collect()
     assert all(r.tag == r.vec_id * 2 for r in out)
+
+
+def _write_docs_fixture(spark, rows, prefix):
+    """Write a tiny documents.parquet fixture dir for plan-level tests."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    spark.createDataFrame(
+        rows,
+        "doc_id bigint, text string, lang string, source string,"
+        " n_chars bigint",
+    ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_span_auto_route_uncapped_equals_primary(spark):
+    """Where the cap is NOT binding (hottest posting list <= _F_AUTO) the
+    auto-routed detect/remove queries must be bit-identical to the
+    uncapped primaries -- routing is pure cost there, never semantics."""
+    import sqldataintegrationfunctiontriggerapp_spark.plans.dedup as dd
+
+    base = " ".join(f"w{i}" for i in range(12))
+    other = " ".join(f"x{i}" for i in range(12))
+    d = _write_docs_fixture(
+        spark,
+        [(1, base, "en", "a", len(base)),
+         (2, base, "en", "a", len(base)),
+         (3, other, "en", "a", len(other))],
+        "span_auto_lo_",
+    )
+    runs = {tuple(r) for r in dd.crossdoc_span_runs(spark, d).collect()}
+    runs_auto = {
+        tuple(r) for r in dd.crossdoc_span_runs_auto(spark, d).collect()
+    }
+    assert runs == runs_auto and runs
+    rm = {tuple(r) for r in dd.crossdoc_span_removal(spark, d).collect()}
+    rm_auto = {
+        tuple(r) for r in dd.crossdoc_span_removal_auto(spark, d).collect()
+    }
+    assert rm == rm_auto and len(rm) == 3
+
+
+def test_span_auto_route_caps_on_boilerplate(spark):
+    """Where any posting list exceeds _F_AUTO documents, the auto route
+    must flip to the _CAP_F-masked postings: identical output to
+    crossdoc_span_runs_capped, and strictly fewer pair rows than the
+    uncapped primary (the boilerplate-only pairs are the ones dropped)."""
+    import sqldataintegrationfunctiontriggerapp_spark.plans.dedup as dd
+
+    n_docs = dd._F_AUTO + 6  # hottest shingle df = 70 > _F_AUTO
+    boiler = " ".join(f"b{i}" for i in range(8))  # one shared 8-gram
+    rows = [
+        (
+            i,
+            f"u{i}a u{i}b u{i}c {boiler} t{i}x t{i}y t{i}z",
+            "en",
+            "a",
+            40,
+        )
+        for i in range(n_docs)
+    ]
+    # plus one genuine near-dup pair whose shared span survives the cap
+    uniq = " ".join(f"q{i}" for i in range(12))
+    rows += [(1000, uniq, "en", "a", len(uniq)),
+             (1001, uniq, "en", "a", len(uniq))]
+    d = _write_docs_fixture(spark, rows, "span_auto_hi_")
+    capped = {
+        tuple(r) for r in dd.crossdoc_span_runs_capped(spark, d).collect()
+    }
+    auto = {tuple(r) for r in dd.crossdoc_span_runs_auto(spark, d).collect()}
+    assert auto == capped
+    assert (1000, 1001) in {(a, b) for (a, b, *_) in auto}
+    n_uncapped = dd.crossdoc_span_runs(spark, d).count()
+    assert len(auto) < n_uncapped
+
+
+def test_minhash_shard_merge_empty_corpus(spark):
+    """ADVICE r10 #5: over a corpus with ZERO shingles (all docs shorter
+    than the shingle width) the mergeability contract is vacuous -- zero
+    rows, matching the oracle's GROUP BY over an empty set, instead of 16
+    NULL-signature rows from Spark's ungrouped global agg."""
+    import sqldataintegrationfunctiontriggerapp_spark.plans.dedup as dd
+
+    d = _write_docs_fixture(
+        spark,
+        [(1, "one two", "en", "a", 7), (2, "a b", "en", "a", 3)],
+        "mh_merge_empty_",
+    )
+    assert dd.minhash_shard_merge(spark, d).count() == 0
