@@ -1965,6 +1965,39 @@ def streaming_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
+            # Fail-fast semantics probe (ADVICE r10 #3): the oracle
+            # hard-codes the empirically pinned micro-batch admission
+            # pattern (batch 0 late-half + batch 1 early-even admitted,
+            # batch 2 early-odd dropped by the now-operative watermark).
+            # That is internal scheduling behavior a Spark version bump
+            # could silently flip, which would surface as an opaque hash
+            # mismatch -- so assert the measured drop profile here and
+            # name the contract in the error instead.
+            data = [
+                p
+                for p in (q.recentProgress or [])
+                if int(p.get("numInputRows") or 0) > 0
+            ]
+            drops = [
+                int(
+                    (p.get("stateOperators") or [{}])[0].get(
+                        "numRowsDroppedByWatermark"
+                    )
+                    or 0
+                )
+                for p in data
+            ]
+            if len(drops) != 3 or any(drops[:-1]) or drops[-1] == 0:
+                raise RuntimeError(
+                    "streaming_late_data_parity: watermark admission "
+                    "profile changed -- expected 3 data micro-batches "
+                    "with drops only in the last (one-batch watermark "
+                    "lag admits batch 1's early rows, batch 2's are "
+                    f"late), observed numRowsDroppedByWatermark={drops}. "
+                    "Spark's micro-batch watermark semantics shifted; "
+                    "re-derive the oracle's contribution set before "
+                    "trusting the hash."
+                )
             return spark.table(sink).localCheckpoint()
         finally:
             spark.conf.set(shuffle_conf, prev)

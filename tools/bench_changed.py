@@ -95,16 +95,29 @@ def main() -> int:
         tot01 += a
         tot1 += b
         row = f"| `{q}` | {a:.2f} | {b:.2f} | {b / a:.1f}× |"
-        if t10 and q in t10:
-            c = t10[q]
-            tot10 += c
-            row += f" {c:.2f} | {c / b:.1f}× |"
+        if t10:
+            # keep the table rectangular when a query has no sf10 time
+            # (e.g. it failed there) -- placeholder cells, and the total
+            # row names the exclusions so the subset total is honest
+            if q in t10:
+                c = t10[q]
+                tot10 += c
+                row += f" {c:.2f} | {c / b:.1f}× |"
+            else:
+                row += " — | — |"
         print(row)
     total = (f"| **changed-set total** | **{tot01:.1f}** | **{tot1:.1f}** "
              f"| **{tot1 / tot01:.1f}×** |")
     if t10:
         total += f" **{tot10:.1f}** | **{tot10 / tot1:.1f}×** |"
     print(total)
+    if t10:
+        missing = [q for q in queries
+                   if q in t01 and q in t1 and q not in t10]
+        if missing:
+            print(f"\nsf10 total excludes {len(missing)} "
+                  f"quer{'y' if len(missing) == 1 else 'ies'} with no sf10 "
+                  f"time: {', '.join(missing)}")
     return 0
 
 
