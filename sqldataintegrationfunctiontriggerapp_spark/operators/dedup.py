@@ -122,19 +122,28 @@ def minhash_signatures(shingled: DataFrame, n_bands: int = 8,
     ).withColumn("band", F.col("band").cast("int"))
 
 
-def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
+                        trust_stats: bool = False) -> DataFrame:
     """Self-join on (band, sig): pairs colliding in >=1 band. The join key is
-    the signature, so shuffle volume is O(n_docs * n_bands), not O(n^2)."""
+    the signature, so shuffle volume is O(n_docs * n_bands), not O(n^2).
+
+    trust_stats (r11): pass True ONLY when `sigs` descends from a
+    MATERIALIZED persist() cache (truthful InMemoryRelation stats). The
+    join is then left unhinted: initial planning sees an honest (large,
+    conservative) estimate so nothing multi-GiB is eagerly broadcast, and
+    AQE's runtime SMJ->BHJ conversion re-earns the broadcast from ACTUAL
+    shuffle bytes on small corpora -- the r09 sf0.1 speed without the r10
+    sf10 OOM. The default keeps the merge hint because explode-fed and
+    localCheckpoint-fed inputs INHERIT their origin's size estimate
+    (measured: 25.1 MiB reported for a 3.5 GiB checkpointed explode
+    output), and a lying-small estimate means an eager broadcast AQE can
+    never undo."""
     a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
-    # merge hint (r10): sigs is typically localCheckpointed by callers,
-    # and a LogicalRDD INHERITS its origin's size estimate (measured:
-    # still 25.1 MiB after checkpointing a 3.5 GiB explode output) -- so
-    # unlike a materialized persist() cache, checkpoint-fed joins cannot
-    # be trusted to auto-size. The self-join must shuffle at scale; the
-    # hint only rules out broadcast.
+    if not trust_stats:
+        a = a.hint("merge")
     return (
-        a.hint("merge").join(b, ["band", "sig"])
+        a.join(b, ["band", "sig"])
         .where(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
@@ -142,24 +151,26 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
 
 def verify_jaccard(candidates: DataFrame, shingled: DataFrame,
-                   threshold: float, id_col: str = "doc_id") -> DataFrame:
+                   threshold: float, id_col: str = "doc_id",
+                   trust_stats: bool = False) -> DataFrame:
     """Exact Jaccard on candidate pairs only: intersection via a shingle
-    equi-join restricted to candidates, sizes via a per-doc count."""
-    # merge hints (r10): `shingled` arrives either persist()ed (operator
-    # callers) or localCheckpointed (the shared plans stage). A
-    # LogicalRDD INHERITS its origin's size estimate -- measured 25.1 MiB
-    # reported for a 3.5 GiB checkpointed explode output -- so Catalyst
-    # would auto-broadcast a full postings side at scale (the sf10
-    # spot-bench OOM). Hints are the shape that is safe for BOTH input
-    # kinds; the ngram path, whose pair stage owns a persist()ed +
-    # materialized cache (truthful InMemoryRelation stats), auto-sizes
-    # without them.
+    equi-join restricted to candidates, sizes via a per-doc count.
+
+    trust_stats (r11): True means `shingled` is a MATERIALIZED persist()
+    cache whose InMemoryRelation stats are truthful -- the joins are left
+    unhinted so initial planning cannot eagerly broadcast a multi-GiB
+    postings side (honest size) while AQE's runtime SMJ->BHJ conversion
+    recovers the broadcast fast path on small corpora from actual shuffle
+    bytes. The default keeps the r10 merge hints because checkpoint-fed
+    and explode-fed inputs inherit lying-small size estimates (see
+    lsh_candidate_pairs) and an eager mis-broadcast is unrecoverable."""
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ea = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
     eb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
+    hinted = (lambda df: df) if trust_stats else (lambda df: df.hint("merge"))
     inter = (
-        candidates.join(ea.hint("merge"), "doc_a")
-        .join(eb.hint("merge"), ["doc_b", "shingle"])
+        candidates.join(hinted(ea), "doc_a")
+        .join(hinted(eb), ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -169,8 +180,8 @@ def verify_jaccard(candidates: DataFrame, shingled: DataFrame,
         F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
     return (
-        inter.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
+        inter.join(hinted(sa), "doc_a")
+        .join(hinted(sb), "doc_b")
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
@@ -197,8 +208,14 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     shingled.count()
     try:
         sigs = minhash_signatures(shingled, n_bands, id_col)
-        cands = lsh_candidate_pairs(sigs, id_col)
-        result = verify_jaccard(cands, shingled, threshold, id_col).localCheckpoint()
+        # trust_stats: shingled is materialized above, so every estimate
+        # downstream is honest (the sigs aggregate propagates the cache's
+        # real bytes, conservative-large) -- AQE picks the join strategy
+        # from actual runtime sizes instead of the defensive merge hints.
+        cands = lsh_candidate_pairs(sigs, id_col, trust_stats=True)
+        result = verify_jaccard(
+            cands, shingled, threshold, id_col, trust_stats=True
+        ).localCheckpoint()
     finally:
         shingled.unpersist()
     return result

@@ -45,3 +45,29 @@ def test_bare_session_runs_events_queries():
     )
     assert proc.returncode == 0, f"stderr tail:\n{proc.stderr[-3000:]}"
     assert "BARE_OK" in proc.stdout
+
+
+def test_derive_shuffle_partitions_rule(tmp_path):
+    """Bytes-derived shuffle sizing: cpu floor below ~8 MB/partition of
+    fixture parquet, ceil(bytes/8MB) above it, capped, and robust to a
+    missing fixture dir."""
+    from sqldataintegrationfunctiontriggerapp_spark.session import (
+        _SHUFFLE_PARTITION_CAP,
+        _SHUFFLE_TARGET_BYTES,
+        derive_shuffle_partitions,
+    )
+
+    assert derive_shuffle_partitions(str(tmp_path / "missing"), 32) == 32
+    small = tmp_path / "small"
+    small.mkdir()
+    (small / "t.parquet").write_bytes(b"x" * 1024)
+    assert derive_shuffle_partitions(str(small), 32) == 32
+    big = tmp_path / "big"
+    big.mkdir()
+    with open(big / "t.parquet", "wb") as f:
+        f.truncate(100 * _SHUFFLE_TARGET_BYTES)  # sparse 800 MB
+    assert derive_shuffle_partitions(str(big), 32) == 100
+    assert derive_shuffle_partitions(str(big), 128) == 128
+    with open(big / "u.parquet", "wb") as f:
+        f.truncate(_SHUFFLE_PARTITION_CAP * 2 * _SHUFFLE_TARGET_BYTES)
+    assert derive_shuffle_partitions(str(big), 32) == _SHUFFLE_PARTITION_CAP

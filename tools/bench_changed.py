@@ -65,25 +65,23 @@ def main() -> int:
     t01 = run_bench("/root/testdata/sf0.1", queries)
     t1 = run_bench(sf1_dir, queries)
     # optional third column: --sf10 DIR benches the 100x fixture with the
-    # sf10 method from COVERAGE.md (8g driver, 256 shuffle partitions)
+    # sf10 method from COVERAGE.md (8g driver; shuffle partitions are now
+    # bytes-derived by session.derive_shuffle_partitions -- r10's manual
+    # SPARK_GRAFT_SHUFFLE_PARTITIONS=256 knob retired, VERDICT r10 #3)
     sf10_dir = opt("--sf10", None)
     t10 = None
     if sf10_dir:
         if not os.path.isdir(sf10_dir):
             raise SystemExit(f"sf10 fixture missing: {sf10_dir}")
         prev_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-        prev_parts = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
         os.environ["SPARK_GRAFT_DRIVER_MEM"] = "8g"
-        os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "256"
         try:
             t10 = run_bench(sf10_dir, queries)
         finally:
-            for k, v in (("SPARK_GRAFT_DRIVER_MEM", prev_mem),
-                         ("SPARK_GRAFT_SHUFFLE_PARTITIONS", prev_parts)):
-                if v is None:
-                    os.environ.pop(k, None)
-                else:
-                    os.environ[k] = v
+            if prev_mem is None:
+                os.environ.pop("SPARK_GRAFT_DRIVER_MEM", None)
+            else:
+                os.environ["SPARK_GRAFT_DRIVER_MEM"] = prev_mem
     hdr10 = " sf10 s | ratio10 |" if t10 else ""
     print(f"| query | sf0.1 s | sf1 s | ratio |{hdr10}")
     print("|---|---|---|---|" + ("---|---|" if t10 else ""))
