@@ -580,3 +580,31 @@ def test_minhash_shard_merge_empty_corpus(spark):
         "mh_merge_empty_",
     )
     assert dd.minhash_shard_merge(spark, d).count() == 0
+
+
+def test_image_header_parsers_and_corrupt_degradation(spark):
+    """decode_image_dims must parse real PNG/JPEG header bytes and degrade
+    per-row on garbage (format 'unknown', NULL dims) without failing the
+    task -- the corrupt-file contract of a media crawl."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        _jpeg_bytes,
+        _png_bytes,
+        decode_image_dims,
+    )
+
+    rows = [
+        (1, bytearray(_png_bytes(800, 600, color_type=6))),
+        (2, bytearray(_jpeg_bytes(320, 240, n_comp=1))),
+        (3, bytearray(b"\x89PNG but truncated")),
+        (4, bytearray(b"\xff\xd8\x00garbage after SOI")),
+        (5, bytearray(b"")),
+    ]
+    media = spark.createDataFrame(rows, "media_id bigint, content binary")
+    out = {r.media_id: r for r in decode_image_dims(media).collect()}
+    assert (out[1].format, out[1].width, out[1].height,
+            out[1].n_channels) == ("png", 800, 600, 4)
+    assert (out[2].format, out[2].width, out[2].height,
+            out[2].n_channels) == ("jpeg", 320, 240, 1)
+    for bad in (3, 4, 5):
+        assert out[bad].format == "unknown"
+        assert out[bad].width is None and out[bad].n_channels is None
