@@ -2011,3 +2011,221 @@ def streaming_late_data_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = session_stage(spark, sf_dir, "late_data_parity", build)
     return out.select("window_start", "event_type", "n", "sum_value")
+
+
+@register(
+    "streaming_crash_recovery_parity",
+    oracle="""
+    SELECT 'Update' AS operation, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_milli,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_crash_recovery_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-DEATH recovery parity (VERDICT r10 #4): micro-batch 1 runs in a
+    SEPARATE PROCESS (own Python driver, own JVM — streaming/crash_child.py)
+    through the deployed `ChangePipeline.foreach_batch` wrapper, the process
+    halts abruptly (JVM `Runtime.halt` + `os._exit`: no shutdown hooks, no
+    teardown — the on-disk state a host crash leaves) the instant the engine
+    hands it micro-batch 2, and THIS session — a different process — resumes
+    the SAME checkpoint and finishes the replay. That is the host-restart
+    half of the reference's lease semantics (README.md:19-23,
+    ExecuteTriggerHelper.cs:156-157): the checkpoint IS the lease, and a new
+    host picks up exactly where the dead one's last committed micro-batch
+    left off. streaming_pipeline_parity's in-session redelivery cannot
+    witness this — there the restarted query shares the dying one's JVM.
+
+    What the hash proves: the receiver accumulates payloads across BOTH
+    processes (batch 1 posted by the child, batch 2 by the resume), and the
+    aggregate equals the batch GROUP BY over all events — so the resumed
+    session neither re-posted committed batch 1 (a duplicate breaks n_rows)
+    nor lost batch 2 (a gap breaks it too): exactly-once accounting across
+    a process boundary. Three explicit asserts pin the mechanism before the
+    hash gets a say: the child must die with exit code 137 AND leave a
+    commit log ending at epoch 0 (batch 1 durable, batch 2 not), and the
+    resume's first foreachBatch invocation must carry epoch_id=1 (the
+    engine skipped committed work — direct no-redelivery evidence, not just
+    an aggregate consequence).
+
+    Cross-process state evidence rides along: the client allowlist (A11) is
+    saved by THIS session's StateStore, read by the child's, and read again
+    by the resume — the same durable entity state the reference keeps in
+    Durable Entities across host restarts (EntityFunctions.cs:17-21).
+
+    Harness concessions (same class as streaming_pipeline_parity, all
+    local-mode): receiver on 127.0.0.1, checkpoint/state in driver tmp dirs
+    (tmpfs when available), no-op A15 sleeper. The child's JVM boot
+    (~10-15 s) is the price of a REAL process boundary; everything else in
+    the suite shares one session, this query deliberately cannot. Scale:
+    the checkpoint contract is identical on a shared filesystem — resuming
+    from HDFS/S3 offsets is exactly this code path with a durable
+    checkpointLocation."""
+    import http.server
+    import json as jsonmod
+    import math
+    import os as osmod
+    import shutil
+    import subprocess
+    import sys as sysmod
+    import tempfile
+    import threading
+
+    from sqldataintegrationfunctiontriggerapp_spark.config import EngineSettings
+    from sqldataintegrationfunctiontriggerapp_spark.sinks.http_sink import (
+        HttpSink,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.sources.changefeed import (
+        with_operation,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.state import (
+        StateStore,
+        _local_df,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.streaming import crash_child
+    from sqldataintegrationfunctiontriggerapp_spark.streaming.pipeline import (
+        ChangePipeline,
+    )
+
+    src_dir, schema = _staged_events_dir(spark, sf_dir)
+
+    class _Receiver(http.server.BaseHTTPRequestHandler):
+        lock = threading.Lock()
+        delivered: list[bytes] = []
+
+        def do_POST(self):  # noqa: N802
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            with _Receiver.lock:
+                _Receiver.delivered.append(body)
+            self.send_response(200)
+            self.send_header("Content-Type", "text/plain")
+            self.end_headers()
+            self.wfile.write(b"ok")
+
+        def log_message(self, *a):
+            pass
+
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), _Receiver)
+    srv_thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    srv_thread.start()
+    url = f"http://127.0.0.1:{srv.server_address[1]}"
+
+    state_dir = tempfile.mkdtemp(prefix="crash_parity_state_", dir=_fast_tmp())
+    ckpt_dir = tempfile.mkdtemp(prefix="crash_parity_ckpt_", dir=_fast_tmp())
+    try:
+        # A11 state written by THIS process, read by two others below
+        StateStore(spark, state_dir).save_allowed_columns("events", "USER_ID")
+
+        # ---- process A: child runs batch 1, halts at the sight of batch 2
+        repo_root = osmod.path.dirname(osmod.path.dirname(osmod.path.dirname(
+            osmod.path.abspath(__file__))))
+        env = dict(osmod.environ)
+        env["PYTHONPATH"] = repo_root + osmod.pathsep + env.get("PYTHONPATH", "")
+        proc = subprocess.run(
+            [sysmod.executable, "-m",
+             "sqldataintegrationfunctiontriggerapp_spark.streaming.crash_child",
+             src_dir, ckpt_dir, state_dir, url],
+            env=env, cwd=repo_root, timeout=300,
+            capture_output=True, text=True,
+        )
+        if proc.returncode != crash_child.EXIT_CODE:
+            raise RuntimeError(
+                f"crash child exited {proc.returncode}, expected"
+                f" {crash_child.EXIT_CODE} (scripted halt at micro-batch 2);"
+                f" stderr tail: {proc.stderr[-2000:]}"
+            )
+        commits = osmod.path.join(ckpt_dir, "commits")
+        if not osmod.path.isfile(osmod.path.join(commits, "0")):
+            raise RuntimeError("child died without committing micro-batch 1")
+        if osmod.path.isfile(osmod.path.join(commits, "1")):
+            raise RuntimeError(
+                "micro-batch 2 committed before the scripted halt -- the"
+                " crash point drifted; the resume below would prove nothing"
+            )
+        with _Receiver.lock:
+            n_child = len(_Receiver.delivered)
+        if n_child == 0:
+            raise RuntimeError("child committed batch 1 but posted nothing")
+
+        # ---- process B (this session): resume the SAME checkpoint
+        settings = EngineSettings(
+            http_base_url=url,
+            allowed_columns={"events": "Event_Type,Value"},
+        )
+        pipe = ChangePipeline(
+            settings=settings,
+            state=StateStore(spark, state_dir),
+            sink=HttpSink(base_url=url, max_attempts=2,
+                          sleeper=lambda _s: None),
+        )
+        inner = pipe.foreach_batch("events")
+        resume_epochs: list[int] = []
+
+        def fb(batch_df: DataFrame, epoch_id: int) -> None:
+            resume_epochs.append(epoch_id)
+            inner(batch_df, epoch_id)
+
+        q = (
+            with_operation(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src_dir)
+            )
+            .writeStream.foreachBatch(fb)
+            .option("checkpointLocation", ckpt_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+        if resume_epochs[:1] != [1]:
+            raise RuntimeError(
+                f"resume replayed epochs {resume_epochs}: expected to START"
+                " at epoch 1 (epoch 0 was committed by the dead process --"
+                " redelivering it means the checkpoint was not honored)"
+            )
+        if not pipe.last_outcome.get("ok"):
+            raise RuntimeError(f"resume outcome: {pipe.last_outcome!r}")
+        with _Receiver.lock:
+            delivered = list(_Receiver.delivered)
+        if len(delivered) <= n_child:
+            raise RuntimeError("resume posted nothing for micro-batch 2")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        srv_thread.join(timeout=10)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    # aggregate the union of both processes' deliveries, exactly as the
+    # oracle's batch GROUP BY does (same envelope algebra as
+    # streaming_pipeline_parity)
+    counts: dict[tuple, list] = {}
+    users: dict[tuple, set] = {}
+    for body in delivered:
+        for change in jsonmod.loads(body):
+            item = change["item"]
+            key = (change["operation"], item.get("event_type"))
+            acc = counts.setdefault(key, [0, None])
+            acc[0] += 1
+            v = item.get("value")
+            if v is not None:
+                acc[1] = (acc[1] or 0) + math.floor(v * 1000)
+            u = item.get("user_id")
+            if u is not None:
+                users.setdefault(key, set()).add(u)
+    rows = [
+        (op, et, n, s, len(users.get((op, et), ())))
+        for (op, et), (n, s) in counts.items()
+    ]
+    return _local_df(
+        spark,
+        rows,
+        "operation string, event_type string, n_rows bigint,"
+        " sum_milli bigint, n_users bigint",
+    )
