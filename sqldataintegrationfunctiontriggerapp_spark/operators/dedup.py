@@ -128,7 +128,9 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     the signature, so shuffle volume is O(n_docs * n_bands), not O(n^2).
 
     trust_stats (r11): pass True ONLY when `sigs` descends from a
-    MATERIALIZED persist() cache (truthful InMemoryRelation stats). The
+    MATERIALIZED persist() cache -- or from a localCheckpoint TAKEN OF one
+    (the LogicalRDD snapshots the cache's honest sizeInBytes; see
+    plans/dedup.py _truthful_ckpt). The
     join is then left unhinted: initial planning sees an honest (large,
     conservative) estimate so nothing multi-GiB is eagerly broadcast, and
     AQE's runtime SMJ->BHJ conversion re-earns the broadcast from ACTUAL
