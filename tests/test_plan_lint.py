@@ -49,6 +49,7 @@ _BNLJ_ALLOWED = {
     "hll_shard_merge":           "1-row: global-vs-merged estimate combine",
     "ann_pq_adc_topk":           "gated: ADC scan, fixed query set broadcast",
     "ann_pq_recall":             "gated: ADC + exact scans, query set broadcast",
+    "ann_pq_dim_alloc_recall":   "gated: two ADC + one exact scan, query set broadcast",
     "contrastive_triplets":      "gated: exact scan, fixed query set broadcast",
     "vocab_coverage_cutoff":     "1-row: total token-mass denominator",
 }
@@ -83,6 +84,8 @@ _EXECUTES_ON_BUILD = {
     "streaming_curation_parity",
     "streaming_jsonl_ingest_parity",
     "streaming_late_data_parity",
+    # r11: runs a full subprocess crash + checkpoint resume on build
+    "streaming_crash_recovery_parity",
 }
 
 

@@ -110,6 +110,16 @@ def main() -> None:
         i = args.index("--replicas")
         replicas = int(args[i + 1])
         del args[i:i + 2]
+    # --tables lineitem,documents: generate a PARTIAL fixture holding only
+    # the named tables (plus the fixed dims, which are free) -- the sf30+
+    # spot-bench points need one or two fact tables, not a full 6 GB copy
+    # of everything (VERDICT r10 #7). Queries touching an omitted table
+    # fail at read time, loudly.
+    only: set[str] | None = None
+    if "--tables" in args:
+        i = args.index("--tables")
+        only = {t.strip() for t in args[i + 1].split(",") if t.strip()}
+        del args[i:i + 2]
     dst = args[0] if args else DST_DEFAULT
     os.makedirs(dst, exist_ok=True)
     for t in FIXED_DIMS:
@@ -117,6 +127,8 @@ def main() -> None:
         pq.write_table(src, f"{dst}/{t}.parquet")
         print(f"{t}: {src.num_rows} rows (fixed dim)")
     for t, cols in OFFSET_COLS.items():
+        if only is not None and t not in only:
+            continue
         src = pq.read_table(f"{SRC}/{t}.parquet")
         out_dir = f"{dst}/{t}.parquet"
         os.makedirs(out_dir, exist_ok=True)
