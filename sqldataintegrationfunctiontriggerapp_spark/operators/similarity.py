@@ -1881,3 +1881,55 @@ def pq_codes_auto(
     if corpus.count() > _PQ_BLAS_MIN_ROWS:
         return pq_codes_blas(corpus, books, id_col, vec_col)
     return pq_codes(corpus, books, id_col, vec_col)
+
+
+def greedy_dim_allocation(variances: list[float], m: int) -> list[list[int]]:
+    """The production rule ann_pq_dim_alloc_recall's docstring names: given
+    MEASURED per-dimension variances (embedding_dim_stats emits the stds;
+    square them), allocate dimensions to m equal-size PQ subspaces so the
+    variance mass balances -- greedy largest-first into the subspace with
+    the smallest current log-variance product (the balanced-product
+    objective of Ge et al.'s eigenvalue allocation, applied to an
+    axis-aligned spectrum). Deterministic: stable descending variance
+    order (ties by dim index), subspace ties by index. Returns m lists of
+    dim indices, each sorted ascending -- the layout
+    `allocation_permutation` turns into the frame permutation the
+    registered query applies.
+
+    Driver-side metadata work: 64 floats in, 64 ints out; the allocation
+    is chosen once at index build and lives beside the codebooks."""
+    import math
+
+    d = len(variances)
+    if m <= 0 or d % m:
+        raise ValueError(f"cannot split {d} dims into {m} equal subspaces")
+    cap = d // m
+    order = sorted(range(d), key=lambda j: (-variances[j], j))
+    # Work on logs SHIFTED to be non-negative (subtract the min log): a
+    # global rescale of the variances multiplies every bucket's final
+    # product by the same factor when capacities are equal, so relative
+    # balance is unchanged -- and it removes the herding failure of raw
+    # log-products, where every sub-1 variance ADDED to a bucket made that
+    # bucket look smaller and attract the next item too. Ties break by
+    # fill count then index, so runs of equal variances (plateaus) deal
+    # out round-robin instead of piling into bucket 0.
+    logs = [math.log(max(v, 1e-300)) for v in variances]
+    lo = min(logs)
+    load = [0.0] * m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    for j in order:
+        s = min(
+            (s for s in range(m) if len(buckets[s]) < cap),
+            key=lambda s: (load[s], len(buckets[s]), s),
+        )
+        buckets[s].append(j)
+        load[s] += logs[j] - lo
+    return [sorted(b) for b in buckets]
+
+
+def allocation_permutation(alloc: list[list[int]]) -> list[int]:
+    """Flatten an allocation into the vector permutation under which
+    CONTIGUOUS subspace slicing realizes it (position p of the permuted
+    vector holds original dim perm[p]) -- the shape pq_fit/pq_codes
+    consume without modification."""
+    return [j for bucket in alloc for j in bucket]

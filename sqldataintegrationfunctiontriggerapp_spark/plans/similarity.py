@@ -1836,8 +1836,10 @@ def ann_pq_dim_alloc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     permutation only breaks the accidental fit of the seed sample. The
     production rule this query encodes: choose the allocation FROM the
     measured spectrum (embedding_dim_stats provides exactly the per-dim
-    variances; greedy balanced allocation over them is driver-side
-    metadata work), never blindly.
+    variances; operators/similarity.py greedy_dim_allocation +
+    allocation_permutation turn them into the balanced frame permutation
+    -- driver-side metadata work, test-pinned to deal the ramp's plateaus
+    out evenly), never blindly.
 
     Plan shape: one scan derives the scaled/permuted frames (exact
     arithmetic, no shuffle); two deterministic PQ fits (bounded driver

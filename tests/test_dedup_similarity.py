@@ -648,3 +648,34 @@ def test_truthful_ckpt_survives_clearcache_with_honest_stats(spark, sf_dir):
     # and the data itself does not recompute from the (mutable) source:
     # a checkpoint scan counts rows without touching the parquet lineage
     assert out.count() == exploded.count()
+
+
+def test_greedy_dim_allocation_balances_the_ramp():
+    """The measured-spectrum allocation rule (operators/similarity.py
+    greedy_dim_allocation): on the 8-plateau power-of-two ramp the
+    registered ann_pq_dim_alloc_recall uses, every subspace must receive
+    an equal share of every variance plateau (which is exactly what the
+    query's round-robin permutation hand-encodes), sizes must be equal,
+    and the result must be deterministic."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.similarity import (
+        allocation_permutation,
+        greedy_dim_allocation,
+    )
+
+    var = [4.0 ** (-(j // 8)) for j in range(64)]  # scale^2 of the ramp
+    alloc = greedy_dim_allocation(var, 4)
+    assert [len(b) for b in alloc] == [16] * 4
+    assert sorted(j for b in alloc for j in b) == list(range(64))
+    for plateau in range(8):
+        dims = set(range(plateau * 8, plateau * 8 + 8))
+        shares = [len(dims & set(b)) for b in alloc]
+        assert shares == [2, 2, 2, 2], (plateau, shares)
+    assert alloc == greedy_dim_allocation(list(var), 4)
+    perm = allocation_permutation(alloc)
+    assert sorted(perm) == list(range(64)) and len(perm) == 64
+    # a spectrum with one dominant dim: the heavy dim's subspace must
+    # receive the SMALLEST remaining variance mass (greedy compensation)
+    var2 = [1000.0] + [1.0] * 63
+    alloc2 = greedy_dim_allocation(var2, 4)
+    heavy = next(b for b in alloc2 if 0 in b)
+    assert len(heavy) == 16
