@@ -126,7 +126,15 @@ def _parse_png(buf: bytes):
     width = int.from_bytes(buf[16:20], "big")
     height = int.from_bytes(buf[20:24], "big")
     color_type = buf[25]
-    return width, height, _PNG_CHANNELS.get(color_type, 0)
+    # corrupt-header hardening (the never-throw-per-row contract): the spec
+    # bounds dims to 1..2^31-1 -- a bit-flipped field like FF FF FF FF must
+    # degrade to 'unknown', not overflow the Int32 output column and kill
+    # the task; an out-of-table color type is equally unparseable metadata
+    if not (0 < width <= 0x7FFFFFFF and 0 < height <= 0x7FFFFFFF):
+        return None
+    if color_type not in _PNG_CHANNELS:
+        return None
+    return width, height, _PNG_CHANNELS[color_type]
 
 
 def _parse_jpeg(buf: bytes):
@@ -149,12 +157,18 @@ def _parse_jpeg(buf: bytes):
             i += 2
             continue
         seg_len = int.from_bytes(buf[i + 2:i + 4], "big")
+        if seg_len < 2:
+            return None  # a segment length below its own 2 bytes is corrupt
         if marker in _JPEG_SOF:
             if i + 9 >= n:
                 return None
             height = int.from_bytes(buf[i + 5:i + 7], "big")
             width = int.from_bytes(buf[i + 7:i + 9], "big")
             n_comp = buf[i + 9]
+            # width/height/components are required non-zero in a frame
+            # header (height 0 = deferred-DNL streams, unparseable here)
+            if width == 0 or height == 0 or n_comp == 0:
+                return None
             return width, height, n_comp
         i += 2 + seg_len
     return None
@@ -171,7 +185,9 @@ def decode_image_dims(media: DataFrame) -> DataFrame:
         for pdf in batches:
             fmts, ws, hs, cs = [], [], [], []
             for buf in pdf["content"]:
-                b = bytes(buf)
+                # NULL binary cells arrive as None; the per-row degradation
+                # contract says they decode to 'unknown', never TypeError
+                b = bytes(buf) if buf is not None else b""
                 parsed = _parse_png(b)
                 if parsed is not None:
                     fmt = "png"

@@ -555,6 +555,42 @@ def _span_runs_agg(m: DataFrame) -> DataFrame:
     )
 
 
+def _span_pair_positions(sh: DataFrame) -> DataFrame:
+    """Shared HEAD of the span-detect pipeline (factored r11 after the
+    review caught it triplicated): positional postings -> matched pair
+    positions (doc_a, doc_b, pa, pb) via the shingle-keyed self-equi-join
+    (merge-hinted: both sides descend from the explode, whose Catalyst
+    size estimate is the pre-explode bytes). The uncapped, capped, and
+    auto variants feed this ONE join with differently-filtered postings --
+    a change to the join shape now cannot diverge between the variant the
+    tests pin and the variants asserted bit-identical to it."""
+    a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "shingle"
+    )
+    return (
+        a.join(b.hint("merge"), "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", "pb")
+    )
+
+
+def _df_capped_postings(sh: DataFrame) -> DataFrame:
+    """Postings restricted to shingles appearing in <= _CAP_F documents --
+    the production frequency cap, shared by crossdoc_span_runs_capped and
+    the auto route's capped branch (one definition, so the two cannot
+    drift)."""
+    keepable = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .where(F.col("df") <= _CAP_F)
+        .select("shingle")
+    )
+    return sh.join(keepable.hint("merge"), "shingle")
+
+
 @register(
     "crossdoc_span_runs",
     oracle=f"""
@@ -621,14 +657,7 @@ def crossdoc_span_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.word_shingles_pos(
         load_table(spark, sf_dir, "documents"), n=_RUN_K
     )
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "shingle")
-    m = (
-        a.join(b.hint("merge"), "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb")
-    )
-    return _span_runs_agg(m)
+    return _span_runs_agg(_span_pair_positions(sh))
 
 
 _MH_MERGE_SALTS = 16
@@ -1053,25 +1082,7 @@ def crossdoc_span_runs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage."""
     sh = D.word_shingles_pos(load_table(spark, sf_dir, "documents"),
                              n=_RUN_K)
-    keepable = (
-        sh.groupBy("shingle")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .where(F.col("df") <= _CAP_F)
-        .select("shingle")
-    )
-    shc = sh.join(keepable.hint("merge"), "shingle")
-    a = shc.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "shingle"
-    )
-    b = shc.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "shingle"
-    )
-    m = (
-        a.join(b.hint("merge"), "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb")
-    )
-    return _span_runs_agg(m)
+    return _span_runs_agg(_span_pair_positions(_df_capped_postings(sh)))
 
 
 _F_AUTO = 64  # hottest-posting-list bound before the capped branch takes over
@@ -1140,13 +1151,7 @@ def _span_postings_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_df = session_stage(spark, sf_dir, "span_posting_max_df", build)
     if max_df <= _F_AUTO:
         return sh
-    keepable = (
-        sh.groupBy("shingle")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .where(F.col("df") <= _CAP_F)
-        .select("shingle")
-    )
-    return sh.join(keepable.hint("merge"), "shingle")
+    return _df_capped_postings(sh)
 
 
 @register(
@@ -1186,18 +1191,7 @@ def crossdoc_span_runs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     crossdoc_span_runs' diagonal gaps-and-islands pipeline
     (_span_runs_agg)."""
     sh = _span_postings_auto(spark, sf_dir)
-    a = sh.select(
-        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa"), "shingle"
-    )
-    b = sh.select(
-        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb"), "shingle"
-    )
-    m = (
-        a.join(b.hint("merge"), "shingle")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", "pb")
-    )
-    return _span_runs_agg(m)
+    return _span_runs_agg(_span_pair_positions(sh))
 
 
 @register(

@@ -1892,22 +1892,33 @@ def ann_pq_dim_alloc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     )
 
-    def hits(top):
-        return (
-            top.join(exact, ["query_id", "neighbor_id"], "left")
-            .groupBy("query_id")
-            .agg(F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n"))
+    # one exact scan, not two: tag each variant's top-5 and join the union
+    # against `exact` ONCE, so the expensive exact-ranking subtree appears
+    # a single time in the executed plan (two separate hits() joins ran it
+    # twice -- caught by the r11 plan review); conditional sums split the
+    # hit counts back out per variant (every query has exactly 5 rows per
+    # variant, so the split is total)
+    tops = (
+        adc_top5(base, books_w, q_w).withColumn("variant", F.lit(0))
+        .unionByName(
+            adc_top5(basep, books_r, q_r).withColumn("variant", F.lit(1))
         )
-
-    hw = hits(adc_top5(base, books_w, q_w)).select(
-        "query_id", F.col("n").alias("n_hits_contig"),
-        (F.col("n") / F.lit(5.0)).alias("recall_contig"),
     )
-    hr = hits(adc_top5(basep, books_r, q_r)).select(
-        "query_id", F.col("n").alias("n_hits_alloc"),
-        (F.col("n") / F.lit(5.0)).alias("recall_alloc"),
+    hit = F.coalesce("hit", F.lit(0))
+    counts = (
+        tops.join(exact, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("variant") == 0, hit).otherwise(F.lit(0)))
+            .cast("long").alias("n_hits_contig"),
+            F.sum(F.when(F.col("variant") == 1, hit).otherwise(F.lit(0)))
+            .cast("long").alias("n_hits_alloc"),
+        )
     )
-    return hw.join(hr, "query_id").select(
-        "query_id", "n_hits_contig", "recall_contig",
-        "n_hits_alloc", "recall_alloc",
+    return counts.select(
+        "query_id",
+        "n_hits_contig",
+        (F.col("n_hits_contig") / F.lit(5.0)).alias("recall_contig"),
+        "n_hits_alloc",
+        (F.col("n_hits_alloc") / F.lit(5.0)).alias("recall_alloc"),
     )

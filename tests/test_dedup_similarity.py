@@ -592,12 +592,24 @@ def test_image_header_parsers_and_corrupt_degradation(spark):
         decode_image_dims,
     )
 
+    # r11 review hardening: a bit-flipped IHDR width field (FF FF FF FF)
+    # overflows int32 and used to KILL the task at the pd.array Int32 cast;
+    # an out-of-table color type used to emit 'png' with n_channels=0; a
+    # NULL content cell used to raise at bytes(None). All three must
+    # degrade per-row instead.
+    overflow_png = bytearray(_png_bytes(16, 16, color_type=2))
+    overflow_png[16:20] = b"\xff\xff\xff\xff"
+    badcolor_png = bytearray(_png_bytes(16, 16, color_type=2))
+    badcolor_png[25] = 5
     rows = [
         (1, bytearray(_png_bytes(800, 600, color_type=6))),
         (2, bytearray(_jpeg_bytes(320, 240, n_comp=1))),
         (3, bytearray(b"\x89PNG but truncated")),
         (4, bytearray(b"\xff\xd8\x00garbage after SOI")),
         (5, bytearray(b"")),
+        (6, overflow_png),
+        (7, badcolor_png),
+        (8, None),
     ]
     media = spark.createDataFrame(rows, "media_id bigint, content binary")
     out = {r.media_id: r for r in decode_image_dims(media).collect()}
@@ -605,8 +617,8 @@ def test_image_header_parsers_and_corrupt_degradation(spark):
             out[1].n_channels) == ("png", 800, 600, 4)
     assert (out[2].format, out[2].width, out[2].height,
             out[2].n_channels) == ("jpeg", 320, 240, 1)
-    for bad in (3, 4, 5):
-        assert out[bad].format == "unknown"
+    for bad in (3, 4, 5, 6, 7, 8):
+        assert out[bad].format == "unknown", bad
         assert out[bad].width is None and out[bad].n_channels is None
 
 
