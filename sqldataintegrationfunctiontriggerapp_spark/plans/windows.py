@@ -2229,3 +2229,126 @@ def streaming_crash_recovery_parity(spark: SparkSession, sf_dir: str) -> DataFra
         "operation string, event_type string, n_rows bigint,"
         " sum_milli bigint, n_users bigint",
     )
+
+
+def _minhash_ingest_oracle() -> str:
+    from sqldataintegrationfunctiontriggerapp_spark.plans.dedup import _SHINGLED
+
+    return f"""
+    WITH ex AS ({_SHINGLED}),
+    mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents),
+    bands AS (SELECT CAST(range AS INTEGER) AS band FROM range(8)),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(md5(CAST(band * 2 AS VARCHAR) || '|' || shingle))
+               || MIN(md5(CAST(band * 2 + 1 AS VARCHAR) || '|' || shingle)) AS sig
+        FROM ex CROSS JOIN bands
+        GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.doc_a
+        JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) AS jaccard,
+           CAST(CASE WHEN i.doc_b <= mid.m THEN 1 ELSE 2 END
+                AS INTEGER) AS detected_batch
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    CROSS JOIN mid
+    WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.7
+    """
+
+
+@register("streaming_minhash_dedup_parity", oracle=_minhash_ingest_oracle())
+def streaming_minhash_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-ON-ARRIVAL -- near-duplicate detection against an
+    INCREMENTALLY MAINTAINED MinHash index, the production shape of
+    continuous corpus ingestion (a crawl feed deduped as it lands, not in
+    nightly batch): each micro-batch of the staged 2-batch documents
+    replay (a) computes its own shingles and 8-band MinHash signatures,
+    (b) probes the STANDING signature index for band collisions whose
+    LATER document arrived in this batch, (c) verifies candidates with
+    exact Jaccard against the standing shingle store, and (d) appends its
+    signatures/shingles to the index (localCheckpoint per batch -- the
+    between-trigger persistence a lakehouse table provides). Output: every
+    verified >=0.7 pair tagged with the micro-batch that DETECTED it.
+
+    THE ORACLE IS THE BATCH LSH RUN (dedup_minhash_lsh's pair table, plus
+    the id-split detection batch): incremental-equals-batch holds exactly
+    because a document's band signatures are a pure function of its own
+    text -- so pair (a, b) collides incrementally iff it collides in
+    batch, is verified with both documents' complete shingle sets (a
+    document never splits across micro-batches), and is detected exactly
+    once, in the batch where the later document arrives (the id-ordered
+    staging guarantees doc_a is already standing). A double-detected
+    pair, a missed cross-batch pair, or a verification against a stale
+    index all break the hash; detected_batch additionally pins WHEN each
+    pair surfaced, i.e. that cross-batch pairs really were found by
+    probing the standing index rather than by a final global join.
+
+    Scale shape: per batch, signature/shingle computation touches only
+    the batch; the candidate probe is a (band, sig)-keyed equi-join of
+    batch signatures against the standing index (bucketable by band+sig
+    at rest -- the bucketed-join layout); verification joins candidates
+    against shingle postings keyed by doc. State grows as the corpus
+    does, like any standing index; nothing rescans history except the
+    probed collision buckets. The memory-bound variant swaps the shingle
+    store for the PQ-coded embedding index (ann_ivfpq family) -- same
+    probe-verify-append loop."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        dedup as D,
+    )
+
+    state: dict = {"sigs": None, "shingles": None, "pairs": [], "n": 0}
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        state["n"] += 1
+        sh_b = D.word_shingles(batch_df, n=3).localCheckpoint()
+        sig_b = D.minhash_signatures(sh_b, n_bands=8).localCheckpoint()
+        standing_sigs = (
+            sig_b if state["sigs"] is None
+            else state["sigs"].unionByName(sig_b).localCheckpoint()
+        )
+        standing_sh = (
+            sh_b if state["shingles"] is None
+            else state["shingles"].unionByName(sh_b).localCheckpoint()
+        )
+        # collisions whose LATER doc arrived in THIS batch: standing side
+        # already includes the batch, so batch-internal pairs are found in
+        # the same pass as cross-batch ones, each exactly once (doc_a <
+        # doc_b and doc_b restricted to the batch)
+        a = standing_sigs.select(
+            F.col("doc_id").alias("doc_a"), "band", "sig"
+        )
+        b = sig_b.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+        cands = (
+            a.join(b.hint("merge"), ["band", "sig"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        verified = D.verify_jaccard(cands, standing_sh, threshold=0.7)
+        state["pairs"].append(
+            verified.withColumn(
+                "detected_batch", F.lit(state["n"]).cast("int")
+            ).localCheckpoint()
+        )
+        state["sigs"] = standing_sigs
+        state["shingles"] = standing_sh
+
+    _staged_docs_foreach_replay(spark, sf_dir, fb)
+    out = state["pairs"][0]
+    for p in state["pairs"][1:]:
+        out = out.unionByName(p)
+    return out.select("doc_a", "doc_b", "jaccard", "detected_batch")

@@ -86,6 +86,8 @@ _EXECUTES_ON_BUILD = {
     "streaming_late_data_parity",
     # r11: runs a full subprocess crash + checkpoint resume on build
     "streaming_crash_recovery_parity",
+    # r11: runs the 2-batch ingestion replay + standing-index probes
+    "streaming_minhash_dedup_parity",
 }
 
 
