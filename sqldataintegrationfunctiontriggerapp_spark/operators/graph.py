@@ -125,3 +125,94 @@ def pagerank(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle participation counts over an ORIENTED pair list.
+
+    ``pairs``: columns (doc_a, doc_b) with doc_a < doc_b, one row per
+    undirected edge (the orientation the dedup pair stage already emits).
+    Returns (node, triangles) for every node in >= 1 triangle.
+
+    Shape: the canonical two-join enumeration — each triangle
+    {a < b < c} is produced exactly once as (a,b) ⋈ (b,c) ⋈ (a,c), so no
+    post-hoc division by 3/6. Orientation is what bounds the join fan-out:
+    an unoriented formulation fans out on total degree d(v), this one on
+    the out-degree of the lowest-id endpoint (the standard compact-
+    forward / node-iterator++ argument, Schank & Wagner 2005), which the
+    a < b < c constraint caps at roughly sqrt(|E|)-ish for skewed graphs.
+    All joins are equi-joins on node ids — shuffle-partitioned, no
+    broadcast assumption; integer counts, so no float-parity concern.
+    """
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, e1["b"] == e2["b2"])
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def label_propagation(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int = 3,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Synchronous label propagation (LPA, Raghavan et al. 2007) with a
+    deterministic twist: each node votes for itself once alongside its
+    neighbors' labels, and ties break on MIN label.
+
+    ``edges``: (src, dst), both directions present for undirected graphs.
+    ``nodes``: (node). Init label(v) = v; per round,
+    label'(v) = argmax_label count({label(u): u in N(v)} ∪ {label(v)}),
+    ties to the smallest label. Returns (node, label).
+
+    The self-vote is the determinism fix for the classic two-clique
+    oscillation (a pair a<b would swap labels forever under pure
+    synchronous LPA); with it, label updates are monotone on symmetric
+    pairs and a fixed iteration count is both deterministic and
+    SQL-expressible (integer counts + a total (cnt DESC, label ASC)
+    order — no float, no RNG, no partition sensitivity).
+
+    Differs from connected components (operators/dedup.py): min-label
+    flooding merges everything reachable; majority voting keeps weakly
+    bridged dense groups apart — the community grain, not the
+    reachability grain.
+
+    Scale shape: each round is one edges ⋈ labels equi-join + one
+    (node, label) hash aggregate + one per-node top-1 window — all
+    shuffle-partitioned on node ids, state is O(|N|) and never collected.
+    Lineage is truncated every ``checkpoint_every`` rounds like the other
+    iterative operators.
+    """
+    from pyspark.sql import Window
+
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for it in range(iterations):
+        neighbor_votes = (
+            edges.join(labels, edges["dst"] == labels["node"])
+            .select(edges["src"].alias("node"), "label")
+        )
+        votes = neighbor_votes.unionAll(labels.select("node", "label"))
+        tally = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("cnt").desc(), F.col("label").asc()
+        )
+        labels = (
+            tally.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        if checkpoint_every and (it + 1) % checkpoint_every == 0:
+            labels = labels.localCheckpoint()
+    return labels

@@ -865,3 +865,125 @@ def ivm_retract_refresh(
     ).where(F.col("n_users") > 0)
     new_users = users.join(keys, "user_id", "anti").unionByName(winners)
     return new_users, new_aggs
+
+
+_GDPR_ORACLE = """
+    WITH forget AS (
+        SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    o_purged AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    ),
+    o_retained AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM forget)
+    ),
+    l_retained AS (
+        SELECT l_orderkey FROM lineitem
+        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_purged)
+    ),
+    c_stats AS (
+        SELECT COUNT(*) FILTER (c_custkey % 97 = 0) AS purged,
+               COUNT(*) FILTER (c_custkey % 97 <> 0) AS retained
+        FROM customer
+    ),
+    o_stats AS (
+        SELECT (SELECT COUNT(*) FROM o_purged) AS purged,
+               (SELECT COUNT(*) FROM o_retained) AS retained
+    ),
+    l_stats AS (
+        SELECT (SELECT COUNT(*) FROM lineitem)
+               - (SELECT COUNT(*) FROM l_retained) AS purged,
+               (SELECT COUNT(*) FROM l_retained) AS retained
+    ),
+    orphans AS (
+        -- referential-integrity audit across the two INDEPENDENT retain
+        -- paths: a retained lineitem whose parent is not in the retained
+        -- order set is a cascade violation (0 when consistent)
+        SELECT COUNT(*) AS n FROM l_retained l
+        WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM o_retained)
+    )
+    SELECT 'customer' AS table_name, CAST(purged AS BIGINT) AS purged_rows,
+           CAST(retained AS BIGINT) AS retained_rows,
+           CAST(0 AS BIGINT) AS orphans_after FROM c_stats
+    UNION ALL
+    SELECT 'orders', CAST(purged AS BIGINT), CAST(retained AS BIGINT),
+           CAST(0 AS BIGINT) FROM o_stats
+    UNION ALL
+    SELECT 'lineitem', CAST(purged AS BIGINT), CAST(retained AS BIGINT),
+           (SELECT CAST(n AS BIGINT) FROM orphans) FROM l_stats
+"""
+
+
+@register("gdpr_forget_propagation", oracle=_GDPR_ORACLE)
+def gdpr_forget_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade: given a forget-list of customers
+    (c_custkey % 97 = 0 -- a deterministic stand-in for the per-request
+    key list), propagate the delete through the foreign-key chain
+    customer -> orders -> lineitem and report, per table, purged vs
+    retained row counts plus a referential-integrity audit: the retained
+    lineitems are checked against the retained orders, two INDEPENDENTLY
+    computed sets (orders retained via the forget anti-join, lineitems
+    retained via the purged-order-key anti-join) -- any disagreement
+    (NULL keys, dangling foreign keys, drifted cascade logic) surfaces as
+    orphans_after > 0.
+
+    Reference tie-in: the reference ships CDC deltas to an external
+    consumer (SURVEY §2.A); a deletion cascade is the compliance-driven
+    delta a deployment must compute and replay downstream. The
+    purge/retain split is exactly the frame pair a writer would persist;
+    returning the audit keeps it oracle-checkable.
+
+    Scale shape: the forget list is a key-filtered slice of the customer
+    dim -- broadcastable by size estimation, so the orders pass is one
+    broadcast semi/anti join (no fact shuffle). The purged/retained ORDER
+    KEY sets are fact-proportional and are NOT broadcast: the lineitem
+    passes shuffle on l_orderkey (AQE picks the strategy), the same
+    fact-to-fact discipline as the span-dedup family. Counts are exact
+    BIGINTs; no float contract needed.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+
+    forget = cust.where(F.col("c_custkey") % 97 == 0)
+    o_purged = orders.join(
+        forget, orders["o_custkey"] == forget["c_custkey"], "semi"
+    ).select("o_orderkey")
+    o_retained = orders.join(
+        forget, orders["o_custkey"] == forget["c_custkey"], "anti"
+    ).select("o_orderkey")
+    l_purged = li.join(
+        o_purged, li["l_orderkey"] == o_purged["o_orderkey"], "semi"
+    )
+    l_retained = li.join(
+        o_purged, li["l_orderkey"] == o_purged["o_orderkey"], "anti"
+    )
+    orphans = l_retained.join(
+        o_retained, l_retained["l_orderkey"] == o_retained["o_orderkey"], "anti"
+    ).agg(F.count(F.lit(1)).alias("orph"))
+
+    def counts(name: str, purged: DataFrame, retained: DataFrame,
+               orph: DataFrame) -> DataFrame:
+        return (
+            purged.agg(F.count(F.lit(1)).alias("purged_rows"))
+            .crossJoin(F.broadcast(
+                retained.agg(F.count(F.lit(1)).alias("retained_rows"))
+            ))
+            .crossJoin(F.broadcast(orph))
+            .select(
+                F.lit(name).alias("table_name"),
+                "purged_rows",
+                "retained_rows",
+                F.col("orph").cast("long").alias("orphans_after"),
+            )
+        )
+
+    zero = spark.range(1).select(F.lit(0).alias("orph"))
+    c_retained = cust.where(F.col("c_custkey") % 97 != 0)
+    return (
+        counts("customer", forget, c_retained, zero)
+        .unionAll(counts("orders", o_purged, o_retained, zero))
+        .unionAll(counts("lineitem", l_purged, l_retained, orphans))
+    )

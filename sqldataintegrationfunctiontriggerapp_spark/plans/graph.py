@@ -240,3 +240,127 @@ def pagerank_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").alias("doc_id"), F.col("rank").alias("pagerank")
     )
+
+
+_TRI_ORACLE = (
+    "WITH "
+    + _DUP_EDGES
+    + """,
+    tri AS (
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.doc_a = e1.doc_b
+        JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    corners AS (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+    )
+    SELECT node AS doc_id, COUNT(*) AS triangles
+    FROM corners GROUP BY node
+    """
+)
+
+
+@register("triangle_count_dup_graph", oracle=_TRI_ORACLE)
+def triangle_count_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the verified near-dup graph
+    (nodes in >= 1 triangle). A triangle in this graph is three documents
+    that are PAIRWISE near-duplicates — the strongest clique evidence the
+    pair list can give, and the signal that separates a true duplicate
+    cluster (mutual, triangle-rich) from a template hub (a star: many
+    pairs, no triangles, because the spokes don't match each other).
+    Curation reads triangles/degree as a cohesion score before collapsing
+    a component to one survivor.
+
+    Rides the shared MinHash pair stage (one payer per suite run); the
+    two-join oriented enumeration and its fan-out bound are documented on
+    operators/graph.py:triangle_counts. Reference scope: mandated
+    pipeline surface (SURVEY §2.C3 adjacents), not a reference operator.
+    """
+    from sqldataintegrationfunctiontriggerapp_spark.operators.graph import (
+        triangle_counts,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.plans.dedup import (
+        _minhash_stage,
+    )
+
+    _sigs, _cands, jacc0 = _minhash_stage(spark, sf_dir)
+    pairs = jacc0.where(F.col("jaccard") >= 0.7).select("doc_a", "doc_b")
+    out = triangle_counts(pairs)
+    return out.select(F.col("node").alias("doc_id"), "triangles")
+
+
+_LPA_ITERS = 3
+
+# One synchronous LPA round as SQL: neighbor votes + one self-vote,
+# majority with (cnt DESC, label ASC) tie-break — integer-only, total
+# order, so bit-parity is free (no float contract needed).
+_LPA_STEP = """
+    l{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY cnt DESC, label ASC) AS rn
+            FROM (
+                SELECT node, label, COUNT(*) AS cnt FROM (
+                    SELECT e.src AS node, l.label
+                    FROM edges e JOIN l{prev} l ON l.node = e.dst
+                    UNION ALL
+                    SELECT node, label FROM l{prev}
+                ) votes
+                GROUP BY node, label
+            ) tally
+        ) ranked WHERE rn = 1
+    )"""
+
+_LPA_ORACLE = (
+    "WITH "
+    + _DUP_EDGES
+    + """,
+    l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents),"""
+    + ",".join(
+        _LPA_STEP.format(i=i, prev=i - 1) for i in range(1, _LPA_ITERS + 1)
+    )
+    + f"""
+    SELECT node AS doc_id, label AS community FROM l{_LPA_ITERS}
+    """
+)
+
+
+@register("label_propagation_communities", oracle=_LPA_ORACLE)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community assignment for every document via synchronous label
+    propagation (3 rounds, self-vote, min-label ties) on the verified
+    near-dup graph. Where dedup_components floods min-labels across ANY
+    reachability (one weak bridge merges two big clusters),
+    majority voting keeps densely-linked groups separate — the community
+    grain curation wants when near-dup clusters chain through borderline
+    pairs. Isolated documents keep their own id as the community.
+
+    Semantics, determinism, and the per-round scale shape are pinned on
+    operators/graph.py:label_propagation; the oracle replays the same
+    recurrence as chained CTEs over the same LSH-verified edge list.
+    """
+    from sqldataintegrationfunctiontriggerapp_spark.operators.graph import (
+        label_propagation,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.plans.dedup import (
+        _minhash_stage,
+    )
+
+    _sigs, _cands, jacc0 = _minhash_stage(spark, sf_dir)
+    p = jacc0.where(F.col("jaccard") >= 0.7).select("doc_a", "doc_b")
+    edges = p.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(
+        p.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    labels = label_propagation(edges, nodes, iterations=_LPA_ITERS)
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("community")
+    )

@@ -89,3 +89,75 @@ def test_pagerank_uniform_cycle_stays_uniform(spark):
     got = _run(spark, edges, nodes, iterations=5)
     for v in nodes:
         assert got[v] == pytest.approx(1.0 / 3, abs=1e-12)
+
+
+# --- triangle_counts ---------------------------------------------------------
+
+from sqldataintegrationfunctiontriggerapp_spark.operators.graph import (  # noqa: E402
+    label_propagation,
+    triangle_counts,
+)
+
+
+def _tri(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_a int, doc_b int")
+    return {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+
+
+def test_triangle_counts_single_triangle(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (1, 3)]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_triangle_counts_star_has_none(spark):
+    # hub 0 pairs with every spoke, spokes never pair with each other:
+    # the template-hub shape the docstring contrasts with a clique
+    assert _tri(spark, [(0, 1), (0, 2), (0, 3), (0, 4)]) == {}
+
+
+def test_triangle_counts_k4_counts_three_per_node(spark):
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangle_counts_counts_each_triangle_once(spark):
+    # two triangles sharing the edge (1,2)
+    got = _tri(spark, [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)])
+    assert got == {1: 2, 2: 2, 3: 1, 4: 1}
+
+
+# --- label_propagation -------------------------------------------------------
+
+
+def _lpa(spark, undirected, nodes, iterations=3):
+    both = undirected + [(b, a) for a, b in undirected]
+    edf = spark.createDataFrame(both, "src int, dst int")
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node int")
+    out = label_propagation(edf, ndf, iterations=iterations)
+    return {r["node"]: r["label"] for r in out.collect()}
+
+
+def test_lpa_clique_converges_to_min_label(spark):
+    got = _lpa(spark, [(5, 6), (6, 7), (5, 7)], [5, 6, 7])
+    assert got == {5: 5, 6: 5, 7: 5}
+
+
+def test_lpa_isolated_nodes_keep_own_label(spark):
+    got = _lpa(spark, [], [1, 2, 3])
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_lpa_pair_is_stable_not_oscillating(spark):
+    # the self-vote tie-breaks (cnt equal) to the smaller label on BOTH
+    # endpoints in round 1 and stays there -- pure synchronous LPA would
+    # swap forever
+    for iters in (1, 2, 3):
+        assert _lpa(spark, [(8, 9)], [8, 9], iterations=iters) == {8: 8, 9: 8}
+
+
+def test_lpa_two_cliques_with_bridge_stay_separate(spark):
+    # K3 {0,1,2} -- bridge (2,3) -- K3 {3,4,5}: min-label flooding
+    # (connected components) would merge everything to 0; majority
+    # voting keeps the right clique at community 3
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    got = _lpa(spark, edges, [0, 1, 2, 3, 4, 5])
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
