@@ -428,3 +428,94 @@ def robust_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(out).cast("long").alias("n_outliers"),
         )
     )
+
+
+# --- EWMA burst detection ----------------------------------------------------
+# alpha = 1/2 makes every EWMA weight a power of two: the contribution of
+# the day at distance d is x * 2^-d, so scaling by 2^16 turns the whole
+# truncated (16-day) EWMA into EXACT integer arithmetic -- the only float
+# op is one final division by 65536.0, and the burst predicate never
+# leaves integers at all (x * 2^16 > 3 * sum_scaled). The weight table is
+# generated once and spliced into BOTH sides verbatim.
+_EWMA_W = 16
+_EWMA_CASE = " ".join(
+    f"WHEN {d} THEN {1 << (_EWMA_W - d)}" for d in range(1, _EWMA_W + 1)
+)
+
+_EWMA_ORACLE = f"""
+    WITH dc AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type, day
+    ),
+    hist AS (
+        SELECT c.event_type, c.day, c.n,
+               SUM(p.n * CASE c.day - p.day {_EWMA_CASE} END) AS sum_scaled
+        FROM dc c
+        LEFT JOIN dc p ON p.event_type = c.event_type
+                      AND p.day BETWEEN c.day - {_EWMA_W} AND c.day - 1
+        GROUP BY c.event_type, c.day, c.n
+    )
+    SELECT event_type, day, CAST(n AS BIGINT) AS n_events,
+           CAST(sum_scaled AS DOUBLE) / 65536.0 AS ewma_expected,
+           COALESCE(n * 65536 > 3 * sum_scaled, FALSE) AS is_burst
+    FROM hist
+"""
+
+
+@register("ewma_burst_daily", oracle=_EWMA_ORACLE)
+def ewma_burst_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily burst detection against an exponentially
+    weighted moving average of the preceding 16 days (alpha = 1/2,
+    truncated): a day is a burst when its count exceeds 3x the EWMA of
+    its own history. Complements bursty_users (peak-vs-threshold, no
+    baseline): this one adapts the baseline per series, the
+    alerting/anomaly shape for ingestion-rate monitoring.
+
+    Determinism: the alpha = 1/2 truncation makes every weight a power of
+    two, so the weighted history sum is EXACT BIGINT arithmetic (see the
+    weight-table preamble); the burst predicate compares integers only,
+    and the single double division at the end is one IEEE op on identical
+    operands. Missing days contribute zero on both sides (the history
+    join simply has no row).
+
+    Scale shape: the raw scan collapses to (type, day) grain FIRST (hash
+    aggregate, map-side combinable) -- the history self-join then runs on
+    series-grain rows (|types| x |days|), with fan-out capped at 16 rows
+    per day by the BETWEEN band. No windows over raw events, no
+    fact-grain shuffle beyond the first aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("timestamp").cast("double") / 86400).cast(
+        "long"
+    )
+    dc = ev.groupBy("event_type", day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    c = dc.alias("c")
+    p = dc.alias("p")
+    w = F.expr(f"CASE c.day - p.day {_EWMA_CASE} END")
+    hist = (
+        c.join(
+            p,
+            (F.col("p.event_type") == F.col("c.event_type"))
+            & F.col("p.day").between(
+                F.col("c.day") - _EWMA_W, F.col("c.day") - 1
+            ),
+            "left",
+        )
+        .groupBy(F.col("c.event_type"), F.col("c.day"), F.col("c.n"))
+        .agg(F.sum(F.col("p.n") * w).alias("sum_scaled"))
+    )
+    return hist.select(
+        F.col("c.event_type").alias("event_type"),
+        F.col("c.day").alias("day"),
+        F.col("c.n").cast("long").alias("n_events"),
+        (F.col("sum_scaled").cast("double") / F.lit(65536.0)).alias(
+            "ewma_expected"
+        ),
+        F.coalesce(
+            F.col("c.n") * 65536 > 3 * F.col("sum_scaled"), F.lit(False)
+        ).alias("is_burst"),
+    )

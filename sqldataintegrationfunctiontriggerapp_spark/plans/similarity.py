@@ -1922,3 +1922,281 @@ def ann_pq_dim_alloc_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits_alloc",
         (F.col("n_hits_alloc") / F.lit(5.0)).alias("recall_alloc"),
     )
+
+
+# --- MMR diverse top-k -------------------------------------------------------
+_MMR_LAM = "CAST('0.7' AS DOUBLE)"
+_MMR_ONE_MINUS = f"(CAST('1.0' AS DOUBLE) - {_MMR_LAM})"
+_MMR_POOL = 20
+_MMR_K = 5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as chained CTEs: pick_i re-scores the
+    not-yet-selected pool members against the selected set and takes the
+    (score DESC, vec_id) argmax -- the same total order the driver loop
+    applies. Score association is pinned: (lam * rel) - (one_minus * maxsim),
+    each a single IEEE op on operands both engines computed identically."""
+    steps = []
+    sels = []
+    steps.append(
+        f"""
+    pick1 AS (
+        SELECT vec_id, rel,
+               ({_MMR_LAM} * rel)
+               - ({_MMR_ONE_MINUS} * CAST('0.0' AS DOUBLE)) AS score
+        FROM pool ORDER BY score DESC, vec_id LIMIT 1
+    )"""
+    )
+    sels.append("sel1 AS (SELECT vec_id FROM pick1)")
+    for i in range(2, _MMR_K + 1):
+        steps.append(
+            f"""
+    pick{i} AS (
+        SELECT vec_id, rel,
+               ({_MMR_LAM} * rel) - ({_MMR_ONE_MINUS} * maxsim) AS score
+        FROM (
+            SELECT p.vec_id, p.rel,
+                   (SELECT MAX(s.cos) FROM sims s
+                    WHERE s.ia = p.vec_id
+                      AND s.ib IN (SELECT vec_id FROM sel{i - 1})) AS maxsim
+            FROM pool p
+            WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        ) ORDER BY score DESC, vec_id LIMIT 1
+    )"""
+        )
+        sels.append(
+            f"sel{i} AS (SELECT vec_id FROM sel{i - 1} "
+            f"UNION ALL SELECT vec_id FROM pick{i})"
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INTEGER) AS rnk, vec_id, rel AS relevance, "
+        f"score AS mmr_score FROM pick{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return (
+        f"""
+    WITH raw AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0
+    ),
+    q AS (SELECT v AS qv, list_dot_product(v, v) AS qn2 FROM raw
+          WHERE vec_id = 0),
+    scored AS (
+        SELECT r.vec_id,
+               list_dot_product(q.qv, r.v)
+               / sqrt(q.qn2 * list_dot_product(r.v, r.v)) AS rel
+        FROM raw r CROSS JOIN q WHERE r.vec_id <> 0
+    ),
+    pool AS (SELECT vec_id, rel FROM scored
+             ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}),
+    pv AS (
+        SELECT p.vec_id, p.rel, r.v, list_dot_product(r.v, r.v) AS n2
+        FROM pool p JOIN raw r USING (vec_id)
+    ),
+    sims AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib,
+               list_dot_product(a.v, b.v) / sqrt(a.n2 * b.n2) AS cos
+        FROM pv a JOIN pv b ON a.vec_id <> b.vec_id
+    ),"""
+        + ",".join(s + "," + sel for s, sel in zip(steps, sels))
+        + "\n    "
+        + finals
+    )
+
+
+@register("mmr_diverse_topk", oracle=_mmr_oracle())
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
+    top-5: greedy selection from the cosine top-20 candidate pool of query
+    vec_id = 0, re-scoring each round as
+    lam * relevance - (1 - lam) * max-similarity-to-selected (lam = 0.7).
+    The curation shape behind "give me representative near neighbors, not
+    five copies of the same cluster" -- retrieval for eval-set building
+    and prompt-dedup both want this over plain top-k.
+
+    Architecture -- distributed prune, bounded refine: the corpus-scale
+    work (scoring every vector against the query) is the same
+    broadcast-query one-scan kernel as ann_cosine_topk; only the fixed-
+    size pool (20 rows) and its pairwise-sim matrix (<= 380 doubles,
+    computed IN Spark with the fold kernel so every operand is
+    bit-identical to the oracle's list_dot_product) come to the driver,
+    where the greedy loop does k * pool COMPARISONS plus one
+    (lam * rel) - (one_minus * maxsim) per candidate -- IEEE ops mirrored
+    verbatim in the unrolled-CTE oracle. Same bounded-driver-state
+    doctrine as pagerank's n_nodes count; nothing corpus-sized ever
+    leaves the executors.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0)
+    pool = (
+        S.brute_force_topk(e, q, k=_MMR_POOL)
+        .select(F.col("neighbor_id").alias("vec_id"), F.col("cos").alias("rel"))
+        .localCheckpoint()
+    )
+    pv = e.join(pool, "vec_id").select(
+        "vec_id", "rel", F.col("embedding").cast("array<double>").alias("v")
+    ).withColumn("n2", S.dot(F.col("v"), F.col("v")))
+    a, b = pv.alias("a"), pv.alias("b")
+    sims = (
+        a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("ia"),
+            F.col("b.vec_id").alias("ib"),
+            F.try_divide(
+                S.dot(F.col("a.v"), F.col("b.v")),
+                F.sqrt(F.col("a.n2") * F.col("b.n2")),
+            ).alias("cos"),
+        )
+    )
+
+    rel_of = {r["vec_id"]: r["rel"] for r in pool.collect()}
+    sim_of: dict[tuple[int, int], float] = {
+        (r["ia"], r["ib"]): r["cos"] for r in sims.collect()
+    }
+    lam, one_minus = 0.7, 1.0 - 0.7
+    selected: list[int] = []
+    out_rows = []
+    for rnk in range(1, min(_MMR_K, len(rel_of)) + 1):
+        best = None
+        for cid, rel in rel_of.items():
+            if cid in selected:
+                continue
+            maxsim = (
+                max(sim_of[(cid, s)] for s in selected) if selected else 0.0
+            )
+            score = (lam * rel) - (one_minus * maxsim)
+            if best is None or score > best[0] or (
+                score == best[0] and cid < best[1]
+            ):
+                best = (score, cid, rel)
+        selected.append(best[1])
+        out_rows.append((rnk, best[1], best[2], best[0]))
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out_rows, 1),
+        "rnk int, vec_id bigint, relevance double, mmr_score double",
+    )
+
+
+# --- greedy k-center coreset -------------------------------------------------
+_KC_K = 6
+_KC_D2 = (
+    "(r.n2 - (CAST('2.0' AS DOUBLE) * list_dot_product(r.v, c.v))) + c.n2"
+)
+
+
+def _kcenter_oracle() -> str:
+    """Unrolled farthest-point traversal: cents_i accumulates the selected
+    rows, d_i is each point's MIN squared distance to them (the MIN
+    aggregate equals the Spark side's least()-chain exactly -- both are
+    pure double comparisons), pick_i the (mind DESC, vec_id) argmax."""
+    parts = [
+        """
+    raw AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               list_dot_product(CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])) AS n2
+        FROM embeddings
+    ),
+    c1 AS (SELECT vec_id, v, n2 FROM raw ORDER BY vec_id LIMIT 1),
+    sel1 AS (SELECT vec_id FROM c1),
+    cents1 AS (SELECT vec_id, v, n2 FROM c1)"""
+    ]
+    for i in range(2, _KC_K + 1):
+        parts.append(
+            f"""
+    d{i} AS (
+        SELECT r.vec_id, MIN({_KC_D2}) AS mind
+        FROM raw r CROSS JOIN cents{i - 1} c
+        GROUP BY r.vec_id
+    ),
+    pick{i} AS (
+        SELECT vec_id, mind FROM d{i}
+        WHERE vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+        ORDER BY mind DESC, vec_id LIMIT 1
+    ),
+    sel{i} AS (SELECT vec_id FROM sel{i - 1}
+               UNION ALL SELECT vec_id FROM pick{i}),
+    cents{i} AS (SELECT vec_id, v, n2 FROM cents{i - 1}
+                 UNION ALL
+                 SELECT r.vec_id, r.v, r.n2
+                 FROM raw r JOIN pick{i} p USING (vec_id))"""
+        )
+    finals = " UNION ALL ".join(
+        ["SELECT CAST(1 AS INTEGER) AS rnk, vec_id, "
+         "CAST(NULL AS DOUBLE) AS radius2 FROM c1"]
+        + [
+            f"SELECT CAST({i} AS INTEGER), vec_id, mind FROM pick{i}"
+            for i in range(2, _KC_K + 1)
+        ]
+    )
+    return "WITH " + ",".join(parts) + "\n    " + finals
+
+
+@register("kcenter_coreset", oracle=_kcenter_oracle())
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center / farthest-point traversal (Gonzalez 1985, the
+    2-approximation): seed with the smallest vec_id, then 5 times pick the
+    point FARTHEST from the selected set (squared Euclidean, ties to the
+    smaller id). The selection shape behind coreset construction and
+    diversity-first data curation -- where MMR buys diversity among a
+    relevance pool, k-center covers the whole embedding space, and the
+    radius2 column (each pick's distance when chosen, non-increasing) is
+    the covering-radius certificate.
+
+    Distributed shape -- the textbook trick that makes greedy selection
+    linear instead of quadratic: the corpus frame carries a running
+    mind column (min squared distance to ANY selected center), each round
+    updates it with least(mind, d2-to-newest-center) -- ONE scan per
+    round, not |selected| -- and the argmax is a TakeOrderedAndProject
+    reduce (no global sort, no collect beyond one row + one 64-float
+    center). localCheckpoint bounds the least()-chain lineage.
+
+    Parity: d2 = (n2_r - (2.0 * dot(r, c))) + n2_c with pinned
+    association, dots via the fold kernel == list_dot_product; the MIN
+    aggregate and the least() chain are the same pure-double comparisons;
+    center vectors/norms travel driver-side as exact collected bits.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    base = (
+        e.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        .withColumn("n2", S.dot(F.col("v"), F.col("v")))
+        .localCheckpoint()
+    )
+
+    def d2_to(cvec: list[float], cn2: float):
+        lit_v = F.array(*[F.lit(float(x)) for x in cvec])
+        dp = F.aggregate(
+            F.zip_with(F.col("v"), lit_v, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        return (F.col("n2") - (F.lit(2.0) * dp)) + F.lit(float(cn2))
+
+    first = base.orderBy("vec_id").limit(1).collect()[0]
+    selected = [first["vec_id"]]
+    out_rows = [(1, first["vec_id"], None)]
+    cur = base.withColumn(
+        "mind", d2_to(first["v"], first["n2"])
+    ).localCheckpoint()
+    for rnk in range(2, _KC_K + 1):
+        pick = (
+            cur.where(~F.col("vec_id").isin(selected))
+            .orderBy(F.desc("mind"), "vec_id")
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(pick["vec_id"])
+        out_rows.append((rnk, pick["vec_id"], pick["mind"]))
+        if rnk < _KC_K:
+            cur = cur.withColumn(
+                "mind", F.least(F.col("mind"), d2_to(pick["v"], pick["n2"]))
+            ).localCheckpoint()
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(out_rows, 1),
+        "rnk int, vec_id bigint, radius2 double",
+    )

@@ -691,3 +691,38 @@ def test_greedy_dim_allocation_balances_the_ramp():
     alloc2 = greedy_dim_allocation(var2, 4)
     heavy = next(b for b in alloc2 if 0 in b)
     assert len(heavy) == 16
+
+
+def test_mmr_first_pick_is_top_relevance_and_ids_distinct(spark, sf_dir):
+    from sqldataintegrationfunctiontriggerapp_spark.plans import QUERIES
+
+    rows = sorted(
+        QUERIES["mmr_diverse_topk"](spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert [r["rnk"] for r in rows] == list(range(1, len(rows) + 1))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
+    # rank 1 is the pure-relevance argmax (maxsim term is zero)
+    assert rows[0]["relevance"] == max(r["relevance"] for r in rows)
+    # every later pick's score is lam*rel - (1-lam)*maxsim with
+    # maxsim in [-1, 1] (cosine to a selected item may be NEGATIVE, so
+    # the penalty term can raise the score): |score - lam*rel| <= 1-lam
+    for r in rows[1:]:
+        assert abs(r["mmr_score"] - 0.7 * r["relevance"]) <= 0.3 + 1e-12
+
+
+def test_kcenter_radius_non_increasing_and_ids_distinct(spark, sf_dir):
+    from sqldataintegrationfunctiontriggerapp_spark.plans import QUERIES
+
+    rows = sorted(
+        QUERIES["kcenter_coreset"](spark, sf_dir).collect(),
+        key=lambda r: r["rnk"],
+    )
+    assert rows[0]["radius2"] is None
+    radii = [r["radius2"] for r in rows[1:]]
+    assert all(r is not None and r >= 0 for r in radii)
+    # farthest-point traversal: covering radius certificate is monotone
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == len(ids)
