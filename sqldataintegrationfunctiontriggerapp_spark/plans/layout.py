@@ -371,3 +371,81 @@ def dpp_quarter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# --- small-file compaction planning ------------------------------------------
+_COMPACT_TARGET = 65536      # target bin size, bytes
+_COMPACT_ROW_BYTES = 96      # deterministic per-row size proxy
+
+
+@register(
+    "file_compaction_plan",
+    oracle=f"""
+    WITH inv AS (
+        SELECT event_type,
+               CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 86400) AS BIGINT)
+                   AS day,
+               COUNT(*) * {_COMPACT_ROW_BYTES} AS bytes
+        FROM events GROUP BY 1, 2
+    ),
+    binned AS (
+        SELECT event_type, day, bytes,
+               COALESCE(SUM(bytes) OVER (
+                   PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // {_COMPACT_TARGET} AS bin
+        FROM inv
+    )
+    SELECT event_type, CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(day) AS day_from, MAX(day) AS day_to
+    FROM binned GROUP BY event_type, bin
+    """,
+)
+def file_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner over the classic streaming-ingest
+    layout: one small file per (event_type, day) -- exactly what a
+    per-trigger writeStream partitionBy(event_type, day) leaves behind.
+    The inventory (row-count x a fixed per-row byte proxy) is assigned to
+    target-sized compaction bins by SEQUENTIAL cumulative packing:
+    bin = cumulative-bytes-before DIV target, per event_type in day order.
+
+    Why sequential instead of first-fit-decreasing: coalescing ADJACENT
+    days preserves each output file's (day_from, day_to) range, so
+    time-range pruning keeps working after compaction -- the same reason
+    Spark's own split coalescing (maxPartitionBytes / AQE coalesce) packs
+    consecutive splits. FFD would pack tighter and destroy the ranges.
+    The (day_from, day_to) columns ARE the pruning metadata of each
+    planned output file.
+
+    Scale shape: the raw scan collapses to inventory grain first (one
+    hash aggregate, map-side combinable); the cumulative window runs per
+    event_type over metadata-sized rows, never raw data. Everything
+    after the first aggregate is integer arithmetic -- no float
+    contract."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    inv = ev.groupBy(
+        "event_type",
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
+        .cast("long")
+        .alias("day"),
+    ).agg((F.count(F.lit(1)) * _COMPACT_ROW_BYTES).alias("bytes"))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = inv.withColumn(
+        "cum_before", F.coalesce(F.sum("bytes").over(w), F.lit(0))
+    ).withColumn("bin", F.expr(f"cum_before div {_COMPACT_TARGET}"))
+    return binned.groupBy(
+        "event_type", F.col("bin").cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").cast("long").alias("bin_bytes"),
+        F.min("day").alias("day_from"),
+        F.max("day").alias("day_to"),
+    )

@@ -29,11 +29,10 @@ _QUERY_MOD = 97   # doc_id % _QUERY_MOD == 0 -> query document
 _QUERY_PREFIX = 8  # query terms = distinct tokens among the first 8
 _TOPK = 5
 
-
-@register(
-    "bm25_topk",
-    oracle=f"""
-    WITH toks AS (
+# The BM25 CTE chain (through the per-(query, doc) scored table), shared
+# verbatim by the bm25_topk oracle and the hybrid_rrf_fusion oracle so the
+# two can never drift.
+_BM25_CTES = f"""toks AS (
         SELECT doc_id, {_TOKS} AS tk FROM documents
     ),
     corpus AS (
@@ -69,7 +68,13 @@ _TOPK = 5
         JOIN tfd t USING (term)
         CROSS JOIN stats s
         GROUP BY q.query_id, t.doc_id
-    )
+    )"""
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT query_id, doc_id, score, CAST(rnk AS INT) AS rnk FROM (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
@@ -107,6 +112,18 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (allowlisted 1-row BNLJ). Per-query cost scales with posting-list
     length, never corpus size; top-k is a per-query window over the
     |queries|x|matched docs| scored table."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= _TOPK)
+        .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(query, doc) BM25 scored table -- shared by bm25_topk and
+    hybrid_rrf_fusion (plan shape documented on bm25_topk)."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", TX.tokens("text").alias("tk"))
     is_query = F.col("doc_id") % _QUERY_MOD == 0
@@ -154,12 +171,7 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.sum((idf * sat).cast("decimal(18,6)")).cast("double").alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
-        .where(F.col("rnk") <= _TOPK)
-        .select("query_id", "doc_id", "score", "rnk")
-    )
+    return scored
 
 
 _MINSUP_NUM = 1  # support threshold as a fraction: sup * DEN >= N * NUM
@@ -367,4 +379,131 @@ def frequent_term_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("t3"),
         "support",
         (F.col("support").cast("double") / F.col("n_docs")).alias("support_frac"),
+    )
+
+
+# --- hybrid retrieval: reciprocal rank fusion --------------------------------
+_RRF_POOL = 20  # depth of each source ranking
+_RRF_C = 60     # the standard RRF constant (Cormack et al. 2009)
+
+
+@register(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH {_BM25_CTES},
+    bm AS (
+        SELECT query_id, doc_id, CAST(rnk AS INT) AS rb FROM (
+            SELECT query_id, doc_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+            FROM scored
+        ) WHERE rnk <= {_RRF_POOL}
+    ),
+    raw AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0
+    ),
+    qv AS (SELECT vec_id AS query_id, v AS q,
+                  list_dot_product(v, v) AS qn2
+           FROM raw WHERE vec_id % {_QUERY_MOD} = 0),
+    cv AS (SELECT vec_id AS doc_id, v AS c, list_dot_product(v, v) AS cn2
+           FROM raw WHERE vec_id % {_QUERY_MOD} <> 0),
+    cos AS (
+        SELECT query_id, doc_id, CAST(rnk AS INT) AS rc FROM (
+            SELECT q.query_id, c.doc_id,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_dot_product(q.q, c.c)
+                                / sqrt(q.qn2 * c.cn2) DESC, c.doc_id) AS rnk
+            FROM cv c CROSS JOIN qv q
+        ) WHERE rnk <= {_RRF_POOL}
+    ),
+    fused AS (
+        SELECT COALESCE(bm.query_id, cos.query_id) AS query_id,
+               COALESCE(bm.doc_id, cos.doc_id) AS doc_id,
+               bm.rb, cos.rc,
+               COALESCE(CAST('1.0' AS DOUBLE)
+                        / CAST({_RRF_C} + bm.rb AS DOUBLE),
+                        CAST('0.0' AS DOUBLE))
+               + COALESCE(CAST('1.0' AS DOUBLE)
+                          / CAST({_RRF_C} + cos.rc AS DOUBLE),
+                          CAST('0.0' AS DOUBLE)) AS rrf
+        FROM bm FULL JOIN cos USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, rb AS bm25_rank, rc AS cos_rank, rrf,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+        FROM fused
+    ) WHERE rnk <= {_TOPK}
+    """,
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval via Reciprocal Rank Fusion (Cormack
+    et al. 2009): the BM25 top-20 and the embedding-cosine top-20 for the
+    same query set (doc_id/vec_id % 97 == 0, the fixture's aligned ids)
+    are fused by rrf = sum over sources of 1/(60 + rank), top-5 per query.
+    The production RAG/decontamination shape: lexical rankings catch exact
+    term overlap, dense rankings catch paraphrase, and rank-grain fusion
+    needs NO score calibration between the two scales -- which is also
+    what makes it hash-exact here: only integer ranks cross the fusion
+    boundary, so the one float op per source (1/(60+rank)) is identical
+    IEEE arithmetic on both engines by construction.
+
+    Plan shape: the BM25 branch is the shared _bm25_scored subtree (same
+    merge-hinted inverted-index discipline as bm25_topk); the dense branch
+    is the broadcast-query one-scan kernel (ann_cosine_topk's); fusion is
+    a full outer join on (query, doc) at top-20 grain -- |queries| x 40
+    rows max, shuffle-trivial -- then a per-query window. Each source
+    ranking stays prunable/pushdown-friendly because fusion never needs
+    raw scores, only ranks."""
+    scored = _bm25_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), "doc_id")
+    bm = (
+        scored.withColumn("rb", F.row_number().over(w).cast("int"))
+        .where(F.col("rb") <= _RRF_POOL)
+        .select("query_id", "doc_id", "rb")
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    is_q = F.col("vec_id") % _QUERY_MOD == 0
+    cos = (
+        S.brute_force_topk(e.where(~is_q), e.where(is_q), k=_RRF_POOL)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("int").alias("rc"),
+        )
+    )
+    one, zero = F.lit(1.0), F.lit(0.0)
+    fused = bm.join(cos, ["query_id", "doc_id"], "full").select(
+        "query_id",
+        "doc_id",
+        "rb",
+        "rc",
+        (
+            F.coalesce(one / (F.lit(_RRF_C) + F.col("rb")).cast("double"), zero)
+            + F.coalesce(
+                one / (F.lit(_RRF_C) + F.col("rc")).cast("double"), zero
+            )
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.desc("rrf"), "doc_id")
+    return (
+        fused.withColumn("rnk", F.row_number().over(wf).cast("int"))
+        .where(F.col("rnk") <= _TOPK)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rb").alias("bm25_rank"),
+            F.col("rc").alias("cos_rank"),
+            "rrf",
+            "rnk",
+        )
     )
