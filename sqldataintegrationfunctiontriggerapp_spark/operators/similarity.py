@@ -1933,3 +1933,4 @@ def allocation_permutation(alloc: list[list[int]]) -> list[int]:
     vector holds original dim perm[p]) -- the shape pq_fit/pq_codes
     consume without modification."""
     return [j for bucket in alloc for j in bucket]
+

@@ -1756,3 +1756,234 @@ def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows_t.unionAll(row_all)
+
+
+# --- KMV Jaccard between sources ---------------------------------------------
+# The set-EXPRESSION half of the KMV story (kmv_distinct_union pins the
+# cardinality half): for every source pair, estimate shingle-set Jaccard
+# from two bottom-k sketches alone -- the standard estimator (Beyer et al.
+# 2007): take the k smallest hashes of the UNION of the two sketches and
+# count how many live in BOTH; J_est = that count / min(k, |merged|).
+_KMVJ_K = 64
+
+
+@register(
+    "kmv_jaccard_sources",
+    oracle=f"""
+    WITH tokd AS (
+        SELECT DISTINCT source, UNNEST(list_distinct(
+            [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+        )) AS shingle
+        FROM (SELECT source,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    hashed AS (
+        SELECT source, shingle,
+               CAST(('0x' || substr(md5(shingle), 1, 13)) AS BIGINT) AS h
+        FROM tokd
+    ),
+    bk AS (
+        SELECT source, h FROM (
+            SELECT source, h,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY h, shingle) AS rn
+            FROM hashed
+        ) WHERE rn <= {_KMVJ_K}
+    ),
+    srcs AS (SELECT DISTINCT source FROM tokd),
+    pairs AS (
+        SELECT a.source AS src_a, b.source AS src_b
+        FROM srcs a JOIN srcs b ON a.source < b.source
+    ),
+    merged AS (
+        SELECT p.src_a, p.src_b, x.h,
+               MAX(CASE WHEN x.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+               MAX(CASE WHEN x.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+        FROM pairs p
+        JOIN bk x ON x.source IN (p.src_a, p.src_b)
+        GROUP BY p.src_a, p.src_b, x.h
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY src_a, src_b
+                                     ORDER BY h) AS rn
+        FROM merged
+    ),
+    est AS (
+        SELECT src_a, src_b,
+               SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                   AS n_both,
+               COUNT(*) AS n_merged
+        FROM ranked WHERE rn <= {_KMVJ_K}
+        GROUP BY src_a, src_b
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM tokd GROUP BY source),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+        FROM tokd a JOIN tokd b
+          ON b.shingle = a.shingle AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT e.src_a, e.src_b,
+           CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS exact_inter,
+           CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS BIGINT) AS exact_union,
+           CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+               / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE)
+               AS jaccard_exact,
+           CAST(e.n_both AS DOUBLE)
+               / CAST(LEAST({_KMVJ_K}, e.n_merged) AS DOUBLE) AS jaccard_kmv,
+           abs(CAST(e.n_both AS DOUBLE)
+               / CAST(LEAST({_KMVJ_K}, e.n_merged) AS DOUBLE)
+               - CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                 / CAST(sa.n + sb.n - COALESCE(i.n_inter, 0) AS DOUBLE))
+               <= CAST('0.25' AS DOUBLE) AS within_tol
+    FROM est e
+    LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+    JOIN sizes sa ON sa.source = e.src_a
+    JOIN sizes sb ON sb.source = e.src_b
+    """,
+)
+def kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimation from fixed-size sketches: for
+    every pair of sources, the KMV-Jaccard estimate of their distinct
+    3-gram-shingle sets (bottom-64 sketches only -- what a 1000-executor
+    pre-pass would actually ship per source) next to the exact Jaccard
+    and a tolerance boolean. The sketch-grain version of
+    source_overlap_matrix: overlap from O(k) state per source instead of
+    a shingle-grain join, the shape that stays cheap when sources are
+    thousands of crawl snapshots.
+
+    Determinism: integer hashes (md5 52-bit prefix), total (h, shingle)
+    order, integer both/merged counts; each output double is ONE division
+    of exact integers, and the tolerance compare subtracts two such
+    identically-computed doubles.
+
+    Scale shape: the full-data pass is one distinct (source, shingle)
+    aggregate; per-source bottom-k sorts DISTINCT shingles per source
+    partition (the kmv_distinct_union salt trick applies verbatim when a
+    single source's vocabulary is huge -- here the per-source window is
+    already bounded); everything pair-grain operates on <= 2k rows per
+    pair. The EXACT columns (a shingle-grain self-join) are the audit
+    side and the quadratic-in-|pairs| part -- a production run at 1000s
+    of sources drops them and keeps the sketch side, which is why they
+    are computed in a separate, clearly-droppable branch."""
+    from pyspark.sql import Window
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans.dedup import (
+        _shingles_stage,
+        _truthful_ckpt,
+    )
+
+    k = _KMVJ_K
+    # Source-grain distinct shingles, derived from the SESSION-SHARED
+    # doc-grain shingle stage (free when any dedup-family query already
+    # ran) and materialized once: five consumers hang off tokd (sketch,
+    # sizes, both exact-audit legs, the source list), and without the
+    # checkpoint each re-paid the full explode+distinct -- measured
+    # 85.5 s/scan at sf10, ~5 scans = the whole 285 s sf10 cost.
+    src_of = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    tokd = _truthful_ckpt(
+        _shingles_stage(spark, sf_dir)
+        .join(src_of, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    hashed = tokd.select(
+        "source",
+        "shingle",
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 13), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    # Salted two-phase bottom-k (kmv_distinct_union's trick, selection-
+    # invariant): at sf10 each source holds ~120k distinct shingles, so
+    # the direct per-source window sorts 120k rows per partition; the
+    # salt phase caps every sort at k rows per (source, salt).
+    w_ss = Window.partitionBy("source", "salt").orderBy("h", "shingle")
+    pruned = (
+        hashed.withColumn("salt", F.col("h") % 64)
+        .withColumn("prn", F.row_number().over(w_ss))
+        .where(F.col("prn") <= k)
+    )
+    w_s = Window.partitionBy("source").orderBy("h", "shingle")
+    bk = (
+        pruned.withColumn("rn", F.row_number().over(w_s))
+        .where(F.col("rn") <= k)
+        .select("source", "h")
+        .localCheckpoint()  # <= k rows per source; reused by both pair legs
+    )
+    srcs = tokd.select("source").distinct()
+    pairs = (
+        srcs.alias("a")
+        .join(srcs.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+    )
+    # Two equi-join legs instead of one OR-condition join: the OR form
+    # plans as a nested-loop over every (pair, sketch-row) combination;
+    # the union of equi-joins shuffles on source and scales to thousands
+    # of sources. (Same rows, so the oracle's IN-join mirrors either.)
+    leg_a = pairs.join(bk, bk["source"] == pairs["src_a"])
+    leg_b = pairs.join(bk, bk["source"] == pairs["src_b"])
+    merged = (
+        leg_a.unionByName(leg_b)
+        .groupBy("src_a", "src_b", "h")
+        .agg(
+            F.max(
+                F.when(F.col("source") == F.col("src_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("source") == F.col("src_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    w_p = Window.partitionBy("src_a", "src_b").orderBy("h")
+    est = (
+        merged.withColumn("rn", F.row_number().over(w_p))
+        .where(F.col("rn") <= k)
+        .groupBy("src_a", "src_b")
+        .agg(
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+                .otherwise(0)
+            ).alias("n_both"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+    )
+    sizes = tokd.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = tokd.alias("ta"), tokd.alias("tb")
+    inter = (
+        ta.join(
+            tb,
+            (F.col("tb.shingle") == F.col("ta.shingle"))
+            & (F.col("ta.source") < F.col("tb.source")),
+        )
+        .groupBy(
+            F.col("ta.source").alias("src_a"),
+            F.col("tb.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    ni = F.coalesce(F.col("n_inter"), F.lit(0))
+    uni = F.col("sa.n") + F.col("sb.n") - ni
+    j_exact = ni.cast("double") / uni.cast("double")
+    j_kmv = F.col("n_both").cast("double") / F.least(
+        F.lit(k), F.col("n_merged")
+    ).cast("double")
+    return (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .join(sizes.alias("sa"), F.col("src_a") == F.col("sa.source"))
+        .join(sizes.alias("sb"), F.col("src_b") == F.col("sb.source"))
+        .select(
+            "src_a",
+            "src_b",
+            ni.cast("long").alias("exact_inter"),
+            uni.cast("long").alias("exact_union"),
+            j_exact.alias("jaccard_exact"),
+            j_kmv.alias("jaccard_kmv"),
+            (F.abs(j_kmv - j_exact) <= F.lit(0.25)).alias("within_tol"),
+        )
+    )

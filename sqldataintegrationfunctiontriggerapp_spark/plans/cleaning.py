@@ -497,3 +497,114 @@ def quality_classifier_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("margin"),
         (F.col("wsum") >= 0).alias("keep"),
     )
+
+
+# --- Gopher quality rules ----------------------------------------------------
+# The Rae et al. 2021 (Gopher) document-quality rule set, re-expressed so
+# every threshold is an INTEGER cross-multiplication (3 <= mean <= 10
+# becomes 3*n <= chars <= 10*n, ratio <= 0.1 becomes 10*x <= n): no float
+# is ever computed, so parity is structural. Thresholds follow the paper;
+# the word-count floor is scaled to the fixture's short synthetic docs.
+_GOPHER_MIN_WORDS = 20      # paper: 50 (fixture docs run 10-100 words)
+_GOPHER_MAX_WORDS = 100000
+_GOPHER_REQUIRED = "('the', 'be', 'to', 'of', 'and', 'that', 'have', 'with', 'a')"
+
+
+@register(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(tk) AS n_words,
+               len(array_to_string(tk, '')) AS n_word_chars,
+               len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                   AS n_alpha_words,
+               len(list_filter(tk, x -> contains(x, '#')
+                                        OR contains(x, '...')))
+                   AS n_symbol_words,
+               len(list_distinct(list_filter(
+                   tk, x -> lower(x) IN {_GOPHER_REQUIRED})))
+                   AS n_required
+        FROM t
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+               AS ok_word_count,
+           3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+               AS ok_mean_word_len,
+           10 * n_symbol_words <= n_words AS ok_symbol_ratio,
+           5 * n_alpha_words >= 4 * n_words AS ok_alpha_words,
+           n_required >= 2 AS ok_required_words,
+           (n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+               AND 3 * n_words <= n_word_chars
+               AND n_word_chars <= 10 * n_words
+               AND 10 * n_symbol_words <= n_words
+               AND 5 * n_alpha_words >= 4 * n_words
+               AND n_required >= 2 AS passes
+    FROM m
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher (Rae et al. 2021) document-quality rule table, one row
+    per document with each rule as its own boolean plus the conjunction:
+    word count in bounds, mean word length in [3, 10], symbol-to-word
+    ratio <= 0.1 (hash/ellipsis), >= 80% of words containing an alphabetic
+    character, and >= 2 distinct required English function words. Distinct
+    from text_quality_score (a single blended score): rule-grain booleans
+    are what a curation pipeline logs, tunes, and ablates per rule.
+
+    Every threshold is integer cross-multiplication -- mean word length
+    in [3, 10] is 3*n_words <= total_chars <= 10*n_words -- so the whole
+    rule table is exact integer arithmetic; no float contract needed.
+
+    Scale shape: one scan, all metrics from a single token-array
+    projection (codegen'd regexp split fused into the scan -- the
+    measured-free pattern documented at plans/text.py), zero joins,
+    zero shuffles beyond the scan itself."""
+    d = _docs(spark, sf_dir)
+    tk = TX.tokens("text")
+    m = d.select(
+        "doc_id",
+        F.size(tk).alias("n_words"),
+        F.length(F.array_join(tk, "")).alias("n_word_chars"),
+        F.size(F.filter(tk, lambda x: x.rlike("[A-Za-z]"))).alias(
+            "n_alpha_words"
+        ),
+        F.size(
+            F.filter(
+                tk,
+                lambda x: x.contains("#") | x.contains("..."),
+            )
+        ).alias("n_symbol_words"),
+        F.size(
+            F.array_distinct(
+                F.filter(
+                    tk,
+                    lambda x: F.lower(x).isin(
+                        "the", "be", "to", "of", "and", "that", "have",
+                        "with", "a",
+                    ),
+                )
+            )
+        ).alias("n_required"),
+    )
+    ok_wc = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+    ok_mwl = (3 * F.col("n_words") <= F.col("n_word_chars")) & (
+        F.col("n_word_chars") <= 10 * F.col("n_words")
+    )
+    ok_sym = 10 * F.col("n_symbol_words") <= F.col("n_words")
+    ok_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
+    ok_req = F.col("n_required") >= 2
+    return m.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        ok_wc.alias("ok_word_count"),
+        ok_mwl.alias("ok_mean_word_len"),
+        ok_sym.alias("ok_symbol_ratio"),
+        ok_alpha.alias("ok_alpha_words"),
+        ok_req.alias("ok_required_words"),
+        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_req).alias("passes"),
+    )

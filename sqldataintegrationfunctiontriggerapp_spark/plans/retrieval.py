@@ -385,6 +385,12 @@ def frequent_term_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- hybrid retrieval: reciprocal rank fusion --------------------------------
 _RRF_POOL = 20  # depth of each source ranking
 _RRF_C = 60     # the standard RRF constant (Cormack et al. 2009)
+# Panel cap for the dense branch's dgemm route: the blas kernel
+# broadcasts the QUERY PANEL (the corpus never moves), so the gate bounds
+# panel bytes -- 2^17 x 64 doubles is ~67 MB x2 with the normalized copy.
+# Beyond it (a 12M+-vector corpus at the 1/97 panel ratio) the honest
+# dense path is the IVF standing-index family, not this query.
+_RRF_PANEL_MAX = 131_072
 
 
 @register(
@@ -473,8 +479,21 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % _QUERY_MOD == 0
+    # Route the dense branch on the MEASURED panel size (the
+    # cosine_pairs_above_auto discipline): the query panel is 1/97 of the
+    # corpus, so it GROWS with the data, and the JVM fold kernel's
+    # |Q| x |C| scored stream goes quadratic -- measured 40x super-linear
+    # at sf10 (424.6 s) before this route. The dgemm-candidates /
+    # fold-verify kernel is bit-identical (test_topk_kernels_agree_
+    # bitwise), so either branch hashes green.
+    n_q = e.where(is_q).count()
+    kernel = (
+        S.brute_force_topk_blas
+        if 64 <= n_q <= _RRF_PANEL_MAX
+        else S.brute_force_topk
+    )
     cos = (
-        S.brute_force_topk(e.where(~is_q), e.where(is_q), k=_RRF_POOL)
+        kernel(e.where(~is_q), e.where(is_q), k=_RRF_POOL)
         .select(
             "query_id",
             F.col("neighbor_id").alias("doc_id"),

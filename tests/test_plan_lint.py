@@ -52,6 +52,10 @@ _BNLJ_ALLOWED = {
     "ann_pq_dim_alloc_recall":   "gated: two ADC + one exact scan, query set broadcast",
     "contrastive_triplets":      "gated: exact scan, fixed query set broadcast",
     "vocab_coverage_cutoff":     "1-row: total token-mass denominator",
+    "kmv_distinct_union":        "1-row x2: global/merged estimate combine",
+    "kmv_jaccard_sources":       "gated: src<src pair enumeration over the bounded source list (sketch legs are equi-joins)",
+    "gdpr_forget_propagation":   "1-row: per-table purge/retain count combine",
+    "hybrid_rrf_fusion":         "gated: dense-branch query panel broadcast (blas kernel above 64 queries)",
 }
 
 
