@@ -18,7 +18,7 @@ Catalyst pushes them into the reader (verified via .explain in tests).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
@@ -1259,4 +1259,124 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price"),
+    )
+
+
+# --- k-anonymity audit --------------------------------------------------------
+_KANON_K = 5
+
+
+@register(
+    "k_anonymity_report",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_nationkey AS nationkey, c_mktsegment AS mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket
+        FROM customer
+    )
+    SELECT nationkey, mktsegment, bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) >= {_KANON_K} AS meets_k
+    FROM q GROUP BY nationkey, mktsegment, bal_bucket
+    """,
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation, market
+    segment, account-balance bucket): one row per equivalence class with
+    its size and whether it meets k = 5 (_KANON_K). The privacy-governance
+    companion to gdpr_forget_propagation: before releasing a dataset, the
+    classes below k are the re-identification risk — they must be
+    suppressed or the buckets coarsened, and this table IS that decision
+    input.
+
+    Parity: the only non-integer step is floor(acctbal / 1000.0) — one
+    IEEE division + floor on identical doubles; counts and the k
+    predicate are exact integers.
+
+    Scale shape: one scan, one hash aggregate on the quasi-identifier
+    key (map-side combinable); output is class-grain, bounded by the
+    quasi-identifier domain, not row count."""
+    c = load_table(spark, sf_dir, "customer")
+    q = c.select(
+        F.col("c_nationkey").alias("nationkey"),
+        F.col("c_mktsegment").alias("mktsegment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long").alias(
+            "bal_bucket"
+        ),
+    )
+    return q.groupBy("nationkey", "mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        (F.count(F.lit(1)) >= _KANON_K).alias("meets_k"),
+    )
+
+
+# --- 2-D skyline --------------------------------------------------------------
+
+
+@register(
+    "skyline_2d_parts",
+    oracle="""
+    WITH pts AS (
+        SELECT p_partkey, p_retailprice AS price, p_size AS size FROM part
+    ),
+    per_price AS (
+        SELECT price, MIN(size) AS min_size_here
+        FROM pts GROUP BY price
+    ),
+    pref AS (
+        SELECT price, min_size_here,
+               MIN(min_size_here) OVER (
+                   ORDER BY price
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS min_size_cheaper
+        FROM per_price
+    )
+    SELECT p.p_partkey, p.price AS p_retailprice, p.size AS p_size
+    FROM pts p JOIN pref f ON f.price = p.price
+    WHERE NOT (
+        (f.min_size_cheaper IS NOT NULL AND f.min_size_cheaper <= p.size)
+        OR f.min_size_here < p.size
+    )
+    """,
+)
+def skyline_2d_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier, minimize BOTH retail price and size):
+    parts not dominated by any part that is <= in both dimensions and <
+    in at least one. The multi-objective shortlist shape ("cheapest
+    options per size class") that a naive NOT EXISTS expresses as an
+    O(n^2) theta self-join; this is the sort-scan formulation: a part is
+    dominated iff the minimum size among STRICTLY cheaper parts is <= its
+    size, or the minimum size AT its own price is < its size.
+
+    Equal (price, size) duplicates are mutually non-dominating and all
+    kept — pinned by the same-price leg using strict <.
+
+    Parity: pure comparisons on raw column values — no arithmetic at all,
+    so no float contract.
+
+    Scale shape: one hash aggregate to price grain, then a prefix-min
+    window over DISTINCT prices (domain-bounded: quantized currency in a
+    fixed range — metadata-grain next to the row count; were the price
+    domain itself huge, the prefix-min would two-phase over price-range
+    buckets the way the KMV bottom-k salts), and one price-keyed equi-join
+    back. No self-join, no n^2 pair work."""
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("price"),
+        F.col("p_size").alias("size"),
+    )
+    per_price = p.groupBy("price").agg(F.min("size").alias("min_size_here"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    pref = per_price.withColumn(
+        "min_size_cheaper", F.min("min_size_here").over(w)
+    )
+    joined = p.join(pref, "price")
+    dominated = (
+        F.col("min_size_cheaper").isNotNull()
+        & (F.col("min_size_cheaper") <= F.col("size"))
+    ) | (F.col("min_size_here") < F.col("size"))
+    return joined.where(~dominated).select(
+        "p_partkey",
+        F.col("price").alias("p_retailprice"),
+        F.col("size").alias("p_size"),
     )
