@@ -216,3 +216,61 @@ def label_propagation(
         if checkpoint_every and (it + 1) % checkpoint_every == 0:
             labels = labels.localCheckpoint()
     return labels
+
+
+def triangle_delta(pairs: DataFrame, e_new: DataFrame) -> DataFrame:
+    """Distinct triangles {a < b < c} of the FULL oriented pair list that
+    contain at least one edge from ``e_new`` (a subset of ``pairs``) --
+    the delta enumeration for incremental triangle maintenance. Each new
+    edge is pivoted through its three possible triangle positions against
+    the combined edge set; the final distinct collapses triangles holding
+    two or three new edges (which the per-position union enumerates two
+    or three times). Work scales with |e_new| x degree, never |pairs|^2.
+    """
+    def leg(pivot_pos: str) -> DataFrame:
+        n = e_new.alias("n")
+        e1 = pairs.alias("e1")
+        e2 = pairs.alias("e2")
+        if pivot_pos == "ab":
+            return (
+                n.join(e2, F.col("e2.doc_a") == F.col("n.doc_b"))
+                .join(
+                    pairs.alias("e3"),
+                    (F.col("e3.doc_a") == F.col("n.doc_a"))
+                    & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+                )
+                .select(
+                    F.col("n.doc_a").alias("a"),
+                    F.col("n.doc_b").alias("b"),
+                    F.col("e2.doc_b").alias("c"),
+                )
+            )
+        if pivot_pos == "bc":
+            return (
+                n.join(e1, F.col("e1.doc_b") == F.col("n.doc_a"))
+                .join(
+                    pairs.alias("e3"),
+                    (F.col("e3.doc_a") == F.col("e1.doc_a"))
+                    & (F.col("e3.doc_b") == F.col("n.doc_b")),
+                )
+                .select(
+                    F.col("e1.doc_a").alias("a"),
+                    F.col("e1.doc_b").alias("b"),
+                    F.col("n.doc_b").alias("c"),
+                )
+            )
+        return (  # pivot is the (a, c) closing edge
+            n.join(e1, F.col("e1.doc_a") == F.col("n.doc_a"))
+            .join(
+                e2,
+                (F.col("e2.doc_a") == F.col("e1.doc_b"))
+                & (F.col("e2.doc_b") == F.col("n.doc_b")),
+            )
+            .select(
+                F.col("n.doc_a").alias("a"),
+                F.col("e1.doc_b").alias("b"),
+                F.col("n.doc_b").alias("c"),
+            )
+        )
+
+    return leg("ab").unionAll(leg("bc")).unionAll(leg("ac")).distinct()

@@ -161,3 +161,58 @@ def test_lpa_two_cliques_with_bridge_stay_separate(spark):
     edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
     got = _lpa(spark, edges, [0, 1, 2, 3, 4, 5])
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+# --- triangle_delta (incremental maintenance) --------------------------------
+
+from sqldataintegrationfunctiontriggerapp_spark.operators.graph import (  # noqa: E402
+    triangle_delta,
+)
+
+
+def _delta(spark, pairs, new):
+    pdf = spark.createDataFrame(pairs, "doc_a int, doc_b int")
+    ndf = spark.createDataFrame(new, "doc_a int, doc_b int")
+    return sorted(
+        (r["a"], r["b"], r["c"]) for r in triangle_delta(pdf, ndf).collect()
+    )
+
+
+def test_triangle_delta_all_old_is_empty(spark):
+    tri = [(1, 2), (2, 3), (1, 3)]
+    assert _delta(spark, tri, []) == []
+
+
+def test_triangle_delta_one_new_edge_each_position(spark):
+    tri = [(1, 2), (2, 3), (1, 3)]
+    # whichever position the new edge occupies, the triangle is found once
+    for new in ([(1, 2)], [(2, 3)], [(1, 3)]):
+        assert _delta(spark, tri, new) == [(1, 2, 3)]
+
+
+def test_triangle_delta_multiplicity_collapsed(spark):
+    tri = [(1, 2), (2, 3), (1, 3)]
+    # 2 and 3 new edges: per-position enumeration hits the triangle 2 / 3
+    # times; the distinct must collapse it to exactly one row
+    assert _delta(spark, tri, [(1, 2), (2, 3)]) == [(1, 2, 3)]
+    assert _delta(spark, tri, tri) == [(1, 2, 3)]
+
+
+def test_triangle_delta_only_touching_triangles(spark):
+    # two disjoint triangles; only the one touching the new edge appears
+    pairs = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6)]
+    assert _delta(spark, pairs, [(5, 6)]) == [(4, 5, 6)]
+
+
+def test_triangle_delta_matches_recount_on_k4(spark):
+    # K4 with one new edge: the new edge (1,2) is in exactly 2 of the 4
+    # triangles of K4 -- the incremental identity old + delta == full
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    new = [(1, 2)]
+    old = [e for e in k4 if e not in new]
+    got = _delta(spark, k4, new)
+    assert got == [(1, 2, 3), (1, 2, 4)]
+    # old graph (K4 minus one edge) holds the 2 triangles avoiding (1,2)
+    old_tris = _delta(spark, old, old)
+    assert sorted(old_tris) == [(1, 3, 4), (2, 3, 4)]
+    assert len(old_tris) + len(got) == 4  # == triangles of K4
