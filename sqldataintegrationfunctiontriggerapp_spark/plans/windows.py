@@ -2352,3 +2352,181 @@ def streaming_minhash_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFram
     for p in state["pairs"][1:]:
         out = out.unionByName(p)
     return out.select("doc_a", "doc_b", "jaccard", "detected_batch")
+
+
+# --- streaming GDPR: forget-queue processing against standing state ----------
+_GDPR_MOD = 7  # user_id % _GDPR_MOD == 0 -> on the round's forget list
+
+
+@register(
+    "streaming_gdpr_parity",
+    oracle=f"""
+    WITH span AS (
+        SELECT epoch_us(MIN(CAST(ts AS TIMESTAMP))) AS lo_us,
+               epoch_us(MAX(CAST(ts AS TIMESTAMP))) AS hi_us
+        FROM events WHERE ts IS NOT NULL
+    ),
+    ev AS (
+        SELECT e.user_id, e.value,
+               (e.ts IS NULL OR epoch_us(CAST(e.ts AS TIMESTAMP))
+                  < s.lo_us + (s.hi_us - s.lo_us) // 2) AS early
+        FROM events e, span s
+    )
+    SELECT user_id, 'active' AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           CAST(NULL AS BIGINT) AS purged_n,
+           CAST(NULL AS BIGINT) AS suppressed_n
+    FROM ev WHERE user_id % {_GDPR_MOD} <> 0
+    GROUP BY user_id
+    UNION ALL
+    SELECT user_id, 'forgotten' AS status,
+           CAST(NULL AS BIGINT) AS n_events,
+           CAST(NULL AS DOUBLE) AS sum_value,
+           CAST(COALESCE(SUM(CASE WHEN early THEN 1 END), 0) AS BIGINT)
+               AS purged_n,
+           CAST(COALESCE(SUM(CASE WHEN NOT early THEN 1 END), 0) AS BIGINT)
+               AS suppressed_n
+    FROM ev WHERE user_id % {_GDPR_MOD} = 0
+    GROUP BY user_id
+    """,
+)
+def streaming_gdpr_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure under streaming ingestion -- the streaming
+    composition of gdpr_forget_propagation, and the stateful half the
+    batch cascade cannot express: a standing per-user aggregate store is
+    maintained from the 2-batch events replay; the forget queue (every
+    user_id % 7 == 0 -- the config-shaped request list) is processed AT
+    THE HEAD OF micro-batch 2 against STANDING STATE, so
+
+      * purged_n   = rows the store had already absorbed when the request
+                     arrived (batch-1 events, read OUT OF STATE -- a
+                     state-dropping implementation reports 0 here),
+      * suppressed_n = post-request arrivals of forgotten users, blocked
+                     by the tombstone set (never re-aggregated -- a
+                     tombstone-less implementation would resurrect the
+                     user with partial data, the classic GDPR-replay bug),
+      * active users carry exact count + DECIMAL-accumulated value sums
+                     across both batches.
+
+    The oracle reconstructs purged/suppressed relationally from the
+    floor-microsecond staging midpoint (the streaming_mg_parity idiom):
+    purged_n = the user's early-half rows, suppressed_n = late-half rows.
+    Redelivery, dropped state, or a leaky tombstone each move a count.
+
+    Scale shape: per batch one user-keyed hash aggregate + one
+    full-outer merge against the standing store (state = one row per
+    live user, the reference's A10 upsert bound); the forget pass is one
+    predicate split of the store; tombstone suppression is a filter on
+    the batch aggregate, never a join against raw events."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+    )
+
+    forget_pred = F.col("user_id") % _GDPR_MOD == 0
+
+    def build():
+        holder: dict = {"store": None, "tombs": None}
+
+        def refresh(batch_df: DataFrame, epoch_id: int) -> None:
+            batch_agg = batch_df.groupBy("user_id").agg(
+                F.count(F.lit(1)).cast("long").alias("b_n"),
+                F.sum(F.col("value").cast(DEC)).alias("b_sum"),
+            )
+            store = holder["store"]
+            tombs = holder["tombs"]
+            if int(epoch_id) >= 1 and tombs is None:
+                # the forget queue arrives with batch 2: purge standing
+                # state FIRST (purged_n reads the store's absorbed counts)
+                st = store if store is not None else batch_agg.where(F.lit(False)).select(
+                    "user_id",
+                    F.col("b_n").alias("n_events"),
+                    F.col("b_sum").alias("sum_dec"),
+                )
+                tombs = st.where(forget_pred).select(
+                    "user_id",
+                    F.col("n_events").alias("purged_n"),
+                    F.lit(0).cast("long").alias("suppressed_n"),
+                )
+                store = st.where(~forget_pred)
+            if tombs is not None:
+                # tombstone suppression: block ALL forget-list arrivals
+                # (including users never seen before the request) and
+                # count them per user
+                blocked = batch_agg.where(forget_pred)
+                batch_agg = batch_agg.where(~forget_pred)
+                tombs = (
+                    tombs.join(
+                        blocked.select(
+                            "user_id", F.col("b_n").alias("s_new")
+                        ),
+                        "user_id",
+                        "full_outer",
+                    )
+                    .select(
+                        "user_id",
+                        F.coalesce(F.col("purged_n"), F.lit(0).cast("long"))
+                        .alias("purged_n"),
+                        (
+                            F.coalesce(
+                                F.col("suppressed_n"), F.lit(0).cast("long")
+                            )
+                            + F.coalesce(F.col("s_new"), F.lit(0).cast("long"))
+                        ).alias("suppressed_n"),
+                    )
+                    .localCheckpoint()
+                )
+            renamed = batch_agg.select(
+                "user_id",
+                F.col("b_n").alias("n_events"),
+                F.col("b_sum").alias("sum_dec"),
+            )
+            if store is None:
+                store = renamed
+            else:
+                store = (
+                    store.join(renamed, "user_id", "full_outer")
+                    .select(
+                        "user_id",
+                        (
+                            F.coalesce(store["n_events"], F.lit(0).cast("long"))
+                            + F.coalesce(
+                                renamed["n_events"], F.lit(0).cast("long")
+                            )
+                        ).alias("n_events"),
+                        (
+                            F.coalesce(
+                                store["sum_dec"], F.lit(0).cast(DEC)
+                            )
+                            + F.coalesce(
+                                renamed["sum_dec"], F.lit(0).cast(DEC)
+                            )
+                        ).cast(DEC).alias("sum_dec"),
+                    )
+                )
+            holder["store"] = store.localCheckpoint()
+            holder["tombs"] = tombs
+
+        _staged_foreach_replay(spark, sf_dir, refresh)
+        if holder["store"] is None:
+            raise ValueError("staged replay delivered no micro-batches")
+        return holder["store"], holder["tombs"]
+
+    store, tombs = session_stage(spark, sf_dir, "gdpr_standing_store", build)
+    active = store.select(
+        "user_id",
+        F.lit("active").alias("status"),
+        F.col("n_events"),
+        F.col("sum_dec").cast("double").alias("sum_value"),
+        F.lit(None).cast("long").alias("purged_n"),
+        F.lit(None).cast("long").alias("suppressed_n"),
+    )
+    forgotten = tombs.select(
+        "user_id",
+        F.lit("forgotten").alias("status"),
+        F.lit(None).cast("long").alias("n_events"),
+        F.lit(None).cast("double").alias("sum_value"),
+        "purged_n",
+        "suppressed_n",
+    )
+    return active.unionAll(forgotten)
