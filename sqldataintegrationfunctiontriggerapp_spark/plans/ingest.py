@@ -349,3 +349,31 @@ def union_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_missing_lang"),
     )
+
+
+@register("orc_ingest_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def orc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC through the engine's writer and reader -- the third interchange
+    format beside JSONL and CSV, and the one that matters when the
+    upstream warehouse is Hive/Trino-flavored (ORC is their native
+    columnar format the way parquet is Spark's). Written and read with
+    Spark's built-in ORC support and the explicit schema; output hashes
+    md5(text) per row against the PARQUET ground truth exactly like the
+    siblings, so any encoding asymmetry between the ORC write and read
+    legs (string dictionary handling, null vs empty) breaks the driver
+    hash. The oracle never sees the ORC bytes.
+
+    At 100 TB: ORC splits by stripe like parquet splits by row group, so
+    the scan parallelizes identically; predicate pushdown and column
+    pruning work through the same DataSource V2 machinery (the format
+    choice is an interop concern, not a plan-shape concern -- which is
+    the point this query pins)."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _staged_text_format(spark, sf_dir, "orc")
+    back = spark.read.schema(docs.schema).orc(str(path))
+    return back.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )

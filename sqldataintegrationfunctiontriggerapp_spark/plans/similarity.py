@@ -2200,3 +2200,156 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.parallelize(out_rows, 1),
         "rnk int, vec_id bigint, radius2 double",
     )
+
+
+# --- DBSCAN over the similarity graph ----------------------------------------
+_DBSCAN_TAU = 0.4   # epsilon-neighborhood: cosine >= tau
+_DBSCAN_MINPTS = 2  # neighbors (self excluded) needed for core status
+
+_DBSCAN_ORACLE = f"""
+    WITH RECURSIVE raw AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+        WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[])) > 0
+    ),
+    p AS (
+        SELECT a.vec_id AS ia, b.vec_id AS ib
+        FROM raw a JOIN raw b ON a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v)
+              / sqrt(list_dot_product(a.v, a.v)
+                     * list_dot_product(b.v, b.v)) >= CAST('0.4' AS DOUBLE)
+    ),
+    sym AS (
+        SELECT ia AS u, ib AS w FROM p UNION SELECT ib, ia FROM p
+    ),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    core AS (SELECT u FROM deg WHERE d >= {_DBSCAN_MINPTS}),
+    ce AS (
+        SELECT s.u, s.w FROM sym s
+        JOIN core ca ON ca.u = s.u
+        JOIN core cb ON cb.u = s.w
+    ),
+    reach AS (
+        SELECT u, w FROM ce
+        UNION
+        SELECT r.u, e.w FROM reach r JOIN ce e ON e.u = r.w
+    ),
+    core_cluster AS (
+        SELECT c.u AS vec_id, LEAST(c.u, COALESCE(MIN(r.w), c.u)) AS cluster
+        FROM core c LEFT JOIN reach r ON r.u = c.u
+        GROUP BY c.u
+    ),
+    border AS (
+        SELECT s.u AS vec_id, MIN(cc.cluster) AS cluster
+        FROM sym s
+        JOIN core_cluster cc ON cc.vec_id = s.w
+        WHERE s.u NOT IN (SELECT u FROM core)
+        GROUP BY s.u
+    )
+    SELECT e.vec_id,
+           CASE WHEN cc.vec_id IS NOT NULL THEN 'core'
+                WHEN b.vec_id IS NOT NULL THEN 'border'
+                ELSE 'noise' END AS role,
+           CAST(COALESCE(cc.cluster, b.cluster) AS BIGINT) AS cluster
+    FROM embeddings e
+    LEFT JOIN core_cluster cc ON cc.vec_id = e.vec_id
+    LEFT JOIN border b ON b.vec_id = e.vec_id
+"""
+
+
+@register("dbscan_embedding_clusters", oracle=_DBSCAN_ORACLE)
+def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. 1996) over the
+    cosine similarity graph: epsilon-neighbors are pairs at cos >= 0.4
+    (the dedup family's verified pair kernel -- exact at any corpus size
+    via the auto-routed pivot-partitioned join), core points have >= 2
+    neighbors, clusters are connected components of the core-core
+    subgraph (min-label id), border points attach to their smallest core
+    neighbor's cluster, everything else is noise. The clustering grain
+    k-means cannot give: cluster COUNT is discovered, not configured,
+    arbitrary-shaped dense regions stay together, and isolated points are
+    labeled noise instead of being forced into the nearest centroid --
+    exactly what curation wants for "find the template farms / leave the
+    long tail alone".
+
+    Deterministic end to end: the pair kernel is the fold/list_dot_product
+    contract, degree thresholds are integers, components use min-label
+    propagation (O(log n) pointer-jumping rounds vs the oracle's
+    recursive-CTE closure -- same fixed point), and the border argmin is
+    a MIN aggregate. Scale shape: ONE pair-kernel invocation (the
+    expensive, already-laddered part -- dedup_embedding_cosine runs the
+    same kernel), truthful-checkpointed because the similarity graph is
+    read by three consumers plus every component-propagation round; then
+    everything downstream operates on the TRUE-pair graph -- degree agg,
+    core filter, component loop on core edges, one border join."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.dedup import (
+        connected_components,
+    )
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans.dedup import (
+        _truthful_ckpt,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # Materialize the pair kernel ONCE: sym feeds three consumers (degree,
+    # core-edge build, border join) and the component loop re-reads its
+    # edges every propagation round -- unmaterialized, each re-ran the
+    # whole cosine kernel (measured 707.6 s at sf10, 15.1x super-linear;
+    # the kernel itself is ~96 s there). True-pair-bounded, honest stats.
+    pairs = _truthful_ckpt(
+        S.cosine_pairs_above_auto(e, _DBSCAN_TAU).select("id_a", "id_b")
+    )
+    sym = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("w")
+    ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("w")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    core = deg.where(F.col("d") >= _DBSCAN_MINPTS).select("u")
+    ce = (
+        sym.join(core.withColumnRenamed("u", "cu"), F.col("u") == F.col("cu"))
+        .drop("cu")
+        .join(core.withColumnRenamed("u", "cw"), F.col("w") == F.col("cw"))
+        .drop("cw")
+    )
+    core_cluster = (
+        connected_components(
+            ce.select(F.col("u").alias("doc_a"), F.col("w").alias("doc_b"))
+        )
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("component_id").alias("cluster"),
+        )
+        if ce.head(1)
+        else core.select(
+            F.col("u").alias("vec_id"), F.col("u").alias("cluster")
+        ).where(F.lit(False))
+    )
+    # isolated cores (no core neighbor) form singleton clusters
+    iso_core = core.join(
+        core_cluster, core["u"] == core_cluster["vec_id"], "anti"
+    ).select(F.col("u").alias("vec_id"), F.col("u").alias("cluster"))
+    core_cluster = core_cluster.unionAll(iso_core).localCheckpoint()
+    border = (
+        sym.join(core, "u", "anti")
+        .join(
+            core_cluster.withColumnRenamed("vec_id", "w_id"),
+            F.col("w") == F.col("w_id"),
+        )
+        .groupBy("u")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("u").alias("vec_id"), "cluster")
+    )
+    cc = core_cluster.select(
+        "vec_id", F.lit("core").alias("role"), F.col("cluster").cast("long")
+    )
+    bb = border.select(
+        "vec_id", F.lit("border").alias("role"), F.col("cluster").cast("long")
+    )
+    labeled = cc.unionAll(bb)
+    all_ids = e.select("vec_id")
+    noise = all_ids.join(labeled, "vec_id", "anti").select(
+        "vec_id",
+        F.lit("noise").alias("role"),
+        F.lit(None).cast("long").alias("cluster"),
+    )
+    return labeled.unionAll(noise)
