@@ -455,3 +455,108 @@ def test_topk_kernels_agree_bitwise(spark, vecs, k):
         for r in S.brute_force_topk_blas(df, df, k=k).collect()
     )
     assert jvm == blas
+
+
+# --- r11 operators: skyline, triangles, LPA ----------------------------------
+
+points_strategy = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(0, 6)),
+    min_size=0,
+    max_size=12,
+)
+
+
+@PROP
+@given(pts=points_strategy)
+def test_skyline_matches_brute_force(spark, pts):
+    """The sort-scan skyline (per-price min + prefix-min over distinct
+    prices) equals the O(n^2) dominance definition on arbitrary points,
+    including duplicates (mutually non-dominating) and single-point
+    inputs."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    if not pts:
+        return
+    df = spark.createDataFrame(
+        [(i, float(p), s) for i, (p, s) in enumerate(pts)],
+        "p_partkey long, price double, size int",
+    )
+    per_price = df.groupBy("price").agg(F.min("size").alias("min_size_here"))
+    w = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    pref = per_price.withColumn(
+        "min_size_cheaper", F.min("min_size_here").over(w)
+    )
+    joined = df.join(pref, "price")
+    dominated = (
+        F.col("min_size_cheaper").isNotNull()
+        & (F.col("min_size_cheaper") <= F.col("size"))
+    ) | (F.col("min_size_here") < F.col("size"))
+    got = sorted(r["p_partkey"] for r in joined.where(~dominated).collect())
+
+    def dominates(a, b):
+        return a[0] <= b[0] and a[1] <= b[1] and a != b
+
+    want = sorted(
+        i
+        for i, p in enumerate(pts)
+        if not any(dominates(q, p) for q in pts)
+    )
+    assert got == want
+
+
+@PROP
+@given(edges=edges_strategy)
+def test_triangle_counts_match_brute_force(spark, edges):
+    """Oriented two-join enumeration equals the itertools.combinations
+    count on arbitrary edge lists (self-loops and duplicates removed the
+    same way the dedup pair stage guarantees upstream)."""
+    from itertools import combinations
+
+    from sqldataintegrationfunctiontriggerapp_spark.operators.graph import (
+        triangle_counts,
+    )
+
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    if not pairs:
+        return
+    df = spark.createDataFrame(pairs, "doc_a int, doc_b int")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    eset = set(pairs)
+    nodes = sorted({n for e in pairs for n in e})
+    want: dict[int, int] = {}
+    for a, b, c in combinations(nodes, 3):
+        if {(a, b), (b, c), (a, c)} <= eset:
+            for n in (a, b, c):
+                want[n] = want.get(n, 0) + 1
+    assert got == want
+
+
+@PROP
+@given(
+    edges=edges_strategy,
+    n_parts=st.integers(min_value=1, max_value=5),
+)
+def test_label_propagation_invariant_under_partitioning(spark, edges, n_parts):
+    """LPA's majority vote must be a pure function of the graph: integer
+    counts + the total (cnt DESC, label ASC) order leave no room for
+    partition placement to flip a label."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.graph import (
+        label_propagation,
+    )
+
+    und = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+    nodes = sorted({n for e in und for n in e} | {99})
+    both = und + [(b, a) for a, b in und]
+    ndf = spark.createDataFrame([(v,) for v in nodes], "node int")
+    edf = spark.createDataFrame(both, "src int, dst int")
+    base = sorted(
+        map(tuple, label_propagation(edf.repartition(1), ndf).collect())
+    )
+    alt = sorted(
+        map(
+            tuple,
+            label_propagation(edf.repartition(n_parts), ndf).collect(),
+        )
+    )
+    assert base == alt
