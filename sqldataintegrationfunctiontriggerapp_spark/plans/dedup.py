@@ -315,9 +315,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-scan broadcast pair join, a large one the exact pivot-partitioned
     angular equi-join (100% recall by the triangle inequality, no
     CartesianProduct, work scales with admissible cluster pairs). Both
-    branches are exact, so the oracle SQL is strategy-independent."""
-    e = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_pairs_above_auto(e, 0.4)
+    branches are exact, so the oracle SQL is strategy-independent.
+    r11: the pair table is a session-shared truthful-checkpoint stage,
+    reused by dbscan_embedding_clusters (the _shingles_stage doctrine
+    applied to the embedding family)."""
+    return _cos_pairs_stage(spark, sf_dir)
+
+
+def _cos_pairs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, cos) at cosine >= 0.4 -- the embedding family's shared
+    pair stage: whichever of dedup_embedding_cosine / dbscan_embedding_
+    clusters runs first pays the kernel; honest stats + clearCache
+    immunity via _truthful_ckpt (the similarity graph is re-read by
+    DBSCAN's component loop, which is exactly the recompute class the
+    r11 ladders caught three times)."""
+
+    def build():
+        e = load_table(spark, sf_dir, "embeddings")
+        return _truthful_ckpt(S.cosine_pairs_above_auto(e, 0.4))
+
+    return _stage(spark, sf_dir, "cos_pairs_04", build)
 
 
 @register(

