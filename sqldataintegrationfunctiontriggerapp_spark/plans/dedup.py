@@ -1254,3 +1254,140 @@ def crossdoc_span_removal_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     measurement."""
     docs = load_table(spark, sf_dir, "documents")
     return _span_removal_plan(docs, _span_postings_auto(spark, sf_dir))
+
+
+# --- group k-fold by duplicate component --------------------------------------
+_KFOLD_K = 5
+
+
+_GKF_ORACLE = f"""
+    WITH RECURSIVE tokd AS (
+        SELECT doc_id, UNNEST(list_distinct(
+            [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]
+        )) AS shingle
+        FROM (SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\\s+'),
+                                 x -> x <> '') AS toks
+              FROM documents)
+        WHERE len(toks) >= 3
+    ),
+    bands AS (SELECT CAST(range AS INTEGER) AS band FROM range(8)),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(md5(CAST(band * 2 AS VARCHAR) || '|' || shingle))
+               || MIN(md5(CAST(band * 2 + 1 AS VARCHAR) || '|' || shingle)) AS sig
+        FROM tokd CROSS JOIN bands
+        GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM tokd GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN tokd ea ON ea.doc_id = c.doc_a
+        JOIN tokd eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    pairs AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter) >= 0.7
+    ),
+    sym AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT u, v FROM sym
+        UNION
+        SELECT r.u, s.v FROM reach r JOIN sym s ON s.u = r.v
+    ),
+    comp AS (
+        SELECT d.doc_id,
+               COALESCE(LEAST(d.doc_id, m.mn), d.doc_id) AS component_id
+        FROM documents d
+        LEFT JOIN (SELECT u, MIN(v) AS mn FROM reach GROUP BY u) m
+          ON m.u = d.doc_id
+    ),
+    folded AS (
+        SELECT doc_id, component_id,
+               CAST(('0x' || substr(md5(CAST(component_id AS VARCHAR)), 1, 13))
+                    AS BIGINT) % {_KFOLD_K} AS fold
+        FROM comp
+    ),
+    straddle AS (
+        SELECT COUNT(*) AS n
+        FROM pairs p
+        JOIN folded fa ON fa.doc_id = p.doc_a
+        JOIN folded fb ON fb.doc_id = p.doc_b
+        WHERE fa.fold <> fb.fold
+    )
+    SELECT fold, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component_id) AS BIGINT) AS n_components,
+           (SELECT CAST(n AS BIGINT) FROM straddle) AS straddling_pairs
+    FROM folded GROUP BY fold
+"""
+
+
+@register("group_kfold_components", oracle=_GKF_ORACLE)
+def group_kfold_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free k-fold assignment: folds are hashed at the NEAR-DUP
+    COMPONENT grain (md5(component_id) % 5), so a document and all its
+    near-duplicates always land in the same fold -- the fix for exactly
+    the eval contamination split_leakage_audit measures when folds are
+    hashed per-document (a train-fold doc with a test-fold near-dup
+    inflates every metric). Isolated documents are their own singleton
+    component, so the assignment degenerates to plain hashed k-fold
+    where no duplication exists. Output is the per-fold summary (docs,
+    components, and the cross-fold near-dup pair count -- 0 by
+    construction, audited against the pair table rather than assumed).
+
+    Rides the shared MinHash pair stage + min-label components; fold
+    hashing is the engine's standard md5-52-bit-prefix integer idiom.
+    Scale shape: pair stage (laddered elsewhere) + component loop on
+    true pairs + one doc-grain hash -- the summary is k rows."""
+    _sigs, _cands, jacc0 = _minhash_stage(spark, sf_dir)
+    pairs = (
+        jacc0.where(F.col("jaccard") >= 0.7)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    comp = D.connected_components(pairs)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    full = docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component_id"), F.col("doc_id")).alias(
+            "component_id"
+        ),
+    )
+    fold = (
+        F.conv(
+            F.substring(F.md5(F.col("component_id").cast("string")), 1, 13),
+            16,
+            10,
+        ).cast("long")
+        % _KFOLD_K
+    )
+    folded = full.withColumn("fold", fold).localCheckpoint()
+    fa = folded.select(F.col("doc_id").alias("doc_a"), F.col("fold").alias("fold_a"))
+    fb = folded.select(F.col("doc_id").alias("doc_b"), F.col("fold").alias("fold_b"))
+    straddle = (
+        pairs.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .where(F.col("fold_a") != F.col("fold_b"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        folded.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component_id").alias("n_components"),
+        )
+        .crossJoin(F.broadcast(straddle.select(F.col("n").alias("straddling_pairs"))))
+    )

@@ -56,6 +56,7 @@ _BNLJ_ALLOWED = {
     "kmv_jaccard_sources":       "gated: src<src pair enumeration over the bounded source list (sketch legs are equi-joins)",
     "gdpr_forget_propagation":   "1-row: per-table purge/retain count combine",
     "hybrid_rrf_fusion":         "gated: dense-branch query panel broadcast (blas kernel above 64 queries)",
+    "group_kfold_components":    "1-row: straddling-pair audit count combine",
 }
 
 
