@@ -1613,9 +1613,13 @@ _KMV_ORACLE = f"""
         SELECT h, row_number() OVER (ORDER BY h) AS rn FROM global_hashes
     ),
     global_est AS (
+        -- Branch on the SKETCH's stored count with the same `<` comparator
+        -- as merged_est and the engine's _bottomk_est: at exactly k stored
+        -- hashes all three take the estimator branch, so the
+        -- merge==global identity and Spark/oracle parity hold even when
+        -- the true global distinct count lands exactly on k.
         SELECT (SELECT COUNT(*) FROM global_hashes) AS exact_g,
-               CASE WHEN (SELECT COUNT(*) FROM global_hashes) <= {_KMV_K}
-                    THEN CAST((SELECT COUNT(*) FROM global_hashes) AS DOUBLE)
+               CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
                     ELSE CAST({_KMV_NUM} AS DOUBLE)
                          / CAST(MAX(CASE WHEN rn = {_KMV_K} THEN h END)
                                 AS DOUBLE)
@@ -1704,7 +1708,10 @@ def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _bottomk_est(hset: DataFrame) -> DataFrame:
         """(est DOUBLE) from a distinct-hash frame via salted two-phase
-        bottom-k (the global sort only ever sees <= 64 * k survivors)."""
+        bottom-k (the global sort only ever sees <= 64 * k survivors).
+        Comparator contract: branches on the sketch's STORED count with
+        `<` -- a sketch holding exactly k values takes the estimator
+        branch, matching the oracle's merged_est AND global_est CTEs."""
         w_s = Window.partitionBy("salt").orderBy("h")
         pruned = (
             hset.withColumn("salt", F.col("h") % 64)

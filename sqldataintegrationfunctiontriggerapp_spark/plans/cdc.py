@@ -876,12 +876,18 @@ _GDPR_ORACLE = """
         WHERE o_custkey IN (SELECT c_custkey FROM forget)
     ),
     o_retained AS (
-        SELECT o_orderkey FROM orders
-        WHERE o_custkey NOT IN (SELECT c_custkey FROM forget)
+        -- NOT EXISTS, not NOT IN: the Spark plan is an anti-join, which
+        -- RETAINS rows whose FK is NULL; NOT IN would drop them via
+        -- three-valued NULL comparison. Pin anti-join semantics on both
+        -- sides so a nullable-FK fixture cannot split the engines.
+        SELECT o_orderkey FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM forget f
+                          WHERE f.c_custkey = o.o_custkey)
     ),
     l_retained AS (
-        SELECT l_orderkey FROM lineitem
-        WHERE l_orderkey NOT IN (SELECT o_orderkey FROM o_purged)
+        SELECT l_orderkey FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM o_purged p
+                          WHERE p.o_orderkey = l.l_orderkey)
     ),
     c_stats AS (
         SELECT COUNT(*) FILTER (c_custkey % 97 = 0) AS purged,
@@ -902,7 +908,8 @@ _GDPR_ORACLE = """
         -- paths: a retained lineitem whose parent is not in the retained
         -- order set is a cascade violation (0 when consistent)
         SELECT COUNT(*) AS n FROM l_retained l
-        WHERE l.l_orderkey NOT IN (SELECT o_orderkey FROM o_retained)
+        WHERE NOT EXISTS (SELECT 1 FROM o_retained o
+                          WHERE o.o_orderkey = l.l_orderkey)
     )
     SELECT 'customer' AS table_name, CAST(purged AS BIGINT) AS purged_rows,
            CAST(retained AS BIGINT) AS retained_rows,

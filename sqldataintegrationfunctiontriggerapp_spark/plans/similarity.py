@@ -7,7 +7,10 @@ from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
-from sqldataintegrationfunctiontriggerapp_spark.plans._util import session_stage
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+    _release_stage,
+    session_stage,
+)
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 
 # Shared IVF oracle skeleton: deterministic md5-ordered pivot sample,
@@ -2177,28 +2180,45 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return (F.col("n2") - (F.lit(2.0) * dp)) + F.lit(float(cn2))
 
-    first = base.orderBy("vec_id").limit(1).collect()[0]
+    out_schema = "rnk int, vec_id bigint, radius2 double"
+    seed = base.orderBy("vec_id").limit(1).collect()
+    if not seed:
+        # empty embeddings fixture: degrade to zero rows like the
+        # unrolled oracle instead of IndexError-ing (ADVICE r11)
+        return spark.createDataFrame([], out_schema)
+    first = seed[0]
     selected = [first["vec_id"]]
     out_rows = [(1, first["vec_id"], None)]
     cur = base.withColumn(
         "mind", d2_to(first["v"], first["n2"])
     ).localCheckpoint()
     for rnk in range(2, _KC_K + 1):
-        pick = (
+        picked = (
             cur.where(~F.col("vec_id").isin(selected))
             .orderBy(F.desc("mind"), "vec_id")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not picked:
+            # corpus smaller than K: every point already selected
+            break
+        pick = picked[0]
         selected.append(pick["vec_id"])
         out_rows.append((rnk, pick["vec_id"], pick["mind"]))
         if rnk < _KC_K:
+            prev = cur
             cur = cur.withColumn(
                 "mind", F.least(F.col("mind"), d2_to(pick["v"], pick["n2"]))
             ).localCheckpoint()
+            # the new checkpoint fully materializes the least() result, so
+            # the previous round's blocks are dead -- release them now
+            # instead of pinning K corpus copies until session cleanup
+            _release_stage(prev)
+    _release_stage(cur)
+    _release_stage(base)
     return spark.createDataFrame(
         spark.sparkContext.parallelize(out_rows, 1),
-        "rnk int, vec_id bigint, radius2 double",
+        out_schema,
     )
 
 

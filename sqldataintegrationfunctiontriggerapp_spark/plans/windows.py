@@ -2510,6 +2510,20 @@ def streaming_gdpr_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         _staged_foreach_replay(spark, sf_dir, refresh)
         if holder["store"] is None:
             raise ValueError("staged replay delivered no micro-batches")
+        if holder["tombs"] is None:
+            # Single-batch replay: the forget queue (epoch >= 1) never
+            # arrived, so there are no tombstones -- emit an empty frame
+            # with the tombstone schema instead of leaking None to the
+            # downstream select (ADVICE r11).
+            holder["tombs"] = (
+                holder["store"]
+                .where(F.lit(False))
+                .select(
+                    "user_id",
+                    F.col("n_events").alias("purged_n"),
+                    F.lit(0).cast("long").alias("suppressed_n"),
+                )
+            )
         return holder["store"], holder["tombs"]
 
     store, tombs = session_stage(spark, sf_dir, "gdpr_standing_store", build)
