@@ -70,6 +70,31 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     total = 0.0
+    # Per-query peak resident RDD storage (stage checkpoints + any
+    # persisted intermediates), sampled by a background thread -- the
+    # ladder's evidence column for the stage ledger (VERDICT r11 #1).
+    import threading
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        stage_ledger_tick,
+        storage_bytes,
+    )
+
+    peak_holder = {"peak": 0, "stop": False}
+
+    def _sample_storage() -> None:
+        while not peak_holder["stop"]:
+            try:
+                peak_holder["peak"] = max(
+                    peak_holder["peak"], storage_bytes(spark)
+                )
+            except Exception:
+                pass
+            time.sleep(0.25)
+
+    sampler = threading.Thread(target=_sample_storage, daemon=True)
+    sampler.start()
+    storage_peaks: dict[str, float] = {}
     # Measure in registry-natural (module) order, NOT the driver's
     # correctness-sweep priority order: the sweep priority is reshuffled
     # every round toward queries with stale evidence, and whichever query
@@ -85,23 +110,40 @@ def main() -> None:
         {n: plans.QUERIES[n] for n in wanted} if only else plans.QUERIES
     )
     for name, fn in selected.items():
+        peak_holder["peak"] = storage_bytes(spark)
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
-        print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+        peak_mb = max(peak_holder["peak"], storage_bytes(spark)) / (1 << 20)
+        storage_peaks[name] = round(peak_mb, 1)
         # operators may persist() intermediates (e.g. shingle tables); drop
         # them so queries are measured independently and the driver heap
         # doesn't fill with dead caches as the suite progresses
         spark.catalog.clearCache()
+        # stage ledger: evict LRU shared-stage checkpoints past the
+        # storage budget (query boundary -- nothing in-flight references
+        # them), keeping long-suite residency bounded
+        ledger = stage_ledger_tick(spark)
+        evict_note = (
+            f" evicted={ledger['evicted']}" if ledger["evicted"] else ""
+        )
+        print(
+            f"# {name}: {dt:.2f}s peak={peak_mb:.0f}MB"
+            f" resident={ledger['global_bytes'] / (1 << 20):.0f}MB"
+            f"{evict_note}",
+            file=sys.stderr,
+        )
 
+    peak_holder["stop"] = True
     payload = {
         "metric": "suite_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "storage_peak_mb": storage_peaks,
     }
     line = json.dumps(payload)
     # The driver's BENCH_r{N}.json keeps only a ~2 KB tail of stdout, which

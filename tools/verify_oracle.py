@@ -62,9 +62,16 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     failures = []
     n_checked = 0
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        stage_ledger_tick,
+    )
+
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # query boundary: bound shared-stage checkpoint residency the same
+        # way bench.py does (LRU past $SPARK_GRAFT_STAGE_BUDGET_MB)
+        stage_ledger_tick(spark)
         n_checked += 1
         t0 = time.time()
         try:
