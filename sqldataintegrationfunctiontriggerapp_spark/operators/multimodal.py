@@ -1,14 +1,16 @@
 """Multimodal column plumbing (north-star C7): image/audio/video as opaque
 binary columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 
-PIXEL decoding is STUBBED (no image/audio libraries in this container):
-`decode_stub=True` produces deterministic fake features;
-`decode_stub=False` raises NotImplementedError where a real libvips/ffmpeg
-call would go. CONTAINER-HEADER decoding is real (r11): decode_image_dims
-below parses width/height/channels out of actual PNG/JPEG bytes with pure
-stdlib, so the stub boundary is now exactly the pixel data. Everything
-around the stub -- schema, binary handling, mapInPandas batch iteration,
-partition sizing -- is real and tested.
+Decode reality ladder: CONTAINER-HEADER decoding is real
+(decode_image_dims, r11: PNG IHDR + JPEG SOFn marker scan, pure stdlib);
+PNG PIXEL decoding is real (decode_png_pixels, r12: zlib inflate + all
+five ISO/IEC 15948 row filters reversed, pure stdlib). The remaining
+stub boundary is exactly JPEG ENTROPY decode -- `decode_stub=True` in
+extract_features produces deterministic fake features and
+`decode_stub=False` raises NotImplementedError where a libjpeg/ffmpeg
+call would go. Everything around that boundary -- schema, binary
+handling, mapInPandas batch iteration, partition sizing -- is real and
+tested.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; with
 `spark.sql.files.maxPartitionBytes` at 128 MB a 100 TB media table yields
@@ -60,9 +62,10 @@ def extract_features(media: DataFrame, decode_stub: bool = True) -> DataFrame:
         for pdf in batches:
             if not decode_stub:
                 raise NotImplementedError(
-                    "real PIXEL decode requires an image/audio library; "
-                    "install and replace this branch (container-header "
-                    "parsing needs no library -- see decode_image_dims)"
+                    "real JPEG/audio decode requires a codec library; "
+                    "install and replace this branch (PNG needs none -- "
+                    "see decode_png_pixels for the full stdlib pixel path,"
+                    " decode_image_dims for container headers)"
                 )
             content = pdf["content"]
             lens = content.map(len)
@@ -247,6 +250,248 @@ def _jpeg_bytes(width: int, height: int, n_comp: int = 3) -> bytes:
         + b"".join(bytes([i + 1, 0x11, 0]) for i in range(n_comp))
     )
     return b"\xff\xd8" + app0 + com + sof + b"\xff\xd9"
+
+
+# ---------------------------------------------------------------------------
+# Real (pure-stdlib) PNG PIXEL decoding -- VERDICT r11 #2: zlib inflate +
+# per-row unfilter (all five ISO/IEC 15948 filter types), which narrows the
+# NotImplementedError boundary to JPEG entropy decode only. The synthetic
+# fixture writes REAL PNGs (correct CRCs, split IDAT, every filter type in
+# rotation) whose pixel values are a closed-form function of (doc_id, x, y,
+# channel), so an arithmetic oracle can recompute the decoded statistics
+# without touching a byte.
+
+PIXEL_SCHEMA = (
+    "media_id bigint, status string, width int, height int, n_channels int, "
+    "c0_sum bigint, c1_sum bigint, c2_sum bigint, px_min int, px_max int"
+)
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib
+
+    return (
+        len(payload).to_bytes(4, "big")
+        + tag
+        + payload
+        + (zlib.crc32(tag + payload) & 0xFFFFFFFF).to_bytes(4, "big")
+    )
+
+
+def _png_full_bytes(doc_id: int) -> bytes:
+    """A complete, spec-valid RGB8 PNG whose pixel (x, y, c) carries
+    (x + 2y + 3c + doc_id) % 256, with W = doc_id%16+1, H = doc_id%12+1.
+    Scanline y uses filter type y % 5, so a decoder must reverse ALL of
+    None/Sub/Up/Average/Paeth to recover the pattern; the IDAT stream is
+    split in two chunks so chunk concatenation is exercised; CRCs are real.
+    doc_id % 97 == 0 payloads get their IDAT truncated mid-stream -- the
+    corrupt-file case a 100 TB crawl always contains."""
+    import zlib
+
+    w, h, ch = doc_id % 16 + 1, doc_id % 12 + 1, 3
+    stride = w * ch
+
+    def raw_row(y: int) -> bytes:
+        return bytes(
+            (x + 2 * y + 3 * c + doc_id) % 256
+            for x in range(w)
+            for c in range(ch)
+        )
+
+    filtered = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = raw_row(y)
+        f = y % 5
+        filtered.append(f)
+        if f == 0:
+            out = row
+        elif f == 1:  # Sub
+            out = bytes(
+                (row[k] - (row[k - ch] if k >= ch else 0)) & 255
+                for k in range(stride)
+            )
+        elif f == 2:  # Up
+            out = bytes((row[k] - prev[k]) & 255 for k in range(stride))
+        elif f == 3:  # Average
+            out = bytes(
+                (row[k] - (((row[k - ch] if k >= ch else 0) + prev[k]) >> 1))
+                & 255
+                for k in range(stride)
+            )
+        else:  # Paeth
+            out = bytearray()
+            for k in range(stride):
+                a = row[k - ch] if k >= ch else 0
+                b = prev[k]
+                cc = prev[k - ch] if k >= ch else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                out.append((row[k] - pred) & 255)
+            out = bytes(out)
+        filtered += out
+        prev = row
+
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 0])
+    )
+    z = zlib.compress(bytes(filtered), 6)
+    if doc_id % 97 == 0 and len(z) > 4:
+        z = z[: len(z) // 2]  # truncated stream: inflate must fail
+    half = max(1, len(z) // 2)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:half])
+        + _png_chunk(b"IDAT", z[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_pixels_one(buf: bytes):
+    """(w, h, ch, c_sums[3], px_min, px_max) or ('corrupt', w, h, ch) --
+    full chunk walk + inflate + unfilter. Never throws: every malformed
+    layer (signature, IHDR, unsupported depth/interlace, zlib, size
+    mismatch) degrades per-row."""
+    import zlib
+
+    if len(buf) < 33 or not buf.startswith(_PNG_SIG):
+        return None
+    if buf[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(buf[16:20], "big")
+    h = int.from_bytes(buf[20:24], "big")
+    depth, color_type, interlace = buf[24], buf[25], buf[28]
+    if color_type not in _PNG_CHANNELS or not (0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF):
+        return None
+    ch = _PNG_CHANNELS[color_type]
+    if depth != 8 or interlace != 0:
+        return ("corrupt", w, h, ch)  # header readable, pixels out of scope
+    # chunk walk: concatenate every IDAT payload until IEND
+    i, n = 8, len(buf)
+    idat = bytearray()
+    while i + 8 <= n:
+        clen = int.from_bytes(buf[i : i + 4], "big")
+        tag = buf[i + 4 : i + 8]
+        if i + 8 + clen + 4 > n:
+            return ("corrupt", w, h, ch)
+        if tag == b"IDAT":
+            idat += buf[i + 8 : i + 8 + clen]
+        i += 8 + clen + 4
+        if tag == b"IEND":
+            break
+    stride = w * ch
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return ("corrupt", w, h, ch)
+    if len(raw) != h * (1 + stride):
+        return ("corrupt", w, h, ch)
+    sums = [0] * ch
+    px_min, px_max = 255, 0
+    prev = bytes(stride)
+    pos = 0
+    for _y in range(h):
+        f = raw[pos]
+        pos += 1
+        line = bytearray(raw[pos : pos + stride])
+        pos += stride
+        if f == 1:
+            for k in range(ch, stride):
+                line[k] = (line[k] + line[k - ch]) & 255
+        elif f == 2:
+            for k in range(stride):
+                line[k] = (line[k] + prev[k]) & 255
+        elif f == 3:
+            for k in range(stride):
+                left = line[k - ch] if k >= ch else 0
+                line[k] = (line[k] + ((left + prev[k]) >> 1)) & 255
+        elif f == 4:
+            for k in range(stride):
+                a = line[k - ch] if k >= ch else 0
+                b = prev[k]
+                cc = prev[k - ch] if k >= ch else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+                line[k] = (line[k] + pred) & 255
+        elif f != 0:
+            return ("corrupt", w, h, ch)
+        for k in range(stride):
+            v = line[k]
+            sums[k % ch] += v
+            if v < px_min:
+                px_min = v
+            if v > px_max:
+                px_max = v
+        prev = bytes(line)
+    return (w, h, ch, sums, px_min, px_max)
+
+
+def synth_pixel_media(docs: DataFrame) -> DataFrame:
+    """Deterministic full-PNG fixture over documents: every doc becomes a
+    real RGB8 PNG (see _png_full_bytes); doc_id % 97 == 0 rows are
+    IDAT-truncated corrupt files."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_png_full_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id bigint, content binary"
+    )
+
+
+def decode_png_pixels(media: DataFrame) -> DataFrame:
+    """REAL pixel decode for PNG payloads -- zlib inflate + all-five-filter
+    unfilter, pure stdlib, over the same Arrow-batched mapInPandas seam as
+    decode_image_dims. Emits per-image per-channel sums and global extrema
+    (the stats an arithmetic oracle can recompute); corrupt payloads keep
+    their header dims with status='corrupt' and NULL stats; non-PNG bytes
+    are status='unknown' with NULL everything."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(buf) if buf is not None else b""
+                r = _decode_png_pixels_one(b)
+                if r is None:
+                    rows.append((int(mid), "unknown") + (None,) * 8)
+                elif r[0] == "corrupt":
+                    rows.append(
+                        (int(mid), "corrupt", r[1], r[2], r[3])
+                        + (None,) * 5
+                    )
+                else:
+                    w, h, ch, sums, mn, mx = r
+                    s = sums + [None] * (3 - len(sums))
+                    rows.append(
+                        (int(mid), "ok", w, h, ch, s[0], s[1], s[2], mn, mx)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "status", "width", "height", "n_channels",
+                    "c0_sum", "c1_sum", "c2_sum", "px_min", "px_max",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "n_channels": "Int32", "c0_sum": "Int64",
+                    "c1_sum": "Int64", "c2_sum": "Int64",
+                    "px_min": "Int32", "px_max": "Int32",
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=PIXEL_SCHEMA)
 
 
 def synth_image_media(docs: DataFrame) -> DataFrame:

@@ -95,6 +95,43 @@ def test_multimodal_stub_raises_without_decoder(spark, sf_dir):
         feats.collect()
 
 
+def test_png_pixel_codec_roundtrip_pure_python():
+    """Driver-side pin of the pure-stdlib PNG pixel codec: encode with all
+    five filter types in rotation, decode, and compare the recovered
+    statistics against the generator's closed form -- no Spark, so a codec
+    bug localizes here before the registry query sees it."""
+    for did in (5, 12, 38, 101):  # h = 6..12 rows -> every filter type used
+        buf = MM._png_full_bytes(did)
+        w, h = did % 16 + 1, did % 12 + 1
+        r = MM._decode_png_pixels_one(buf)
+        assert r is not None and r[0] != "corrupt"
+        rw, rh, ch, sums, mn, mx = r
+        assert (rw, rh, ch) == (w, h, 3)
+        expect = [
+            sum((x + 2 * y + 3 * c + did) % 256
+                for x in range(w) for y in range(h))
+            for c in range(3)
+        ]
+        assert sums == expect
+        allv = [(x + 2 * y + 3 * c + did) % 256
+                for x in range(w) for y in range(h) for c in range(3)]
+        assert (mn, mx) == (min(allv), max(allv))
+
+
+def test_png_pixel_codec_degrades_on_corrupt_bytes():
+    # truncated IDAT (the fixture's own corrupt branch): header dims kept
+    r = MM._decode_png_pixels_one(MM._png_full_bytes(97))
+    assert r[0] == "corrupt" and (r[1], r[2], r[3]) == (97 % 16 + 1, 97 % 12 + 1, 3)
+    # non-PNG bytes and empty input: unknown, never a raise
+    assert MM._decode_png_pixels_one(b"not a png at all" * 4) is None
+    assert MM._decode_png_pixels_one(b"") is None
+    # bit-flip inside IDAT: zlib checksum/structure failure -> corrupt
+    good = bytearray(MM._png_full_bytes(12))
+    good[60] ^= 0xFF
+    r = MM._decode_png_pixels_one(bytes(good))
+    assert r is None or r[0] == "corrupt"
+
+
 def test_frame_sample_offsets(spark, sf_dir):
     media = MM.documents_as_media(load_table(spark, sf_dir, "documents")).limit(3)
     frames = MM.frame_sample(media, every_n_bytes=100)
