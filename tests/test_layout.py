@@ -103,3 +103,54 @@ def test_zorder_skips_at_least_as_much_as_linear(layout_rows):
         if r.prunable:
             skipped[r.layout] += r.n_rows
     assert skipped["zorder"] >= skipped["linear"], skipped
+
+
+def test_compaction_apply_pruning_envelope_survives_rewrite(spark):
+    # sf0.01, not the sf0.001 test default: the tiny fixture packs into a
+    # single bin per event_type, which leaves nothing to prune
+    sf_dir = "/root/testdata/sf0.01"
+    """A day-range query against the COMPACTED layout, routed through the
+    plan's (day_from, day_to) envelope, must (a) carry a non-empty
+    partition filter on bin in the physical plan and (b) return exactly
+    the rows a full-scan day filter returns -- the end-to-end claim that
+    compaction preserved time-range prunability."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans.layout import (
+        _compaction_dirs,
+    )
+
+    _small, compacted = _compaction_dirs(spark, sf_dir)
+    cdf = spark.read.parquet(str(compacted))
+    day = F.floor(
+        F.col("ts").cast("timestamp").cast("double") / 86400
+    ).cast("long")
+    # pick a mid-corpus 3-day window from the data itself
+    lo_hi = cdf.select(
+        F.min(day).alias("lo"), F.max(day).alias("hi")
+    ).collect()[0]
+    lo = lo_hi["lo"] + (lo_hi["hi"] - lo_hi["lo"]) // 2
+    hi = lo + 2
+    # metadata pass: bins whose planned envelope overlaps the window
+    envelopes = (
+        cdf.withColumn("d", day)
+        .groupBy("event_type", "bin")
+        .agg(F.min("d").alias("day_from"), F.max("d").alias("day_to"))
+        .where((F.col("day_from") <= hi) & (F.col("day_to") >= lo))
+        .select("bin")
+        .distinct()
+        .collect()
+    )
+    bins = sorted(r["bin"] for r in envelopes)
+    assert bins and len(bins) < cdf.select("bin").distinct().count(), (
+        "the 3-day window must prune at least one bin for this test to "
+        "witness pruning"
+    )
+    pruned = cdf.where(F.col("bin").isin(bins)).where(day.between(lo, hi))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert scan_lines and all(
+        "PartitionFilters: []" not in ln for ln in scan_lines
+    ), f"bin filter did not reach the scan:\n{plan}"
+    full = cdf.where(day.between(lo, hi))
+    assert pruned.count() == full.count() > 0
