@@ -131,6 +131,34 @@ def test_retryable_backoff_then_raise(spark, sf_dir, pipeline):
     assert "status=503" in state.get("LastError", "events")
 
 
+def test_process_batch_posts_executor_side_only(spark, sf_dir, pipeline,
+                                                monkeypatch):
+    """Deployment-path pin (VERDICT r11 #6): ChangePipeline.process_batch
+    must route through the executor-side post_partitions path -- never the
+    driver-collect post_batch -- and a multi-partition batch must arrive
+    as one POST per partition (no driver fan-in)."""
+    pipe, handler, state = pipeline
+    monkeypatch.setattr(
+        HttpSink, "post_batch",
+        lambda self, df: (_ for _ in ()).throw(
+            AssertionError("driver-collect path used by process_batch")
+        ),
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.sources.changefeed import (
+        with_operation,
+    )
+
+    ev = with_operation(
+        load_table(spark, sf_dir, "events").limit(40).repartition(4)
+    )
+    n = pipe.process_batch(ev, "events")
+    assert n == 40
+    # 4 non-empty partitions, chunk_rows=500 > 10 rows each -> exactly one
+    # POST per partition; a driver-side collect would have produced 1
+    assert len(handler.received) == 4
+    assert sum(len(req) for req in handler.received) == 40
+
+
 def test_backoff_schedule_first_10s(http_server):
     """A15 first backoff = 10 s (RetryFunctions.cs:44), asserted against the
     driver-side post path where the sleeper is observable."""
