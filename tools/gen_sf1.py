@@ -31,11 +31,14 @@ Each replica is written as its own file under <table>.parquet/ (a directory,
 which Spark reads natively) with bounded row groups, so scans start with
 >= 10 splits instead of one giant single-row-group file.
 
-Usage: python tools/gen_sf1.py [dst_dir] [--replicas N]
+Usage: python tools/gen_sf1.py [dst_dir] [--replicas N] [--boilerplate]
        (defaults /root/repo/.localdata/sf1, 10 replicas; --replicas 100
        with dst .localdata/sf10 builds the r10 sf10 fixture -- same
        construction, same linear-scaling guarantees, keys offset by
-       replica*10M so 100 replicas stay far below int64)
+       replica*10M so 100 replicas stay far below int64; --boilerplate
+       wraps every document in the shared un-suffixed header/footer that
+       drives the span family's hottest posting list to |corpus| and
+       flips the _F_AUTO route to its capped branch)
 """
 
 from __future__ import annotations
@@ -76,16 +79,39 @@ def _offset(table: pa.Table, cols: list[str], r: int) -> pa.Table:
     return table
 
 
-def _remap_documents(table: pa.Table, r: int) -> pa.Table:
-    if r == 0:
-        return table
-    tag = str(r)
-    texts = table.column("text").to_pylist()
-    new_texts = [" ".join(t + tag for t in s.split()) for s in texts]
+# --boilerplate: the shared header/footer every scraped-web corpus carries
+# (cookie banners, license blocks, nav text). Same token sequence on EVERY
+# document of EVERY replica -- never replica-suffixed -- so its 8-token
+# shingles have document frequency = |corpus|, which is the regime the span
+# family's _F_AUTO route exists for (VERDICT r11 #4): the hottest posting
+# list blows far past 64 docs and the capped branch must take over.
+BOILER_HEADER = (
+    "terms of service agreement applies to this document please review the "
+    "archived revision history before redistribution of any content herein"
+)
+BOILER_FOOTER = (
+    "copyright notice all rights reserved contact the site administrator "
+    "for takedown requests unsubscribe from the newsletter mailing list here"
+)
+
+
+def _remap_documents(table: pa.Table, r: int, boilerplate: bool = False) -> pa.Table:
     i_text = table.schema.get_field_index("text")
     i_n = table.schema.get_field_index("n_chars")
-    table = table.set_column(i_text, table.schema.field(i_text), pa.array(new_texts, pa.string()))
-    n_chars = pa.array([len(s) for s in new_texts], table.schema.field(i_n).type)
+    texts = table.column("text").to_pylist()
+    if r > 0:
+        tag = str(r)
+        texts = [" ".join(t + tag for t in s.split()) for s in texts]
+    if boilerplate:
+        texts = [
+            f"{BOILER_HEADER} {s} {BOILER_FOOTER}" if s else
+            f"{BOILER_HEADER} {BOILER_FOOTER}"
+            for s in texts
+        ]
+    if r == 0 and not boilerplate:
+        return table
+    table = table.set_column(i_text, table.schema.field(i_text), pa.array(texts, pa.string()))
+    n_chars = pa.array([len(s) for s in texts], table.schema.field(i_n).type)
     return table.set_column(i_n, table.schema.field(i_n), n_chars)
 
 
@@ -120,6 +146,9 @@ def main() -> None:
         i = args.index("--tables")
         only = {t.strip() for t in args[i + 1].split(",") if t.strip()}
         del args[i:i + 2]
+    boilerplate = "--boilerplate" in args
+    if boilerplate:
+        args.remove("--boilerplate")
     dst = args[0] if args else DST_DEFAULT
     os.makedirs(dst, exist_ok=True)
     for t in FIXED_DIMS:
@@ -135,7 +164,7 @@ def main() -> None:
         for r in range(replicas):
             rep = _offset(src, cols, r)
             if t == "documents":
-                rep = _remap_documents(rep, r)
+                rep = _remap_documents(rep, r, boilerplate=boilerplate)
             elif t == "embeddings":
                 rep = _perturb_embeddings(rep, r)
             pq.write_table(rep, f"{out_dir}/part-{r:02d}.parquet", row_group_size=ROW_GROUP)

@@ -56,7 +56,12 @@ def main() -> int:
     spark = get_session()
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files; local gen_sf1.py fixtures are
+        # directories of per-replica files -- glob those for DuckDB
+        pat = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat += "/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{pat}')")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
