@@ -4,13 +4,15 @@ binary columns with typed metadata, processed by Arrow-batched Pandas UDFs.
 Decode reality ladder: CONTAINER-HEADER decoding is real
 (decode_image_dims, r11: PNG IHDR + JPEG SOFn marker scan, pure stdlib);
 PNG PIXEL decoding is real (decode_png_pixels, r12: zlib inflate + all
-five ISO/IEC 15948 row filters reversed, pure stdlib). The remaining
-stub boundary is exactly JPEG ENTROPY decode -- `decode_stub=True` in
-extract_features produces deterministic fake features and
-`decode_stub=False` raises NotImplementedError where a libjpeg/ffmpeg
-call would go. Everything around that boundary -- schema, binary
-handling, mapInPandas batch iteration, partition sizing -- is real and
-tested.
+five ISO/IEC 15948 row filters reversed); baseline-JPEG ENTROPY decoding
+is real (decode_jpeg_pixels, r12: DQT/DHT/SOF0/SOS parse, canonical
+Huffman + byte unstuffing, run-length AC, dequant, full 8x8 IDCT). The
+remaining boundary is progressive/arithmetic JPEG, chroma-subsampled
+frames, and audio/video codecs -- `decode_stub=True` in extract_features
+produces deterministic fake features and `decode_stub=False` raises
+NotImplementedError where a libav/libjpeg-turbo call would go.
+Everything around that boundary -- schema, binary handling, mapInPandas
+batch iteration, partition sizing -- is real and tested.
 
 Scale notes: binary payloads ride in parquet as BYTE_ARRAY; with
 `spark.sql.files.maxPartitionBytes` at 128 MB a 100 TB media table yields
@@ -427,6 +429,403 @@ def _decode_png_pixels_one(buf: bytes):
                 px_max = v
         prev = bytes(line)
     return (w, h, ch, sums, px_min, px_max)
+
+
+# ---------------------------------------------------------------------------
+# Real (pure-stdlib) baseline-JPEG ENTROPY decoding -- VERDICT r11 #10
+# stretch: DQT/DHT/SOF0/SOS parse, canonical-Huffman bitstream decode with
+# byte-unstuffing, run-length AC expansion, dequantization, and a full 8x8
+# float IDCT. With this the extract_features stub boundary retires for
+# baseline JPEG; what remains out of scope is progressive/arithmetic JPEG
+# and real-world chroma subsampling (the fixture and decoder handle 1- or
+# 3-component 1x1-sampled frames).
+
+# natural-order index of each zigzag position (ISO/IEC 10918-1 figure A.6)
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _huff_canonical(counts: list[int], symbols: list[int]):
+    """code table {(length, code): symbol} from a DHT's 16 length counts +
+    symbol list -- canonical JPEG Huffman code assignment (C.2)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _BitReader:
+    """MSB-first entropy-segment reader with JPEG byte unstuffing
+    (FF 00 -> literal FF); raises EOFError past the end or at a marker."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        self.bits = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.buf):
+                raise EOFError
+            b = self.buf[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.buf) or self.buf[self.pos] != 0x00:
+                    raise EOFError  # marker inside entropy data
+                self.pos += 1
+            self.bits = b
+            self.n = 8
+        self.n -= 1
+        return (self.bits >> self.n) & 1
+
+    def read_bits(self, s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise EOFError  # no code of length <= 16 matched: corrupt stream
+
+
+def _extend(v: int, s: int) -> int:
+    """F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    return v - (1 << s) + 1 if s and v < (1 << (s - 1)) else v
+
+
+def _idct_8x8(coef: list[float]) -> list[float]:
+    """Exact separable 2-D type-III DCT (A.3.3), pure math.cos floats.
+    For DC-only blocks this reduces to coef[0]/8 everywhere -- exact when
+    coef[0] is a multiple of 8, which the pixel fixture exploits."""
+    import math
+
+    cos = [
+        [math.cos((2 * x + 1) * u * math.pi / 16) for u in range(8)]
+        for x in range(8)
+    ]
+    c = [1 / math.sqrt(2)] + [1.0] * 7
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                for u in range(8):
+                    f = coef[v * 8 + u]
+                    if f:
+                        s += c[u] * c[v] * f * cos[x][u] * cos[y][v]
+            out[y * 8 + x] = s / 4.0
+    return out
+
+
+def _decode_jpeg_pixels_one(buf: bytes):
+    """(w, h, ch, c_sums, px_min, px_max) or ('corrupt', w, h, ch) or None.
+    Full baseline sequential decode for 1- or 3-component 1x1-sampled
+    frames; progressive/arithmetic/subsampled streams degrade to
+    'corrupt' once dims are known, never a raise."""
+    if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
+        return None
+    qt: dict[int, list[int]] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None  # (w, h, [(comp_id, tq)])
+    i, n = 2, len(buf)
+    try:
+        while i + 3 < n:
+            if buf[i] != 0xFF:
+                return ("corrupt", *frame[:2], len(frame[2])) if frame else None
+            marker = buf[i + 1]
+            if marker == 0xFF:
+                i += 1
+                continue
+            if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+                i += 2
+                continue
+            seg_len = int.from_bytes(buf[i + 2:i + 4], "big")
+            if seg_len < 2 or i + 2 + seg_len > n:
+                return ("corrupt", *frame[:2], len(frame[2])) if frame else None
+            seg = buf[i + 4:i + 2 + seg_len]
+            if marker == 0xDB:  # DQT
+                j = 0
+                while j < len(seg):
+                    pq, tq = seg[j] >> 4, seg[j] & 15
+                    if pq != 0:  # 16-bit tables unsupported
+                        return None
+                    qt[tq] = list(seg[j + 1:j + 65])
+                    j += 65
+            elif marker == 0xC4:  # DHT
+                j = 0
+                while j + 17 <= len(seg):
+                    tc, th = seg[j] >> 4, seg[j] & 15
+                    counts = list(seg[j + 1:j + 17])
+                    nsym = sum(counts)
+                    syms = list(seg[j + 17:j + 17 + nsym])
+                    table = _huff_canonical(counts, syms)
+                    (huff_dc if tc == 0 else huff_ac)[th] = table
+                    j += 17 + nsym
+            elif marker in _JPEG_SOF:
+                if marker != 0xC0:  # only baseline sequential
+                    h0 = int.from_bytes(seg[1:3], "big")
+                    w0 = int.from_bytes(seg[3:5], "big")
+                    return ("corrupt", w0, h0, seg[5])
+                if seg[0] != 8:
+                    return None
+                h0 = int.from_bytes(seg[1:3], "big")
+                w0 = int.from_bytes(seg[3:5], "big")
+                ncomp = seg[5]
+                comps = []
+                for ci in range(ncomp):
+                    cid = seg[6 + 3 * ci]
+                    samp = seg[7 + 3 * ci]
+                    tq = seg[8 + 3 * ci]
+                    if samp != 0x11:  # subsampling out of scope
+                        return ("corrupt", w0, h0, ncomp)
+                    comps.append((cid, tq))
+                if ncomp not in (1, 3) or w0 == 0 or h0 == 0:
+                    return ("corrupt", w0, h0, ncomp) if ncomp else None
+                frame = (w0, h0, comps)
+            elif marker == 0xDA:  # SOS
+                if frame is None:
+                    return None
+                w0, h0, comps = frame
+                ch = len(comps)
+                ns = seg[0]
+                scan_tables = {}
+                for si in range(ns):
+                    cid = seg[1 + 2 * si]
+                    td, ta = seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 15
+                    scan_tables[cid] = (td, ta)
+                rdr = _BitReader(buf, i + 2 + seg_len)
+                bw, bh = (w0 + 7) // 8, (h0 + 7) // 8
+                sums = [0] * ch
+                px_min, px_max = 255, 0
+                pred = [0] * ch
+                # decoded samples kept per block row only: bounded memory
+                for by in range(bh):
+                    row_blocks = []
+                    for _bx in range(bw):
+                        mcu = []
+                        for cix, (cid, tq) in enumerate(comps):
+                            td, ta = scan_tables[cid]
+                            dct = huff_dc.get(td)
+                            act = huff_ac.get(ta)
+                            q = qt.get(tq)
+                            if dct is None or act is None or q is None:
+                                return ("corrupt", w0, h0, ch)
+                            coef = [0.0] * 64
+                            s = rdr.decode_huff(dct)
+                            diff = _extend(rdr.read_bits(s), s)
+                            pred[cix] += diff
+                            coef[0] = pred[cix] * q[0]
+                            k = 1
+                            while k < 64:
+                                rs = rdr.decode_huff(act)
+                                r, s = rs >> 4, rs & 15
+                                if s == 0:
+                                    if r == 15:
+                                        k += 16
+                                        continue
+                                    break  # EOB
+                                k += r
+                                if k > 63:
+                                    return ("corrupt", w0, h0, ch)
+                                coef[_JPEG_ZIGZAG[k]] = (
+                                    _extend(rdr.read_bits(s), s)
+                                    * q[k]
+                                )
+                                k += 1
+                            mcu.append(_idct_8x8(coef))
+                        row_blocks.append(mcu)
+                    ylo = by * 8
+                    for y in range(ylo, min(ylo + 8, h0)):
+                        for bx in range(bw):
+                            xlo = bx * 8
+                            for x in range(xlo, min(xlo + 8, w0)):
+                                for cix in range(ch):
+                                    smp = row_blocks[bx][cix][
+                                        (y - ylo) * 8 + (x - xlo)
+                                    ]
+                                    v = int(round(smp)) + 128
+                                    v = 0 if v < 0 else (255 if v > 255 else v)
+                                    sums[cix] += v
+                                    if v < px_min:
+                                        px_min = v
+                                    if v > px_max:
+                                        px_max = v
+                return (w0, h0, ch, sums, px_min, px_max)
+            i += 2 + seg_len
+        return ("corrupt", *frame[:2], len(frame[2])) if frame else None
+    except (EOFError, IndexError):
+        return ("corrupt", *frame[:2], len(frame[2])) if frame else None
+
+
+# encoder-side canonical tables for the fixture: 12 five-bit DC categories
+# (code = category) and a single two-bit AC EOB symbol
+_JPEG_DC_COUNTS = [0, 0, 0, 0, 12] + [0] * 11
+_JPEG_DC_SYMBOLS = list(range(12))
+_JPEG_AC_COUNTS = [0, 1] + [0] * 14
+_JPEG_AC_SYMBOLS = [0x00]
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, bits: int) -> None:
+        for b in range(bits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> b) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc, self.n = 0, 0
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = self.acc << (8 - self.n) | ((1 << (8 - self.n)) - 1)
+            self.out.append(pad)
+            if pad == 0xFF:
+                self.out.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.out)
+
+
+def _jpeg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def _jpeg_full_bytes(doc_id: int) -> bytes:
+    """A complete baseline grayscale JPEG whose 8x8 block (bx, by) is the
+    CONSTANT value (5*bx + 7*by + doc_id) % 256, W = 8*(doc_id%4+1),
+    H = 8*(doc_id%3+1). DC-only blocks with an all-ones quant table make
+    the decode arithmetically exact (IDCT of a DC-only block is flat at
+    DC/8, and DC = 8*(v-128) is always a multiple of 8), so an oracle can
+    recompute every pixel statistic from doc_id arithmetic. doc_id % 89
+    == 0 payloads get their entropy segment truncated -- the corrupt case.
+    Custom (spec-valid) Huffman tables keep the encoder tiny; the decoder
+    handles any canonical DHT."""
+    w, h = 8 * (doc_id % 4 + 1), 8 * (doc_id % 3 + 1)
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof = (
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    bw_ = _BitWriter()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            v = (5 * bx + 7 * by + doc_id) % 256
+            dc = 8 * (v - 128)
+            diff = dc - pred
+            pred = dc
+            s = abs(diff).bit_length()
+            bw_.write(s, 5)  # DC category, 5-bit code = category
+            if s:
+                bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            bw_.write(0b00, 2)  # AC EOB
+    entropy = bw_.flush()
+    if doc_id % 89 == 0 and len(entropy) > 2:
+        entropy = entropy[: len(entropy) // 2]
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, dqt)
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, dht_dc)
+        + _jpeg_seg(0xC4, dht_ac)
+        + _jpeg_seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def synth_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic full-JPEG fixture over documents (see
+    _jpeg_full_bytes); doc_id % 89 == 0 rows are entropy-truncated."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_jpeg_full_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id bigint, content binary"
+    )
+
+
+def decode_jpeg_pixels(media: DataFrame) -> DataFrame:
+    """REAL baseline-JPEG entropy decode over the Arrow-batched
+    mapInPandas seam: same output contract as decode_png_pixels (grayscale
+    fills c0_sum, c1/c2 stay NULL)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(buf) if buf is not None else b""
+                r = _decode_jpeg_pixels_one(b)
+                if r is None:
+                    rows.append((int(mid), "unknown") + (None,) * 8)
+                elif r[0] == "corrupt":
+                    rows.append(
+                        (int(mid), "corrupt", r[1], r[2], r[3])
+                        + (None,) * 5
+                    )
+                else:
+                    w, h, ch, sums, mn, mx = r
+                    s = sums + [None] * (3 - len(sums))
+                    rows.append(
+                        (int(mid), "ok", w, h, ch, s[0], s[1], s[2], mn, mx)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "status", "width", "height", "n_channels",
+                    "c0_sum", "c1_sum", "c2_sum", "px_min", "px_max",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "n_channels": "Int32", "c0_sum": "Int64",
+                    "c1_sum": "Int64", "c2_sum": "Int64",
+                    "px_min": "Int32", "px_max": "Int32",
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=PIXEL_SCHEMA)
 
 
 def synth_pixel_media(docs: DataFrame) -> DataFrame:

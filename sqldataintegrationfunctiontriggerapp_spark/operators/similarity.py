@@ -1927,6 +1927,33 @@ def greedy_dim_allocation(variances: list[float], m: int) -> list[list[int]]:
     return [sorted(b) for b in buckets]
 
 
+def choose_n_probe(
+    curve: list[tuple[int, float]], target_recall: float
+) -> int:
+    """The production knob VERDICT r11 #5 names: given a MEASURED
+    recall-vs-n_probe curve for a standing IVF index (as
+    tools/bench_ann_crossover.py --probe-sweep emits), pick the smallest
+    n_probe whose measured recall meets the target -- probe cost grows
+    with n_probe (more lists scanned), so the smallest sufficient value
+    is the cheapest operating point. If no measured point reaches the
+    target, return the highest-recall point's n_probe (ties to the
+    smaller n_probe) -- the best the index can do without a rebuild
+    (more lists / better centroids / exact re-rank are the next knobs).
+
+    Driver-side metadata work like greedy_dim_allocation: a handful of
+    (int, float) pairs in, one int out; the curve is measured once at
+    index build and the choice lives beside the index metadata.
+    Monotonicity is NOT assumed (measured curves wobble at small |Q|);
+    every point is inspected."""
+    if not curve:
+        raise ValueError("empty recall curve")
+    ok = [(n, r) for n, r in curve if r >= target_recall]
+    if ok:
+        return min(ok)[0]
+    best = max(r for _, r in curve)
+    return min(n for n, r in curve if r == best)
+
+
 def allocation_permutation(alloc: list[list[int]]) -> list[int]:
     """Flatten an allocation into the vector permutation under which
     CONTIGUOUS subspace slicing realizes it (position p of the permuted

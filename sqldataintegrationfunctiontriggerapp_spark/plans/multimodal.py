@@ -228,6 +228,73 @@ def multimodal_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_jpeg_pixels",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8 * (doc_id % 4 + 1) AS INT) AS w,
+               CAST(8 * (doc_id % 3 + 1) AS INT) AS h,
+               doc_id % 89 = 0 AS corrupt
+        FROM documents
+    ),
+    bxs AS (
+        SELECT doc_id, w, h, UNNEST(range(0, w // 8)) AS bx
+        FROM dims WHERE NOT corrupt
+    ),
+    blocks AS (
+        SELECT doc_id, bx, UNNEST(range(0, h // 8)) AS by FROM bxs
+    ),
+    vals AS (
+        SELECT doc_id, (5 * bx + 7 * by + doc_id) % 256 AS v FROM blocks
+    ),
+    stats AS (
+        SELECT doc_id, SUM(64 * v) AS c0_sum, MIN(v) AS px_min,
+               MAX(v) AS px_max
+        FROM vals GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.corrupt THEN 'corrupt' ELSE 'ok' END AS status,
+           d.w AS width, d.h AS height, CAST(1 AS INT) AS n_channels,
+           CAST(s.c0_sum AS BIGINT) AS c0_sum,
+           CAST(NULL AS BIGINT) AS c1_sum,
+           CAST(NULL AS BIGINT) AS c2_sum,
+           CAST(s.px_min AS INT) AS px_min,
+           CAST(s.px_max AS INT) AS px_max
+    FROM dims d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    """,
+)
+def multimodal_decode_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG entropy decode, pure stdlib (VERDICT r11 #10
+    stretch -- the step that retires the decode stub for baseline JPEG):
+    documents become complete grayscale baseline JPEGs (custom spec-valid
+    canonical Huffman tables, byte-stuffed entropy segment, DC-predictive
+    coding), and decode_jpeg_pixels parses DQT/DHT/SOF0/SOS, walks the
+    bitstream through canonical-Huffman DC/AC decode with run-length
+    expansion, dequantizes, applies the full 8x8 float IDCT, and emits
+    per-image pixel statistics (operators/multimodal.py).
+
+    The fixture keeps every block DC-only with an all-ones quant table,
+    so the IDCT output is arithmetically exact and the oracle recomputes
+    the statistics from doc_id arithmetic alone -- any error in Huffman
+    assignment, bit packing, stuffing, DC prediction, dequantization, or
+    the IDCT scaling breaks the hash. (The AC run-length path is pinned
+    by a crafted-block unit test against an independent IDCT reference;
+    its cosine-valued outputs are unreachable by a SQL oracle.) Every
+    89th document ships a truncated entropy segment: header dims survive,
+    status='corrupt', NULL stats, no task failure.
+
+    Same 100 TB shape as the PNG entry: one scan, no shuffle, per-row
+    degradation, memory bounded by the Arrow batch."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synth_jpeg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_pixels(synth_jpeg_media(docs))
+
+
+@register(
     "multimodal_decode_dims",
     oracle="""
     SELECT doc_id AS media_id,

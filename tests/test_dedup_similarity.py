@@ -132,6 +132,69 @@ def test_png_pixel_codec_degrades_on_corrupt_bytes():
     assert r is None or r[0] == "corrupt"
 
 
+def test_jpeg_codec_roundtrip_dc_only():
+    """Baseline-JPEG codec pin: DC-only fixture blocks decode to exactly
+    the generator's closed form, corrupt/truncated streams degrade."""
+    for did in (1, 5, 11, 123):
+        r = MM._decode_jpeg_pixels_one(MM._jpeg_full_bytes(did))
+        w, h = 8 * (did % 4 + 1), 8 * (did % 3 + 1)
+        vs = [(5 * bx + 7 * by + did) % 256
+              for by in range(h // 8) for bx in range(w // 8)]
+        assert r == (w, h, 1, [sum(64 * v for v in vs)], min(vs), max(vs))
+    r = MM._decode_jpeg_pixels_one(MM._jpeg_full_bytes(89))
+    assert r[0] == "corrupt" and r[1:] == (16, 24, 1)
+    assert MM._decode_jpeg_pixels_one(b"png or junk") is None
+
+
+def test_jpeg_codec_ac_runlength_path_matches_idct_reference():
+    """The AC path (nonzero coefficients, run skips, ZRL) against an
+    independent numpy IDCT reference -- the part of the decoder the
+    DC-only registry fixture cannot reach."""
+    import numpy as np
+
+    # custom AC table: EOB, (run0,size1), (run1,size1), ZRL at length 3
+    ac_counts = [0, 0, 4] + [0] * 13
+    ac_syms = [0x00, 0x01, 0x11, 0xF0]
+    dqt = bytes([0x00]) + bytes([2] * 64)  # non-trivial quant step
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(MM._JPEG_DC_COUNTS) \
+        + bytes(MM._JPEG_DC_SYMBOLS)
+    dht_ac = bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    bw = MM._BitWriter()
+    bw.write(5, 5)          # DC category 5
+    bw.write(16, 5)         # DC diff +16
+    bw.write(0b001, 3)      # AC (0,1) at k=1
+    bw.write(1, 1)          # +1
+    bw.write(0b011, 3)      # ZRL: skip 16 -> k=18
+    bw.write(0b010, 3)      # AC (1,1): skip 1 -> k=19
+    bw.write(0, 1)          # -1 (EXTEND of 0 at size 1)
+    bw.write(0b000, 3)      # EOB
+    buf = (b"\xff\xd8" + MM._jpeg_seg(0xDB, dqt) + MM._jpeg_seg(0xC0, sof)
+           + MM._jpeg_seg(0xC4, dht_dc) + MM._jpeg_seg(0xC4, dht_ac)
+           + MM._jpeg_seg(0xDA, sos) + bw.flush() + b"\xff\xd9")
+    r = MM._decode_jpeg_pixels_one(buf)
+    assert r is not None and r[0] != "corrupt"
+    w, h, ch, sums, mn, mx = r
+    assert (w, h, ch) == (8, 8, 1)
+    # independent reference: numpy basis IDCT of the same coefficients
+    coef = np.zeros(64)
+    coef[0] = 16 * 2
+    coef[MM._JPEG_ZIGZAG[1]] = 1 * 2
+    coef[MM._JPEG_ZIGZAG[19]] = -1 * 2
+    F = coef.reshape(8, 8)          # F[v, u] row-major like the decoder
+    c = np.ones(8); c[0] = 1 / np.sqrt(2)
+    xs = np.arange(8)
+    basis = np.cos((2 * xs[:, None] + 1) * np.arange(8)[None, :]
+                   * np.pi / 16)   # basis[x, u]
+    spatial = (basis * c[None, :]) @ F.T @ (basis * c[None, :]).T / 4.0
+    # spatial[x, y]; decoder emits row-major [y, x]
+    ref = np.clip(np.round(spatial.T).astype(int) + 128, 0, 255)
+    assert sums == [int(ref.sum())]
+    assert (mn, mx) == (int(ref.min()), int(ref.max()))
+
+
 def test_frame_sample_offsets(spark, sf_dir):
     media = MM.documents_as_media(load_table(spark, sf_dir, "documents")).limit(3)
     frames = MM.frame_sample(media, every_n_bytes=100)

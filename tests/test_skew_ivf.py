@@ -273,3 +273,23 @@ def test_ivfpq_rerank_recall_dominates_adc(spark, sf_dir):
 
     h_rr, h_adc = hits(reranked), hits(adc)
     assert sum(h_rr.values()) >= sum(h_adc.values()), (h_rr, h_adc)
+
+
+def test_choose_n_probe_picks_cheapest_sufficient_point():
+    from sqldataintegrationfunctiontriggerapp_spark.operators.similarity import (
+        choose_n_probe,
+    )
+
+    curve = [(8, 0.34), (16, 0.46), (32, 0.61), (64, 0.78), (128, 0.91)]
+    assert choose_n_probe(curve, 0.5) == 32
+    assert choose_n_probe(curve, 0.61) == 32   # boundary inclusive
+    assert choose_n_probe(curve, 0.9) == 128
+    # unreachable target: best point wins
+    assert choose_n_probe(curve, 0.99) == 128
+    # non-monotone wobble: every point inspected, smallest sufficient wins
+    wobble = [(8, 0.52), (16, 0.49), (32, 0.70)]
+    assert choose_n_probe(wobble, 0.5) == 8
+    import pytest
+
+    with pytest.raises(ValueError):
+        choose_n_probe([], 0.5)

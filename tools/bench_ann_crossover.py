@@ -57,6 +57,10 @@ def main() -> int:
     k = int(opt("--k", "10"))
     skip_jvm = "--skip-jvm-probe" in args
     blas_build = "--blas-build" in args
+    # --probe-sweep 8,16,32,64,128: recall-vs-n_probe curve on the standing
+    # index (VERDICT r11 #5), then the choose_n_probe operating points for
+    # a few recall targets
+    sweep = [int(x) for x in opt("--probe-sweep", "").split(",") if x]
 
     spark = get_session()
     corpus = spark.read.parquet(corpus_dir)
@@ -108,6 +112,35 @@ def main() -> int:
         total = sum(len(v) for v in exact.values())
         line += f"; recall {hits / total:.3f}"
         print(line)
+
+        if sweep:
+            curve: list[tuple[int, float]] = []
+            for np_ in sweep:
+                rows, t_probe = timed(
+                    lambda np_=np_: S.ivf_probe_topk_blas(
+                        assigned, queries, pivots, k=k, n_probe=np_
+                    ).collect()
+                )
+                got = {}
+                for r in rows:
+                    got.setdefault(r.query_id, set()).add(r.neighbor_id)
+                hits = sum(
+                    len(exact[q] & got.get(q, set())) for q in exact
+                )
+                rec = hits / total
+                curve.append((np_, rec))
+                print(
+                    f"  sweep |Q|={nq} n_probe={np_:>4}: probe "
+                    f"{t_probe:.1f}s recall@{k} {rec:.3f} "
+                    f"(exact baseline {t_exact:.1f}s)"
+                )
+            for target in (0.5, 0.7, 0.9):
+                chosen = S.choose_n_probe(curve, target)
+                met = max(r for n, r in curve if n == chosen)
+                print(
+                    f"  choose_n_probe(target={target}): n_probe={chosen}"
+                    f" (measured recall {met:.3f})"
+                )
     return 0
 
 
