@@ -98,9 +98,14 @@ def get_session(
     # when a workload genuinely needs the heap -- the sf1 spot-bench does:
     # the shingle-stage columnar cache build OOMs 32 concurrent tasks in
     # the 1g default (see COVERAGE.md sf1 scaling table).
+    # SPARK_GRAFT_MASTER: point the same engine at a real cluster manager
+    # (e.g. spark://host:7077 for the standalone multi-process shuffle
+    # measurement in COVERAGE) without touching call sites; explicit
+    # `master` argument still wins.
     builder = (
         SparkSession.builder.appName(app_name)
-        .master(master or f"local[{cpus}]")
+        .master(master or os.environ.get("SPARK_GRAFT_MASTER")
+                or f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
@@ -126,6 +131,10 @@ def get_session(
     if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
         builder = builder.config(
             "spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"]
+        )
+    if os.environ.get("SPARK_GRAFT_EXECUTOR_MEM"):
+        builder = builder.config(
+            "spark.executor.memory", os.environ["SPARK_GRAFT_EXECUTOR_MEM"]
         )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
