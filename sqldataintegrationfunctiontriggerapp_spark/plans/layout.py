@@ -565,7 +565,7 @@ _COMPACT_SQL_DAY = (
                         CAST({_COMPACT_SQL_EPOCH} AS VARCHAR),
                         CAST(CAST(floor(value * 1000000) AS BIGINT)
                              AS VARCHAR),
-                        props)), 1, 13)) AS BIGINT) AS chk
+                        props)), 1, 8)) AS BIGINT) AS chk
         FROM events
     )
     SELECT b.event_type, CAST(b.bin AS BIGINT) AS bin,
@@ -622,8 +622,13 @@ def file_compaction_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("props"),
                     )
                 ),
+                # 8 hex chars (32-bit per-row term), not the registry's
+                # usual 13: the checksum is SUMMED per bin, and bin row
+                # counts grow with SF on this day-grain fixture -- 52-bit
+                # terms overflowed BIGINT at sf1 (caught by the ladder);
+                # 32-bit terms stay exact to ~2e9 rows per bin
                 1,
-                13,
+                8,
             ),
             16,
             10,
