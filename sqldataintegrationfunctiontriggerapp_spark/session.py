@@ -136,6 +136,17 @@ def get_session(
         builder = builder.config(
             "spark.executor.memory", os.environ["SPARK_GRAFT_EXECUTOR_MEM"]
         )
+    if os.environ.get("SPARK_GRAFT_MASTER") and master is None:
+        # Cluster executors spawn their own Python workers, which need the
+        # engine package importable: functions pickled by reference (the
+        # streaming foreachBatch path, mapInPandas decoders) resolve their
+        # module at unpickle time. Same-host standalone gets it via
+        # PYTHONPATH; a real multi-node deployment ships a wheel through
+        # --py-files / spark.submit.pyFiles instead.
+        repo_root = os.path.dirname(
+            os.path.dirname(os.path.abspath(__file__))
+        )
+        builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
