@@ -1426,3 +1426,115 @@ def group_kfold_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(straddle.select(F.col("n").alias("straddling_pairs"))))
     )
+
+
+_SWEEP_THRESHOLDS = [0.5, 0.7, 0.8, 0.9]
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle=f"""
+    WITH ex AS ({_SHINGLED}),
+    bands AS (SELECT CAST(range AS INTEGER) AS band FROM range(8)),
+    sig AS (
+        SELECT doc_id, band,
+               MIN(md5(CAST(band * 2 AS VARCHAR) || '|' || shingle))
+               || MIN(md5(CAST(band * 2 + 1 AS VARCHAR) || '|' || shingle)) AS sig
+        FROM ex CROSS JOIN bands
+        GROUP BY doc_id, band
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN ex ea ON ea.doc_id = c.doc_a
+        JOIN ex eb ON eb.doc_id = c.doc_b AND eb.shingle = ea.shingle
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    jacc AS (
+        SELECT i.doc_a, i.doc_b,
+               CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.doc_a
+        JOIN sizes sb ON sb.doc_id = i.doc_b
+    ),
+    thr AS (SELECT UNNEST([{", ".join(f"CAST({t} AS DOUBLE)"
+                                      for t in _SWEEP_THRESHOLDS)}]) AS t),
+    sel AS (
+        SELECT t.t, j.doc_a, j.doc_b FROM thr t
+        JOIN jacc j ON j.jaccard >= t.t
+    ),
+    pair_stats AS (SELECT t, COUNT(*) AS n_pairs FROM sel GROUP BY t),
+    affected AS (
+        SELECT t, COUNT(DISTINCT d) AS n_docs FROM (
+            SELECT t, doc_a AS d FROM sel
+            UNION SELECT t, doc_b FROM sel
+        ) GROUP BY t
+    ),
+    total AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT t.t AS threshold,
+           CAST(COALESCE(p.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(a.n_docs, 0) AS BIGINT) AS n_docs_affected,
+           CAST((SELECT n FROM total) AS BIGINT) AS docs_total,
+           CAST(COALESCE(a.n_docs, 0) AS DOUBLE)
+               / (SELECT n FROM total) AS dup_rate
+    FROM thr t
+    LEFT JOIN pair_stats p ON p.t = t.t
+    LEFT JOIN affected a ON a.t = t.t
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dup-rate-vs-threshold curve a curator reads before committing a
+    dedup pass: for each candidate Jaccard threshold, how many LSH-verified
+    pairs survive and what fraction of the corpus they touch. Picking the
+    threshold from this curve (instead of folklore 0.8) is the difference
+    between deduping boilerplate and deleting legitimate near-template
+    documents.
+
+    Cost shape: ZERO new pairwise work -- the whole sweep reads the
+    session's materialized verify-at-threshold-0 table (jacc0, the minhash
+    family's shared stage) once per threshold via a 4-row broadcast
+    cross-join; the per-threshold distinct-doc counts are pair-grain
+    aggregates. At 100 TB the jacc0 stage is the expensive artifact and
+    it is built ONCE for the family; this report is a rider. Thresholds
+    with zero surviving pairs still emit a row (left join from the
+    threshold frame), so the curve has no holes."""
+    _sigs, _cands, jacc0 = _minhash_stage(spark, sf_dir)
+    thr = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+            [(float(t),) for t in _SWEEP_THRESHOLDS], 1
+        ),
+        "t double",
+    )
+    sel = jacc0.crossJoin(F.broadcast(thr)).where(
+        F.col("jaccard") >= F.col("t")
+    )
+    pair_stats = sel.groupBy("t").agg(F.count(F.lit(1)).alias("n_pairs"))
+    affected = (
+        sel.select("t", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("t")
+        .agg(F.count_distinct("d").alias("n_docs_affected"))
+    )
+    total = load_table(spark, sf_dir, "documents").count()
+    return (
+        thr.join(pair_stats, "t", "left")
+        .join(affected, "t", "left")
+        .select(
+            F.col("t").alias("threshold"),
+            F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("long")
+            .alias("n_docs_affected"),
+            F.lit(total).cast("long").alias("docs_total"),
+            (
+                F.coalesce("n_docs_affected", F.lit(0)).cast("double")
+                / F.lit(float(total))
+            ).alias("dup_rate"),
+        )
+    )

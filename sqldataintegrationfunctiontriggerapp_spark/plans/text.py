@@ -1000,3 +1000,96 @@ def vocab_coverage_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_frac"),
         )
     )
+
+
+_PACK_CTX = 512  # context window, tokens (GPT-style concatenate-and-chunk)
+
+
+@register(
+    "context_packing_report",
+    oracle=f"""
+    WITH tk AS (
+        SELECT doc_id, len({_TOKS}) AS n_tok FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, n_tok,
+               COALESCE(SUM(n_tok) OVER (
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS start
+        FROM tk
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(start // {_PACK_CTX} AS BIGINT) AS ctx_from,
+           CAST((start + GREATEST(n_tok, 1) - 1) // {_PACK_CTX} AS BIGINT)
+               AS ctx_to,
+           (start // {_PACK_CTX})
+               <> ((start + GREATEST(n_tok, 1) - 1) // {_PACK_CTX})
+               AS fragmented
+    FROM cum
+    """,
+)
+def context_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing layout for pretraining dataloaders: documents are
+    concatenated in doc_id order and sliced into fixed 512-token context
+    windows (the GPT-style pack-and-chunk), and each document reports the
+    window range it lands in plus whether it is FRAGMENTED across a window
+    boundary -- the attention-contamination / truncation metric curators
+    track when choosing context length and shuffling granularity.
+
+    The interesting part is the GLOBAL prefix sum, computed the way a
+    1000-executor job must: a naive unpartitioned window
+    (Window.orderBy with no partitionBy) funnels the whole corpus through
+    ONE task. Instead: range-repartition by doc_id + sort within
+    partitions, aggregate per-partition token totals (one row per
+    partition -- bounded driver metadata, like the IVF pivot collect),
+    prefix-sum those offsets driver-side, broadcast them back, and run the
+    cumulative window PARTITIONED by partition id with the offset added.
+    Two scans, no global sort, no single-task stage; the oracle computes
+    the same prefix sum with DuckDB's global window, so the distributed
+    decomposition is hash-checked against the sequential definition.
+
+    Determinism: doc_id is unique, so the global order is total; range
+    partition boundaries (Spark samples them) affect WHERE the partition
+    cuts fall but not any output value."""
+    n_parts = spark.sparkContext.defaultParallelism
+    tk = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(TX.tokens("text")).alias("n_tok"))
+        .repartitionByRange(n_parts, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    tk = tk.localCheckpoint()  # pin partitioning: offsets below must match
+    psums = sorted(
+        tk.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect(),
+        key=lambda r: r["pid"],
+    )
+    offsets, acc = [], 0
+    for r in psums:
+        offsets.append((int(r["pid"]), acc))
+        acc += int(r["s"] or 0)
+    off = spark.createDataFrame(
+        spark.sparkContext.parallelize(offsets, 1), "pid int, off long"
+    )
+    w = (
+        Window.partitionBy("pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = (
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)) + F.col("off")
+    ).alias("start")
+    cum = tk.join(F.broadcast(off), "pid").select("doc_id", "n_tok", start)
+    span_end = F.col("start") + F.greatest(F.col("n_tok"), F.lit(1)) - 1
+    ctx_from = F.expr(f"start div {_PACK_CTX}")
+    return cum.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        ctx_from.cast("long").alias("ctx_from"),
+        (F.floor(span_end / _PACK_CTX)).cast("long").alias("ctx_to"),
+        (
+            F.expr(f"start div {_PACK_CTX}")
+            != F.floor(span_end / _PACK_CTX)
+        ).alias("fragmented"),
+    )
