@@ -877,47 +877,95 @@ def _span_removal_plan(docs: DataFrame, sh: DataFrame) -> DataFrame:
         .select(F.col("doc_b").alias("doc_id"), "pb")
         .distinct()
     )
-    cov = (
-        mpos.select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pb"), F.col("pb") + (_RUN_K - 1))
-            ).alias("cpos"),
+    # r12 rewrite -- interval surgery instead of token-grain
+    # reconstruction. The previous tail exploded EVERY token of EVERY
+    # document (posexplode -> left join on (doc_id, pos) -> per-doc
+    # collect_list + array_sort of token structs), which at 500k
+    # boilerplate docs buffered ~3M structs per task and heap-OOMed 32
+    # concurrent tasks under both 8g and 12g (COVERAGE r12 sfb10).
+    # Covered positions are intrinsically INTERVALS ([pb, pb+K-1] per
+    # match): merge them per doc (classic running-max islands over match
+    # grain -- rows proportional to MATCHES, not tokens), then rebuild
+    # the cleaned text by slicing the document's own token array around
+    # the merged intervals with an aggregate HOF -- whole-stage codegen,
+    # per-row memory O(text), and the token-grain shuffle disappears
+    # entirely. Output is value-identical (same kept tokens in the same
+    # order, same NULL-when-fully-covered contract), so all three
+    # registered variants keep their oracles.
+    iv = mpos.select(
+        "doc_id",
+        F.col("pb").cast("int").alias("s"),
+        (F.col("pb") + (_RUN_K - 1)).cast("int").alias("e"),
+    )
+    w_iv = Window.partitionBy("doc_id").orderBy("s", "e")
+    run_prev_e = F.max("e").over(
+        w_iv.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islanded = iv.withColumn(
+        "new_island",
+        F.when(
+            run_prev_e.isNull() | (F.col("s") > run_prev_e + 1), 1
+        ).otherwise(0),
+    ).withColumn(
+        "grp",
+        F.sum("new_island").over(
+            w_iv.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    merged = islanded.groupBy("doc_id", "grp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("s", "e"))).alias("ivl"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("long").alias("n_rm"),
+    )
+    toks = F.col("toks")
+    empty_ivl = F.array().cast("array<struct<s:int,e:int>>")
+
+    def seg(from_excl, to_excl):
+        # tokens strictly between two covered bounds, 0-based [from+1, to-1]
+        return F.array_join(
+            F.slice(toks, from_excl + 2, to_excl - from_excl - 1), " "
         )
-        .distinct()
-        .withColumn("covered", F.lit(1))
-    )
-    tok = docs.select(
-        "doc_id", F.posexplode(D.tokens("text")).alias("pos", "token")
-    )
-    j = tok.join(
-        cov,
-        (tok.doc_id == cov.doc_id) & (tok.pos == cov.cpos),
-        "left",
-    ).select(tok.doc_id, "pos", "token", "covered")
-    kept_tok = F.when(F.col("covered").isNull(), F.col("token"))
-    agg = j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_tokens"),
-        F.sum(F.when(F.col("covered").isNotNull(), 1).otherwise(0))
-        .cast("long")
-        .alias("n_removed"),
-        F.array_join(
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), kept_tok.alias("t")))
+
+    cleaned = F.aggregate(
+        F.coalesce(F.col("ivl"), empty_ivl),
+        F.struct(
+            F.lit(-1).cast("int").alias("prev"),
+            F.array().cast("array<string>").alias("parts"),
+        ),
+        lambda acc, i: F.struct(
+            i["e"].alias("prev"),
+            F.concat(
+                acc["parts"], F.array(seg(acc["prev"], i["s"]))
+            ).alias("parts"),
+        ),
+        lambda acc: F.array_join(
+            F.filter(
+                F.concat(
+                    acc["parts"],
+                    F.array(seg(acc["prev"], F.size(toks).cast("int"))),
                 ),
-                lambda s: s["t"],
+                lambda x: x != "",
             ),
             " ",
-        ).alias("_joined"),
+        ),
     )
-    return agg.select(
+    base = docs.select(
+        "doc_id", D.tokens("text").alias("toks")
+    ).where(F.size("toks") > 0)
+    # merge-hinted: ivs carries per-doc interval ARRAYS, and letting AQE
+    # broadcast it hands every concurrent task a reference to the whole
+    # interval table on heap -- at 500k boilerplate docs that is what
+    # finally OOMed the 12g run; a doc_id-keyed SMJ keeps it streamed
+    out = base.join(ivs.hint("merge"), "doc_id", "left")
+    n_tokens = F.size(toks).cast("long")
+    n_removed = F.coalesce(F.col("n_rm"), F.lit(0).cast("long"))
+    return out.select(
         "doc_id",
-        "n_tokens",
-        "n_removed",
-        F.when(
-            F.col("n_removed") < F.col("n_tokens"), F.col("_joined")
-        ).alias("cleaned_text"),
+        n_tokens.alias("n_tokens"),
+        n_removed.alias("n_removed"),
+        F.when(n_removed < n_tokens, cleaned).alias("cleaned_text"),
     )
 
 

@@ -57,6 +57,7 @@ _BNLJ_ALLOWED = {
     "gdpr_forget_propagation":   "1-row: per-table purge/retain count combine",
     "hybrid_rrf_fusion":         "gated: dense-branch query panel broadcast (blas kernel above 64 queries)",
     "group_kfold_components":    "1-row: straddling-pair audit count combine",
+    "dedup_threshold_sweep":     "4-row: threshold frame broadcast over the materialized pair table",
 }
 
 
