@@ -203,6 +203,19 @@ def stage_ledger_tick(spark, budget_bytes: int | None = None) -> dict:
     }
 
 
+def drop_stage(spark, sf_dir: str, name: str) -> None:
+    """Explicitly release one memoized stage (blocks + memo entry) -- for
+    builders that materialize a frame to answer a one-off question (e.g.
+    the span route's df table on corpora where the route then decides the
+    frame is never needed again). No-op if absent; the next
+    session_stage call transparently rebuilds."""
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if key in _STAGE_CACHE:
+        _release_stage(_STAGE_CACHE.pop(key))
+        _STAGE_META.pop(key, None)
+        _STAGE_ACTIVE.discard(key)
+
+
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 

@@ -11,7 +11,10 @@ from pyspark.sql import functions as F
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.operators import dedup as D
 from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
-from sqldataintegrationfunctiontriggerapp_spark.plans._util import session_stage
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+    drop_stage,
+    session_stage,
+)
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 from sqldataintegrationfunctiontriggerapp_spark.plans import sampling as SPLITS
 from sqldataintegrationfunctiontriggerapp_spark.plans.sampling import (
@@ -1198,14 +1201,20 @@ def _span_postings_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _span_dfs_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-shingle document frequency (shingle, df) off the staged
-    postings -- ONE aggregation serving both the route decision (max df)
-    and the capped branch's keepable filter, which previously each ran
-    their own count_distinct over a fresh explode."""
+    """Per-shingle document frequency (shingle, df) for the CAPPED
+    branch's keepable filter. Built from a fresh streaming explode, NOT
+    from the materialized posting stage: acquisition ORDER governs peak
+    residency -- aggregating 43M postings beside their own 2-3 GB
+    resident checkpoint is what OOMed the 8 g sfb10 run, while the same
+    aggregate over a streaming explode runs with an empty storage pool
+    (one extra tokenize scan per session, paid only on corpora where the
+    route flips)."""
 
     def build():
         return _truthful_ckpt(
-            _span_postings_stage(spark, sf_dir)
+            D.word_shingles_pos(
+                load_table(spark, sf_dir, "documents"), n=_RUN_K
+            )
             .groupBy("shingle")
             .agg(F.count_distinct("doc_id").alias("df"))
         )
@@ -1240,16 +1249,29 @@ def _span_postings_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     _span_postings_stage) -- the route decision, the keepable filter, and
     every join input read the SAME materialization instead of re-running
     the explode per consumer (boilerplate sf0.1: 67.8 -> single-digit s)."""
-    sh = _span_postings_stage(spark, sf_dir)
-    dfs = _span_dfs_stage(spark, sf_dir)
-
+    # Acquisition order is deliberate (peak-residency discipline, r12):
+    # the df table builds FIRST, from a streaming explode with an empty
+    # storage pool (aggregating the postings beside their own resident
+    # checkpoint is what OOMed the 8 g sfb10 run); the route max reads it
+    # once; clean corpora then DROP it immediately -- the vocab-sized
+    # frame is never resident on the common path -- and only afterwards
+    # do the positional postings materialize. The build is lazy inside
+    # the memoized max, so re-entries on clean corpora never rebuild the
+    # dropped table.
     def build():
-        row = dfs.agg(F.max("df").alias("max_df")).collect()[0]
+        row = (
+            _span_dfs_stage(spark, sf_dir)
+            .agg(F.max("df").alias("max_df"))
+            .collect()[0]
+        )
         return int(row["max_df"] or 0)
 
     max_df = session_stage(spark, sf_dir, "span_posting_max_df", build)
     if max_df <= _F_AUTO:
-        return sh
+        drop_stage(spark, sf_dir, "span_posting_dfs")
+        return _span_postings_stage(spark, sf_dir)
+    dfs = _span_dfs_stage(spark, sf_dir)
+    sh = _span_postings_stage(spark, sf_dir)
     keepable = dfs.where(F.col("df") <= _CAP_F).select("shingle")
     return sh.join(keepable.hint("merge"), "shingle")
 
