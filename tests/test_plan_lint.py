@@ -185,3 +185,55 @@ def test_allowlist_entries_still_needed(plans):
         if "BroadcastNestedLoopJoin" not in plans[n]
     ]
     assert stale == [], stale
+
+
+def _global_window_lines(plan: str) -> list[str]:
+    """Physical-plan Window nodes with an EMPTY partition spec: the text
+    form is `Window [exprs], [partCols], [sortOrder]` when partitioned and
+    `Window [exprs], [sortOrder]` when global -- i.e. the bracket group
+    right after the exprs holds ASC/DESC sort entries instead of columns."""
+    out = []
+    for ln in plan.splitlines():
+        s = ln.strip().lstrip("+-: *")
+        if not s.startswith("Window "):
+            continue
+        rest = s.split("], [", 1)
+        if len(rest) < 2:
+            continue
+        nxt = rest[1].split("]", 1)[0]
+        if " ASC" in nxt or " DESC" in nxt:
+            out.append(s[:120])
+    return out
+
+
+# Global (unpartitioned) windows funnel their whole input through ONE task
+# -- acceptable only when the input is provably bounded before the window.
+_GLOBAL_WINDOW_ALLOWED = {
+    "kmv_distinct_union":   "salted two-phase bottom-k: the global sort sees <= 64*k pruned survivors",
+    "dataset_shuffle_deterministic": "position window over the already-limit(100)-bounded prefix (the corpus-scale sort is TakeOrderedAndProject)",
+    "misra_gries_topk":     "final rank over <= k+1 surviving counters",
+    "quantile_sketch_merge":   "cumulative count over K histogram bins",
+    "quantile_sketch_refined": "cumulative count over K histogram bins",
+    "quantile_interpolated":   "cumulative count over K histogram bins",
+    "skyline_2d_parts":     "prefix-min over DISTINCT price points -- value-domain grain, far below corpus grain (and bounded by the currency domain), but the largest allowlisted input here",
+    "vocab_coverage_cutoff":"rank + running mass over the term DICTIONARY -- vocabulary grain, not corpus grain",
+}
+
+
+def test_global_windows_are_allowlisted(plans):
+    offenders = {
+        n: _global_window_lines(p)
+        for n, p in plans.items()
+        if _global_window_lines(p) and n not in _GLOBAL_WINDOW_ALLOWED
+    }
+    assert offenders == {}, offenders
+
+
+def test_global_window_allowlist_entries_still_needed(plans):
+    unknown = [n for n in _GLOBAL_WINDOW_ALLOWED if n not in plans]
+    assert unknown == [], unknown
+    stale = [
+        n for n in _GLOBAL_WINDOW_ALLOWED
+        if not _global_window_lines(plans[n])
+    ]
+    assert stale == [], stale
