@@ -560,3 +560,50 @@ def test_label_propagation_invariant_under_partitioning(spark, edges, n_parts):
         )
     )
     assert base == alt
+
+
+@PROP
+@given(did=st.integers(min_value=0, max_value=10_000_000))
+def test_png_pixel_roundtrip_any_doc_id(did):
+    """decode(encode(doc_id)) recovers the generator's closed form for
+    ARBITRARY ids -- every (width, height) combination 1..16 x 1..12 and
+    both corrupt branches, beyond the four ids the unit test pins."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        multimodal as MM,
+    )
+
+    r = MM._decode_png_pixels_one(MM._png_full_bytes(did))
+    w, h = did % 16 + 1, did % 12 + 1
+    if did % 97 == 0:
+        assert r[0] == "corrupt" and r[1:] == (w, h, 3)
+        return
+    rw, rh, ch, sums, mn, mx = r
+    allv = [(x + 2 * y + 3 * c + did) % 256
+            for x in range(w) for y in range(h) for c in range(3)]
+    assert (rw, rh, ch) == (w, h, 3)
+    assert sums == [
+        sum((x + 2 * y + 3 * c + did) % 256
+            for x in range(w) for y in range(h))
+        for c in range(3)
+    ]
+    assert (mn, mx) == (min(allv), max(allv))
+
+
+@PROP
+@given(did=st.integers(min_value=0, max_value=10_000_000))
+def test_jpeg_pixel_roundtrip_any_doc_id(did):
+    """Baseline-JPEG dual of the PNG property: Huffman DC coding, byte
+    stuffing, and the IDCT DC path must survive any block-value pattern
+    the generator can produce."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        multimodal as MM,
+    )
+
+    r = MM._decode_jpeg_pixels_one(MM._jpeg_full_bytes(did))
+    w, h = 8 * (did % 4 + 1), 8 * (did % 3 + 1)
+    if did % 89 == 0:
+        assert r[0] == "corrupt" and r[1:] == (w, h, 1)
+        return
+    vs = [(5 * bx + 7 * by + did) % 256
+          for by in range(h // 8) for bx in range(w // 8)]
+    assert r == (w, h, 1, [sum(64 * v for v in vs)], min(vs), max(vs))
