@@ -607,3 +607,113 @@ def test_jpeg_pixel_roundtrip_any_doc_id(did):
     vs = [(5 * bx + 7 * by + did) % 256
           for by in range(h // 8) for bx in range(w // 8)]
     assert r == (w, h, 1, [sum(64 * v for v in vs)], min(vs), max(vs))
+
+
+# --- span removal: distributed interval surgery vs sequential reference ------
+
+def _span_removal_reference(texts, k):
+    """Sequential Lee-style coverage reference, independent of the Spark
+    pipeline: positional k-shingles, cross-doc matches mark [pb, pb+k-1]
+    covered on the LATER doc, kept tokens rebuild the cleaned text."""
+    toks = {i: t.split() for i, t in enumerate(texts)}
+    shingles = {
+        i: {
+            (p, " ".join(tk[p:p + k]))
+            for p in range(len(tk) - k + 1)
+        }
+        for i, tk in toks.items() if len(tk) >= k
+    }
+    covered = {i: set() for i in toks}
+    for a in shingles:
+        for b in shingles:
+            if a >= b:
+                continue
+            sh_a = {s for _, s in shingles[a]}
+            for pb, s in shingles[b]:
+                if s in sh_a:
+                    covered[b].update(range(pb, pb + k))
+    out = {}
+    for i, tk in toks.items():
+        if not tk:
+            continue
+        kept = [t for p, t in enumerate(tk) if p not in covered[i]]
+        n_rm = len(covered[i])
+        out[i] = (
+            len(tk),
+            n_rm,
+            " ".join(kept) if n_rm < len(tk) else None,
+        )
+    return out
+
+
+# two-word alphabet + docs up to 24 tokens: with k=8 there are only 256
+# possible shingles and ~17 positions per doc, so cross-doc matches (and
+# hence overlapping/adjacent covered runs and fully-covered docs) occur
+# in most generated corpora rather than almost never
+_words = st.sampled_from(["aa", "bb"])
+_doc = st.lists(_words, min_size=0, max_size=24).map(" ".join)
+
+
+@PROP
+@given(texts=st.lists(_doc, min_size=1, max_size=5))
+def test_span_removal_interval_surgery_matches_reference(spark, texts):
+    """The r12 interval-surgery rewrite of _span_removal_plan (merge
+    covered intervals at match grain, slice the token array around them)
+    against a sequential reference over adversarial tiny corpora -- a
+    4-word alphabet with k=3 forces dense shared shingles, overlapping
+    and adjacent covered runs, fully-covered docs, and sub-k docs."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        dedup as D,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.plans.dedup import (
+        _RUN_K, _span_removal_plan,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    sh = D.word_shingles_pos(docs, n=_RUN_K)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in _span_removal_plan(docs, sh).collect()
+    }
+    assert got == _span_removal_reference(texts, _RUN_K)
+
+
+def test_span_removal_adversarial_corpus_matches_reference(spark):
+    """Deterministic companion to the property above: guarantees the
+    interesting paths run every time -- overlapping covered runs, ADJACENT
+    runs that must merge into one interval, a fully-covered doc (NULL
+    cleaned_text), an uncovered doc, and a sub-k doc."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        dedup as D,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.plans.dedup import (
+        _RUN_K, _span_removal_plan,
+    )
+
+    run = "x1 x2 x3 x4 x5 x6 x7 x8"            # one exact 8-gram
+    texts = [
+        f"{run} tail0 tail1",                   # 0: source of the run
+        f"head0 {run} mid {run} tail",          # 1: two covered runs with a gap
+        run,                                    # 2: fully covered -> NULL
+        f"head0 head1 {run} {run}",             # 3: adjacent+overlapping runs merge
+        "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8 zz9",  # 4: shingled, no matches
+        "short doc",                            # 5: below k, no shingles
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in _span_removal_plan(
+            docs, D.word_shingles_pos(docs, n=_RUN_K)
+        ).collect()
+    }
+    ref = _span_removal_reference(texts, _RUN_K)
+    assert got == ref
+    # the shapes this test exists to witness:
+    assert got[1][1] >= 16 and got[1][2] is not None   # two covered runs
+    assert got[2] == (8, 8, None)                      # fully covered
+    assert got[3][1] > 8                               # merged adjacent runs
+    assert got[4][1] == 0 and got[5][1] == 0
