@@ -80,20 +80,33 @@ def main() -> None:
         storage_bytes,
     )
 
-    peak_holder = {"peak": 0, "stop": False}
+    # --no-ledger-sampling (VERDICT r12 #3): strip every measurement-side
+    # harness term from the timed path -- no background sampler thread, no
+    # per-query storage reads, no ledger tick -- so the residual suite wall
+    # isolates the queries themselves. Eviction semantics are unaffected at
+    # sf0.1 (the 2048 MB budget is never exceeded there: the full-sweep log
+    # shows zero evictions), so the A/B difference IS the harness overhead.
+    sampling = "--no-ledger-sampling" not in sys.argv[1:]
+    peak_holder = {"peak": 0, "stop": False, "epoch": 0}
 
     def _sample_storage() -> None:
         while not peak_holder["stop"]:
             try:
-                peak_holder["peak"] = max(
-                    peak_holder["peak"], storage_bytes(spark)
-                )
+                # Epoch tag (ADVICE r12): a sample read during query N must
+                # not be folded into query N+1's peak after the boundary
+                # reset -- snapshot the epoch, read, and discard if a reset
+                # happened while this thread was reading/sleeping.
+                epoch = peak_holder["epoch"]
+                b = storage_bytes(spark)
+                if epoch == peak_holder["epoch"]:
+                    peak_holder["peak"] = max(peak_holder["peak"], b)
             except Exception:
                 pass
             time.sleep(0.25)
 
-    sampler = threading.Thread(target=_sample_storage, daemon=True)
-    sampler.start()
+    if sampling:
+        sampler = threading.Thread(target=_sample_storage, daemon=True)
+        sampler.start()
     storage_peaks: dict[str, float] = {}
     # Measure in registry-natural (module) order, NOT the driver's
     # correctness-sweep priority order: the sweep priority is reshuffled
@@ -110,12 +123,20 @@ def main() -> None:
         {n: plans.QUERIES[n] for n in wanted} if only else plans.QUERIES
     )
     for name, fn in selected.items():
-        peak_holder["peak"] = storage_bytes(spark)
+        if sampling:
+            peak_holder["epoch"] += 1
+            peak_holder["peak"] = storage_bytes(spark)
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+        if not sampling:
+            # still independent-measured: drop persisted intermediates, but
+            # skip every storage read / ledger call on the timed path
+            spark.catalog.clearCache()
+            print(f"# {name}: {dt:.2f}s", file=sys.stderr)
+            continue
         peak_mb = max(peak_holder["peak"], storage_bytes(spark)) / (1 << 20)
         storage_peaks[name] = round(peak_mb, 1)
         # operators may persist() intermediates (e.g. shingle tables); drop
@@ -129,6 +150,8 @@ def main() -> None:
         evict_note = (
             f" evicted={ledger['evicted']}" if ledger["evicted"] else ""
         )
+        if ledger.get("disk_bytes"):
+            evict_note += f" disk={ledger['disk_bytes'] / (1 << 20):.0f}MB"
         print(
             f"# {name}: {dt:.2f}s peak={peak_mb:.0f}MB"
             f" resident={ledger['global_bytes'] / (1 << 20):.0f}MB"
@@ -151,7 +174,9 @@ def main() -> None:
     # queries from round-over-round comparison -- VERDICT r02 #8). Persist
     # the complete JSON next to the repo so the full suite is always
     # readable regardless of the driver's capture window.
-    if not only:  # subset spot-benches must not clobber the full-suite record
+    # subset spot-benches and --no-ledger-sampling A/B runs must not
+    # clobber the canonical full-suite record (which carries the peaks)
+    if not only and sampling:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_FULL.json"), "w") as f:
             json.dump(payload, f, indent=1)

@@ -49,7 +49,109 @@ class StagedDir(str):
     how many times a long-lived driver switched fixture dirs."""
 
 
-def _release_stage(value) -> None:
+# Spill-safe stage materialization (VERDICT r12 #1). Diagnosis from the 8 g
+# sfb10 repro: the stage BUILD survives (the SQL columnar cache spills
+# gracefully -- "Persisting block to disk instead"), and so does the first
+# consumer; what OOMs is CONSUMING a disk-spilled localCheckpoint --
+# MEMORY_AND_DISK(deserialized) blocks are Java-serialized on spill, and 32
+# concurrent tasks each rehydrating a ~150 MB block through
+# UnsafeRow.readExternal blow the heap (observed stack: JavaDeserialization
+# Stream -> OutOfMemoryError at stage 67/68 of crossdoc_span_removal_auto).
+# So stages whose MEASURED materialized size exceeds a heap-derived
+# threshold are written to LOCAL PARQUET and read back instead: consumers
+# stream-scan compressed columnar files with scan-buffer-bounded memory, no
+# storage-pool interaction, honest file-size stats for free. Small stages
+# keep the localCheckpoint fast path (zero plan change at sf <= 0.1).
+_SPILL_ROOT: str | None = None
+
+
+def _stage_spill_root() -> str:
+    global _SPILL_ROOT
+    if _SPILL_ROOT is None:
+        import atexit
+        import os
+        import shutil
+        import tempfile
+
+        _SPILL_ROOT = tempfile.mkdtemp(
+            prefix="spark_graft_stages_",
+            dir=os.environ.get("SPARK_GRAFT_STAGE_SPILL_DIR"),
+        )
+        atexit.register(shutil.rmtree, _SPILL_ROOT, ignore_errors=True)
+    return _SPILL_ROOT
+
+
+def _spill_threshold_bytes(spark) -> float:
+    """Cached-stage size above which truthful_ckpt lands on local parquet.
+
+    SPARK_GRAFT_STAGE_MODE forces a branch (memory = always checkpoint,
+    the pre-r13 behavior, kept for A/B ladders; disk = always parquet);
+    SPARK_GRAFT_STAGE_SPILL_MB pins the threshold. Default: heap/8 with a
+    256 MB floor -- the threshold compares COLUMNAR-CACHE bytes, and the
+    checkpoint the small branch would build is typically 2-4x larger, so
+    heap/8 of cache keeps worst-case checkpoint residency near heap/3."""
+    import os
+
+    mode = os.environ.get("SPARK_GRAFT_STAGE_MODE", "auto")
+    if mode == "memory":
+        return float("inf")
+    if mode == "disk":
+        return -1.0
+    if os.environ.get("SPARK_GRAFT_STAGE_SPILL_MB"):
+        return int(os.environ["SPARK_GRAFT_STAGE_SPILL_MB"]) * 1024.0 * 1024.0
+    try:
+        heap = int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+    except Exception:
+        heap = 1 << 30
+    return max(256.0 * 1024 * 1024, heap / 8.0)
+
+
+def truthful_ckpt(df):
+    """Materialize a stage so that (a) its size statistics are honest,
+    (b) the materialization survives ``spark.catalog.clearCache()``, and
+    (c) a stage bigger than the heap degrades to disk instead of dying:
+
+    1. persist + count -- the InMemoryRelation accumulates REAL bytes (a
+       checkpoint of a raw explode inherits the pre-explode estimate:
+       measured 25.1 MiB reported for 3.5 GiB), and the SQL cache build
+       spills under pressure instead of failing;
+    2. read the measured size off the materialized cache;
+    3. SMALL stage: localCheckpoint of the cache (LogicalRDD snapshots the
+       honest sizeInBytes; RDD-level blocks survive clearCache -- verified
+       4,468,320 bytes reported before and after unpersist+clearCache);
+       BIG stage: write local parquet from the cache and read it back
+       (consumers stream compressed columnar files; no Java-deser
+       rehydration of spilled blocks -- the 8 g OOM class retired);
+    4. release the now-redundant SQL-cache copy.
+
+    The parquet branch tags the returned frame with a ``StagedDir`` via
+    ``_staged_dir`` so ledger eviction / sf_dir switch / drop_stage remove
+    the directory with the memo entry."""
+    cached = df.persist()
+    cached.count()
+    spark = cached.sparkSession
+    try:
+        size = int(
+            cached._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        size = 0
+    if size > _spill_threshold_bytes(spark):
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="stage_", dir=_stage_spill_root())
+        cached.write.mode("overwrite").parquet(path)
+        out = spark.read.parquet(path)
+        out._staged_dir = StagedDir(path)
+    else:
+        out = cached.localCheckpoint()
+    cached.unpersist()
+    return out
+
+
+def _release_stage(value, blocking: bool = False) -> None:
     """Best-effort release of an evicted stage's executor storage.
 
     The cached stage values are localCheckpointed DataFrames, and
@@ -68,14 +170,25 @@ def _release_stage(value) -> None:
 
             shutil.rmtree(item, ignore_errors=True)
             continue
+        sd = getattr(item, "_staged_dir", None)
+        if sd is not None:
+            # parquet-backed truthful_ckpt stage: evicting it removes the
+            # spill directory (the frame holds no executor storage)
+            import shutil
+
+            shutil.rmtree(sd, ignore_errors=True)
+            continue
         try:
             plan = item._jdf.queryExecution().analyzed()
             if plan.getClass().getSimpleName() == "LogicalRDD":
-                plan.rdd().unpersist(False)
+                # blocking=True inside the ledger's eviction loop (ADVICE
+                # r12): the tick re-samples residency after each victim, and
+                # a non-blocking release would overstate post-eviction bytes
+                plan.rdd().unpersist(blocking)
         except Exception:
             pass
         try:
-            item.unpersist()
+            item.unpersist(blocking)
         except Exception:
             pass
 
@@ -154,6 +267,35 @@ def _stage_resident_bytes(spark) -> dict[tuple[str, str, str], int]:
     }
 
 
+def _stage_disk_bytes() -> int:
+    """Bytes held by parquet-backed (spill-branch) stages -- visibility
+    only: they use local disk, not executor storage, so the memory budget
+    does not govern them; sf_dir switch / drop_stage / process exit are
+    what bound their lifetime."""
+    import os
+
+    total = 0
+    for value in _STAGE_CACHE.values():
+        items = value if isinstance(value, (tuple, list)) else (value,)
+        for item in items:
+            p = (
+                item if isinstance(item, StagedDir)
+                else getattr(item, "_staged_dir", None)
+            )
+            if not p:
+                continue
+            try:
+                for root, _dirs, files in os.walk(p):
+                    for f in files:
+                        try:
+                            total += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            pass
+            except OSError:
+                pass
+    return total
+
+
 def stage_ledger_tick(spark, budget_bytes: int | None = None) -> dict:
     """Between-queries ledger maintenance: evict least-recently-used stages
     while tracked stage storage exceeds the budget, then reset the
@@ -190,7 +332,7 @@ def stage_ledger_tick(spark, budget_bytes: int | None = None) -> dict:
         if not candidates:
             break
         victim = min(candidates, key=lambda k: _STAGE_META[k].get("seq", 0))
-        _release_stage(_STAGE_CACHE[victim])
+        _release_stage(_STAGE_CACHE[victim], blocking=True)
         del _STAGE_CACHE[victim]
         _STAGE_META.pop(victim, None)
         evicted.append(victim[2])
@@ -199,6 +341,7 @@ def stage_ledger_tick(spark, budget_bytes: int | None = None) -> dict:
     return {
         "stage_bytes": sum(sizes.values()),
         "global_bytes": storage_bytes(spark),
+        "disk_bytes": _stage_disk_bytes(),
         "evicted": evicted,
     }
 

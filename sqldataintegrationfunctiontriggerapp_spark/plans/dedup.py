@@ -14,6 +14,7 @@ from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
 from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
     drop_stage,
     session_stage,
+    truthful_ckpt,
 )
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 from sqldataintegrationfunctiontriggerapp_spark.plans import sampling as SPLITS
@@ -69,19 +70,13 @@ def _shingles_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _stage(spark, sf_dir, "shingles_n3", build)
 
 
-def _truthful_ckpt(df: DataFrame) -> DataFrame:
-    """Materialize a stage so that (a) its size statistics are honest and
-    (b) the materialization survives `spark.catalog.clearCache()`:
-    persist + count (InMemoryRelation accumulates real bytes), then
-    localCheckpoint (the LogicalRDD inherits those stats and lives in
-    RDD-level storage the SQL cache manager never touches), then release
-    the now-redundant SQL-cache copy. See _shingles_stage docstring for
-    the measured numbers behind each step."""
-    cached = df.persist()
-    cached.count()
-    out = cached.localCheckpoint()
-    cached.unpersist()
-    return out
+# r13: the truthful materializer moved to plans/_util.py and grew a
+# spill-safe branch -- stages whose measured cache size exceeds a
+# heap-derived threshold land on local parquet instead of a
+# localCheckpoint, retiring the 8 g OOM class (consuming disk-spilled
+# deserialized checkpoint blocks rehydrates whole ~150 MB blocks through
+# Java serialization per task). Semantics for small stages are unchanged.
+_truthful_ckpt = truthful_ckpt
 
 
 def _minhash_stage(spark: SparkSession, sf_dir: str):

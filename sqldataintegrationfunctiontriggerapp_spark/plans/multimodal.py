@@ -295,6 +295,79 @@ def multimodal_decode_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_decode_audio",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8000 * (doc_id % 3 + 1) AS INT) AS sample_rate,
+               CAST(doc_id % 2 + 1 AS INT) AS n_channels,
+               doc_id % 50 + 10 AS n_frames,
+               doc_id % 101 = 0 AS corrupt
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, n_channels, n_frames, UNNEST(range(0, n_frames)) AS i
+        FROM dims WHERE NOT corrupt
+    ),
+    ch AS (SELECT doc_id, i, UNNEST(range(0, n_channels)) AS c FROM fr),
+    sm AS (
+        SELECT doc_id, c, (doc_id + 7 * i + 13 * c) % 4001 - 2000 AS v
+        FROM ch
+    ),
+    stats AS (
+        SELECT doc_id,
+               SUM(CASE WHEN c = 0 THEN v END) AS c0_sum,
+               SUM(CASE WHEN c = 1 THEN v END) AS c1_sum,
+               MIN(v) AS amp_min, MAX(v) AS amp_max
+        FROM sm GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.corrupt THEN 'corrupt' ELSE 'ok' END AS status,
+           d.sample_rate, d.n_channels,
+           CASE WHEN d.corrupt THEN NULL
+                ELSE CAST(d.n_frames AS BIGINT) END AS n_frames,
+           CAST(s.c0_sum AS BIGINT) AS c0_sum,
+           CAST(s.c1_sum AS BIGINT) AS c1_sum,
+           CAST(s.amp_min AS INT) AS amp_min,
+           CAST(s.amp_max AS INT) AS amp_max,
+           CASE WHEN d.corrupt THEN NULL
+                ELSE CAST(d.n_frames * 1000 // d.sample_rate AS BIGINT)
+           END AS duration_ms
+    FROM dims d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    """,
+)
+def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV/PCM audio decode, pure stdlib (VERDICT r12 #8 -- narrows
+    the C7 boundary to video/compressed audio/progressive JPEG): documents
+    become complete RIFF/WAVE files (stdlib `wave` writer -- an independent
+    encoder from the hand-rolled parser), and decode_wav_samples walks the
+    RIFF chunks, parses fmt, and computes interleaved 16-bit PCM sample
+    statistics -- per-channel sums, amplitude extrema, frame count,
+    duration (operators/multimodal.py).
+
+    The oracle recomputes the statistics ARITHMETICALLY from the
+    generator's closed form v(i, c) = (doc_id + 7i + 13c) % 4001 - 2000 --
+    it never parses a byte, so any error in RIFF framing, fmt parse,
+    little-endian sample unpack, or channel de-interleave breaks the hash.
+    Every 101st document ships a truncated data chunk: declared size >
+    available bytes, so the decoder keeps the header's rate/channels,
+    reports status='corrupt' with NULL stats, and never fails the task.
+
+    Same 100 TB shape as the image decoders: one scan, no shuffle, per-row
+    degradation, memory bounded by the Arrow batch. Reference anchor: the
+    reference has no media path (SURVEY §2.C7 is the training-pipeline
+    mandate); the engine treats audio as an opaque binary column + typed
+    metadata, decoded executor-side."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        decode_wav_samples,
+        synth_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_wav_samples(synth_wav_media(docs))
+
+
+@register(
     "multimodal_decode_dims",
     oracle="""
     SELECT doc_id AS media_id,

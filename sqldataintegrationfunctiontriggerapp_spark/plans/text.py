@@ -11,6 +11,10 @@ from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
 from sqldataintegrationfunctiontriggerapp_spark.functions import text as TX
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+    session_stage,
+    truthful_ckpt,
+)
 from sqldataintegrationfunctiontriggerapp_spark.plans.registry import register
 
 
@@ -1052,15 +1056,29 @@ def context_packing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: doc_id is unique, so the global order is total; range
     partition boundaries (Spark samples them) affect WHERE the partition
     cuts fall but not any output value."""
-    n_parts = spark.sparkContext.defaultParallelism
-    tk = (
-        load_table(spark, sf_dir, "documents")
-        .select("doc_id", F.size(TX.tokens("text")).alias("n_tok"))
-        .repartitionByRange(n_parts, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
-    )
-    tk = tk.localCheckpoint()  # pin partitioning: offsets below must match
+    def build():
+        n_parts = spark.sparkContext.defaultParallelism
+        return (
+            load_table(spark, sf_dir, "documents")
+            .select("doc_id", F.size(TX.tokens("text")).alias("n_tok"))
+            .repartitionByRange(n_parts, "doc_id")
+            .sortWithinPartitions("doc_id")
+            .withColumn("pid", F.spark_partition_id())
+        )
+
+    def build_pinned():
+        # materialization pins the pid assignment: the broadcast offsets
+        # below are only valid against THESE stored pid values (truthful_
+        # ckpt computes the frame exactly once -- checkpoint or parquet --
+        # so pid is a stored column, not a recomputed one)
+        return truthful_ckpt(build())
+
+    # session_stage (ADVICE r12): the checkpoint cannot be released eagerly
+    # (the returned lazy frame depends on its blocks), so register it with
+    # the stage ledger -- repeat invocations reuse one copy instead of
+    # leaking a fresh checkpoint each, and the ledger can evict it at query
+    # boundaries like every other stage.
+    tk = session_stage(spark, sf_dir, "context_packing_tk", build_pinned)
     psums = sorted(
         tk.groupBy("pid").agg(F.sum("n_tok").alias("s")).collect(),
         key=lambda r: r["pid"],

@@ -25,38 +25,63 @@ from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
-# Bytes-derived shuffle sizing (VERDICT r10 #3): one reduce partition per
-# ~8 MB of fixture parquet. The constant is calibrated from the measured
-# r10 sf10 point -- 1.9 GiB of parquet needed ~256 partitions before the
-# heaviest exploded-shuffle tasks (positional postings, shingle tables:
-# ~4-10x uncompressed amplification) fit an 8g heap at 32 concurrent
-# tasks -- and the floor keeps every partition-count-sensitive plan at
-# sf<=1 exactly what it always was (cpus=32: sf0.01 ~2 MB, sf0.1 ~19 MB,
-# sf1 ~190 MB all stay on the floor). Over-partitioning above the floor is
-# cheap because AQE coalesces small partitions back together at runtime;
-# the cap bounds scheduler overhead on this single JVM. On a real cluster
-# the same rule holds with the floor at 2-3x total executor cores -- or
-# the caller sets shuffle_partitions explicitly, which (like the env
-# override) always wins over the derivation.
-_SHUFFLE_TARGET_BYTES = 8 * 1024 * 1024
+# Explode-aware bytes-derived shuffle sizing (VERDICT r10 #3, reworked per
+# VERDICT r12 #2): one reduce partition per ~16 MB of LOGICAL input bytes,
+# where logical = parquet UNCOMPRESSED bytes (footer metadata -- compressed
+# file size under-measured the sfb10 boilerplate corpus 5x: 67.7 MB on disk,
+# 332.8 MB logical) + an amplification term for the `documents` table,
+# whose span/shingle consumers explode each text token into a posting row
+# carrying a k=8-gram string (~16x the text bytes: sfb10's 327 MB of text
+# built an ~8.3 GB resident posting stage, r12 ladder). Measured landing
+# points: testdata sf<=0.1 stay on the cpu floor (zero plan change for the
+# bench suite), sf1 ~33, sf10 ~349 (r10's manual calibration was 256), and
+# sfb10 ~348 where the old rule derived the floor of 32 -- the
+# under-partitioned ~600x posting explode that needed a manual
+# SPARK_GRAFT_SHUFFLE_PARTITIONS override (COVERAGE r12). Over-partitioning
+# above the floor is cheap because AQE coalesces small partitions back
+# together at runtime; the cap bounds scheduler overhead on this single
+# JVM. On a real cluster the same rule holds with the floor at 2-3x total
+# executor cores -- or the caller sets shuffle_partitions explicitly, which
+# (like the env override) always wins over the derivation.
+_SHUFFLE_TARGET_BYTES = 16 * 1024 * 1024
 _SHUFFLE_PARTITION_CAP = 4096
+_DOC_EXPLODE_AMP = 16  # documents text bytes -> posting-row bytes
 
 
 def derive_shuffle_partitions(sf_dir: str, cpus: int) -> int:
-    """Partition count from fixture input bytes: max(cpus,
-    ceil(parquet_bytes / 8 MB)), capped. Unreadable/empty dirs fall back
-    to the cpu floor so a missing fixture never breaks session startup."""
+    """Partition count from fixture LOGICAL bytes: max(cpus,
+    ceil((uncompressed_bytes + 16 * documents_bytes) / 16 MB)), capped.
+    Uncompressed bytes come from parquet footers (driver-side, ~ms per
+    file); a footer that cannot be read falls back to the file size, and
+    unreadable/empty dirs fall back to the cpu floor so a missing fixture
+    never breaks session startup."""
     import math
 
-    total = 0
+    total = 0.0
     try:
         for root, _dirs, files in os.walk(sf_dir):
             for f in files:
-                if f.endswith(".parquet"):
+                if not f.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, f)
+                try:
+                    import pyarrow.parquet as pq
+
+                    md = pq.ParquetFile(p).metadata
+                    unc = sum(
+                        md.row_group(i).total_byte_size
+                        for i in range(md.num_row_groups)
+                    )
+                except Exception:
                     try:
-                        total += os.path.getsize(os.path.join(root, f))
+                        unc = os.path.getsize(p)
                     except OSError:
-                        pass
+                        continue
+                # the documents table is the explode seam: span/shingle
+                # postings materialize ~16x its text bytes
+                if "documents.parquet" in p:
+                    unc *= 1 + _DOC_EXPLODE_AMP
+                total += unc
     except OSError:
         return cpus
     if total <= 0:

@@ -48,10 +48,12 @@ def test_bare_session_runs_events_queries():
 
 
 def test_derive_shuffle_partitions_rule(tmp_path):
-    """Bytes-derived shuffle sizing: cpu floor below ~8 MB/partition of
-    fixture parquet, ceil(bytes/8MB) above it, capped, and robust to a
-    missing fixture dir."""
+    """Explode-aware bytes-derived shuffle sizing: cpu floor below ~16 MB
+    logical bytes/partition, ceil above it, the documents table amplified
+    by the posting-explode factor, capped, and robust to a missing fixture
+    dir. (Sparse non-parquet payloads exercise the file-size fallback.)"""
     from sqldataintegrationfunctiontriggerapp_spark.session import (
+        _DOC_EXPLODE_AMP,
         _SHUFFLE_PARTITION_CAP,
         _SHUFFLE_TARGET_BYTES,
         derive_shuffle_partitions,
@@ -65,9 +67,17 @@ def test_derive_shuffle_partitions_rule(tmp_path):
     big = tmp_path / "big"
     big.mkdir()
     with open(big / "t.parquet", "wb") as f:
-        f.truncate(100 * _SHUFFLE_TARGET_BYTES)  # sparse 800 MB
+        f.truncate(100 * _SHUFFLE_TARGET_BYTES)  # sparse 1.6 GB
     assert derive_shuffle_partitions(str(big), 32) == 100
     assert derive_shuffle_partitions(str(big), 128) == 128
+    # a documents table counts (1 + amp)x: the span/shingle explode seam
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    with open(docs / "documents.parquet", "wb") as f:
+        f.truncate(10 * _SHUFFLE_TARGET_BYTES)
+    assert derive_shuffle_partitions(str(docs), 32) == 10 * (
+        1 + _DOC_EXPLODE_AMP
+    )
     with open(big / "u.parquet", "wb") as f:
         f.truncate(_SHUFFLE_PARTITION_CAP * 2 * _SHUFFLE_TARGET_BYTES)
     assert derive_shuffle_partitions(str(big), 32) == _SHUFFLE_PARTITION_CAP

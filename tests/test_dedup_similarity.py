@@ -132,6 +132,42 @@ def test_png_pixel_codec_degrades_on_corrupt_bytes():
     assert r is None or r[0] == "corrupt"
 
 
+def test_wav_codec_roundtrip_pure_python():
+    """Driver-side pin of the WAV/PCM codec: the stdlib `wave` writer and
+    the hand-rolled RIFF parser are independent implementations, so the
+    round-trip catches a framing bug in either before the registry query
+    sees it."""
+    for did in (1, 2, 7, 54, 200):
+        rate, nch, nf = 8000 * (did % 3 + 1), did % 2 + 1, did % 50 + 10
+        r = MM._decode_wav_one(MM._wav_full_bytes(did))
+        assert r is not None and r[0] != "corrupt"
+        rr, rn, rf, sums, mn, mx = r
+        assert (rr, rn, rf) == (rate, nch, nf)
+        expect = [
+            sum(MM._wav_sample(did, i, c) for i in range(nf))
+            for c in range(nch)
+        ]
+        allv = [MM._wav_sample(did, i, c)
+                for i in range(nf) for c in range(nch)]
+        assert sums == expect and (mn, mx) == (min(allv), max(allv))
+
+
+def test_wav_codec_degrades_on_corrupt_bytes():
+    # truncated data chunk (the fixture's own corrupt branch): fmt kept
+    r = MM._decode_wav_one(MM._wav_full_bytes(101))
+    assert r == ("corrupt", 8000 * (101 % 3 + 1), 101 % 2 + 1)
+    # non-WAV / empty input: unknown, never a raise
+    assert MM._decode_wav_one(b"RIFFxxxxJUNK" + b"\0" * 20) is None
+    assert MM._decode_wav_one(b"") is None
+    # non-PCM format code: header survives as corrupt (compressed audio
+    # is the documented boundary, not a task failure)
+    buf = bytearray(MM._wav_full_bytes(7))
+    fmt_at = buf.index(b"fmt ") + 8
+    buf[fmt_at] = 3  # IEEE-float format code
+    r = MM._decode_wav_one(bytes(buf))
+    assert r is not None and r[0] == "corrupt"
+
+
 def test_jpeg_codec_roundtrip_dc_only():
     """Baseline-JPEG codec pin: DC-only fixture blocks decode to exactly
     the generator's closed form, corrupt/truncated streams degrade."""

@@ -28,15 +28,24 @@ def load(ref: str) -> dict:
 
 
 def main() -> int:
+    # Consume flag+value pairs destructively first, then treat the remainder
+    # as positionals (ADVICE r12: filtering positionals by string equality
+    # with option VALUES misparses an arg that happens to equal the ratio,
+    # and re-evaluating opt() with different defaults diverged from the
+    # values actually used).
     args = sys.argv[1:]
-
-    def opt(name, default):
-        return args[args.index(name) + 1] if name in args else default
-
-    ratio = float(opt("--ratio", "1.5"))
-    floor = float(opt("--floor", "0.8"))
-    pos = [a for a in args if not a.startswith("--")
-           and a not in (opt("--ratio", None), opt("--floor", None))]
+    opts = {"--ratio": "1.5", "--floor": "0.8"}
+    for name in opts:
+        if name in args:
+            i = args.index(name)
+            if i + 1 >= len(args):
+                print(__doc__)
+                return 2
+            opts[name] = args[i + 1]
+            del args[i:i + 2]
+    ratio = float(opts["--ratio"])
+    floor = float(opts["--floor"])
+    pos = args
     if len(pos) != 2:
         print(__doc__)
         return 2
