@@ -182,6 +182,28 @@ def test_jpeg_codec_roundtrip_dc_only():
     assert MM._decode_jpeg_pixels_one(b"png or junk") is None
 
 
+def test_jpeg_fast_reader_bit_identical_to_reference():
+    """The LUT-driven _FastBits entropy reader (r13, 5.5x measured over
+    the committed bit-at-a-time decoder) against the _BitReader reference
+    path: identical output on every fixture id AND on byte-flipped
+    streams, where the corrupt-degradation branches must agree too."""
+    import random
+
+    for did in range(0, 300):
+        buf = MM._jpeg_full_bytes(did)
+        assert MM._decode_jpeg_pixels_one(buf) == MM._decode_jpeg_pixels_one(
+            buf, reader=MM._BitReader
+        )
+    rnd = random.Random(13)
+    for _ in range(200):
+        buf = bytearray(MM._jpeg_full_bytes(rnd.randrange(1, 500)))
+        buf[rnd.randrange(len(buf))] ^= 0xFF
+        b = bytes(buf)
+        assert MM._decode_jpeg_pixels_one(b) == MM._decode_jpeg_pixels_one(
+            b, reader=MM._BitReader
+        )
+
+
 def test_jpeg_codec_ac_runlength_path_matches_idct_reference():
     """The AC path (nonzero coefficients, run skips, ZRL) against an
     independent numpy IDCT reference -- the part of the decoder the
