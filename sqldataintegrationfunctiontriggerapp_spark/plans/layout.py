@@ -478,11 +478,16 @@ def _compaction_dirs(spark: SparkSession, sf_dir: str):
         session_stage,
     )
 
+    from sqldataintegrationfunctiontriggerapp_spark.sinks.table_sink import (
+        publish_layout,
+        table_current,
+    )
+
     def build():
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
         base = tempfile.mkdtemp(prefix=f"ev_compact_{tag}_")
         atexit.register(shutil.rmtree, base, ignore_errors=True)
-        small = os.path.join(base, "events_small")
+        small = os.path.join(base, "stage_small")
         day = (
             F.floor(F.col("ts").cast("timestamp").cast("double") / 86400)
             .cast("long")
@@ -516,7 +521,16 @@ def _compaction_dirs(spark: SparkSession, sf_dir: str):
             )
             .select("event_type", "day", "bin")
         )
-        compacted = os.path.join(base, "events_compacted")
+        # r13: the table is a VERSIONED root with an atomic pointer swap
+        # (sinks/table_sink.publish_layout) -- v1 = the small-file debris
+        # layout, v2 = the compacted rewrite, published only after a
+        # row-count validation, keep=2 so the pre-compaction layout stays
+        # readable for the files_before audit. The registered query reads
+        # the live layout THROUGH the pointer, so the audit re-proves the
+        # content checksum against the swapped table, not the staging dir.
+        root = os.path.join(base, "events_table")
+        small = publish_layout(root, small, keep=2)
+        compacted = os.path.join(base, "stage_compacted")
         small_df = spark.read.parquet(small).withColumn(
             "day", F.col("day").cast("long")
         )
@@ -529,7 +543,20 @@ def _compaction_dirs(spark: SparkSession, sf_dir: str):
             .write.partitionBy("event_type", "bin")
             .parquet(compacted)
         )
-        return StagedDir(small), StagedDir(compacted)
+        n_before = spark.read.parquet(small).count()
+
+        def validate(staging: str) -> None:
+            # abort-before-mutation integrity gate: a rewrite that dropped
+            # or duplicated rows never becomes the live layout
+            n_after = spark.read.parquet(staging).count()
+            if n_after != n_before:
+                raise ValueError(
+                    f"compaction row-count drift: {n_before} -> {n_after}"
+                )
+
+        published = publish_layout(root, compacted, validate=validate, keep=2)
+        assert table_current(root) == published
+        return StagedDir(small), StagedDir(published)
 
     return session_stage(spark, sf_dir, "events_compaction_exec", build)
 

@@ -63,6 +63,100 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+# --- Atomic layout swap (VERDICT r12 #10 stretch) ------------------------
+#
+# A production OPTIMIZE/compaction must never expose a half-rewritten table:
+# readers either see the complete old layout or the complete new one. The
+# engine's mechanism is the one Delta/Iceberg reduce to when you strip the
+# metadata layer: VERSIONED LAYOUT DIRECTORIES under a table root plus a
+# single pointer file (`_CURRENT`) naming the live one, updated with
+# os.replace -- atomic on POSIX. The swap protocol:
+#
+#   1. the rewrite lands in a STAGING directory (never read by anyone);
+#   2. validate(staging) runs the caller's integrity check (e.g. the
+#      order-independent content checksum vs the old layout) BEFORE any
+#      mutation -- a failed validation leaves the table untouched;
+#   3. staging is renamed to the next version dir (atomic same-fs move;
+#      still unreferenced);
+#   4. the pointer file is atomically replaced -- THIS is the commit point;
+#   5. superseded/orphaned version dirs are garbage-collected.
+#
+# A crash between any two steps leaves readers on the old layout (before 4)
+# or the new one (after 4); a retried job simply publishes the next version
+# and GC later removes the orphan. The `_fault` hook exists so the
+# crash-between-steps test can kill the protocol at every boundary.
+
+_CURRENT = "_CURRENT"
+
+
+def table_current(root: str) -> str:
+    """Path of the table's live layout directory (resolve the pointer).
+    One read of one small file -- safe against a concurrent os.replace."""
+    import os
+
+    with open(os.path.join(root, _CURRENT)) as f:
+        return os.path.join(root, f.read().strip())
+
+
+def _versions(root: str) -> list[int]:
+    import os
+
+    out = []
+    try:
+        for name in os.listdir(root):
+            if name.startswith("v") and name[1:].isdigit():
+                out.append(int(name[1:]))
+    except OSError:
+        pass
+    return sorted(out)
+
+
+def publish_layout(
+    root: str,
+    staging: str,
+    validate=None,
+    keep: int = 1,
+    _fault=None,
+) -> str:
+    """Atomically publish `staging` as the current layout of the table at
+    `root`; returns the published directory. `validate(staging)` (raise to
+    abort, table untouched), `keep` = how many committed versions to retain
+    (current counts; >=2 keeps the previous layout readable for audits),
+    `_fault(step)` is the test-only crash hook."""
+    import os
+    import shutil
+    import uuid
+
+    os.makedirs(root, exist_ok=True)
+    if validate is not None:
+        validate(staging)
+    if _fault:
+        _fault("validated")
+    n = (_versions(root) or [0])[-1] + 1
+    final = os.path.join(root, f"v{n}")
+    os.rename(staging, final)  # atomic same-fs move; still unreferenced
+    if _fault:
+        _fault("renamed")
+    tmp = os.path.join(root, f"{_CURRENT}.tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(f"v{n}")
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(root, _CURRENT))  # THE commit point
+    if _fault:
+        _fault("published")
+    # GC: drop everything but the `keep` highest committed versions (the
+    # current dir is the highest by construction; later orphans from
+    # crashed-after-rename jobs are above it and dropped too on the next
+    # successful publish)
+    for v in _versions(root):
+        if v > n or v <= n - keep:
+            shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
+    if _fault:
+        _fault("gc")
+    return final
+
+
 def compact_partition(
     spark, path: str, partition_col: str, partition_value, target_files: int = 1
 ) -> None:

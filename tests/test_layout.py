@@ -154,3 +154,107 @@ def test_compaction_apply_pruning_envelope_survives_rewrite(spark):
     ), f"bin filter did not reach the scan:\n{plan}"
     full = cdf.where(day.between(lo, hi))
     assert pruned.count() == full.count() > 0
+
+
+# --- atomic layout swap (sinks/table_sink.publish_layout, r13) ------------
+
+
+def _mk_layout(tmp_path, name: str, files: dict[str, str]) -> str:
+    d = tmp_path / name
+    d.mkdir()
+    for fn, content in files.items():
+        (d / fn).write_text(content)
+    return str(d)
+
+
+def test_publish_layout_swap_and_gc(tmp_path):
+    from sqldataintegrationfunctiontriggerapp_spark.sinks.table_sink import (
+        publish_layout,
+        table_current,
+    )
+
+    root = str(tmp_path / "tbl")
+    v1 = publish_layout(root, _mk_layout(tmp_path, "s1", {"a": "1"}))
+    assert table_current(root) == v1
+    # keep=1: publishing v2 GCs v1
+    v2 = publish_layout(root, _mk_layout(tmp_path, "s2", {"a": "2"}))
+    assert table_current(root) == v2
+    import os
+
+    assert not os.path.exists(v1)
+    # keep=2 retains the superseded layout for audits
+    v3 = publish_layout(root, _mk_layout(tmp_path, "s3", {"a": "3"}), keep=2)
+    assert table_current(root) == v3 and os.path.exists(v2)
+    # failed validation: table untouched, staging intact
+    staging = _mk_layout(tmp_path, "s4", {"a": "bad"})
+    with pytest.raises(ValueError):
+        publish_layout(root, staging, validate=lambda p: (_ for _ in ()).throw(
+            ValueError("checksum drift")
+        ))
+    assert table_current(root) == v3 and os.path.exists(staging)
+
+
+def test_publish_layout_crash_between_every_step(tmp_path):
+    """Kill the protocol at every step boundary: readers must see a
+    complete layout (old before the pointer swap, new after), and a
+    retried job must converge with orphans garbage-collected."""
+    import os
+
+    from sqldataintegrationfunctiontriggerapp_spark.sinks.table_sink import (
+        publish_layout,
+        table_current,
+    )
+
+    class Crash(RuntimeError):
+        pass
+
+    for crash_at in ("validated", "renamed", "published", "gc"):
+        root = str(tmp_path / f"tbl_{crash_at}")
+        old = publish_layout(root, _mk_layout(tmp_path, f"o_{crash_at}", {"a": "old"}))
+
+        def fault(step, crash_at=crash_at):
+            if step == crash_at:
+                raise Crash(step)
+
+        staging = _mk_layout(tmp_path, f"n_{crash_at}", {"a": "new"})
+        with pytest.raises(Crash):
+            publish_layout(root, staging, _fault=fault)
+        cur = table_current(root)
+        content = (
+            open(os.path.join(cur, "a")).read()
+        )
+        if crash_at in ("validated", "renamed"):
+            # crash before the commit point: readers still on the old
+            # layout, and it is fully intact
+            assert cur == old and content == "old"
+        else:
+            # crash after the commit point: the new layout is live/intact
+            assert content == "new"
+        # a retried job converges regardless of where the crash hit
+        retry = _mk_layout(tmp_path, f"r_{crash_at}", {"a": "retry"})
+        final = publish_layout(root, retry)
+        assert table_current(root) == final
+        assert open(os.path.join(final, "a")).read() == "retry"
+        # GC after the successful retry: only the live version remains
+        vdirs = [d for d in os.listdir(root) if d.startswith("v")]
+        assert vdirs == [os.path.basename(final)]
+
+
+def test_compaction_fixture_reads_through_swapped_pointer(spark, sf_dir):
+    """The registered audit's `compacted` dir IS the pointer-resolved live
+    layout of the versioned table root, and the pre-compaction layout is
+    retained (keep=2) for the files_before audit."""
+    import os
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans.layout import (
+        _compaction_dirs,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.sinks.table_sink import (
+        table_current,
+    )
+
+    small, compacted = _compaction_dirs(spark, sf_dir)
+    root = os.path.dirname(str(compacted))
+    assert table_current(root) == str(compacted)
+    assert os.path.basename(str(compacted)) == "v2"
+    assert os.path.basename(str(small)) == "v1" and os.path.exists(small)
