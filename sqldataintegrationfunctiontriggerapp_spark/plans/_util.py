@@ -86,10 +86,19 @@ def _spill_threshold_bytes(spark) -> float:
 
     SPARK_GRAFT_STAGE_MODE forces a branch (memory = always checkpoint,
     the pre-r13 behavior, kept for A/B ladders; disk = always parquet);
-    SPARK_GRAFT_STAGE_SPILL_MB pins the threshold. Default: heap/8 with a
-    256 MB floor -- the threshold compares COLUMNAR-CACHE bytes, and the
-    checkpoint the small branch would build is typically 2-4x larger, so
-    heap/8 of cache keeps worst-case checkpoint residency near heap/3."""
+    SPARK_GRAFT_STAGE_SPILL_MB pins the threshold. Default: heap/32 with
+    a 256 MB floor. The constant is calibrated by the sf10 minhash family
+    at 8 g: a FAMILY holds 3-4 big stages at once (shingles, signatures,
+    jacc0), the threshold compares COLUMNAR-CACHE bytes, and the
+    checkpoint the memory branch builds is typically 2-4x larger -- at
+    heap/8 every minhash stage individually stayed under the line, their
+    AGGREGATE 3.4 GB of checkpoint residency starved execution memory,
+    and run 4/4 of the 8 g ladder died with UNABLE_TO_ACQUIRE_MEMORY;
+    heap/32 per stage bounds a 4-stage family near heap/8 of cache
+    (~heap/3 checkpoint) if it all stayed resident, and in practice sends
+    the big members to parquet. The floor keeps default-1g test/bench
+    sessions (stage caches there are tens of MB) entirely on the fast
+    path."""
     import os
 
     mode = os.environ.get("SPARK_GRAFT_STAGE_MODE", "auto")
@@ -105,7 +114,7 @@ def _spill_threshold_bytes(spark) -> float:
         )
     except Exception:
         heap = 1 << 30
-    return max(256.0 * 1024 * 1024, heap / 8.0)
+    return max(256.0 * 1024 * 1024, heap / 32.0)
 
 
 def truthful_ckpt(df):

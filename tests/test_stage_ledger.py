@@ -83,3 +83,49 @@ def test_evicted_stage_storage_is_released(spark):
     after = {k[2]: v for k, v in U._stage_resident_bytes(spark).items()}
     assert "stage_big" not in after
     _drop_test_stages()
+
+
+def test_truthful_ckpt_disk_branch_spills_and_releases(spark, monkeypatch):
+    """Forced-disk truthful_ckpt: the stage lands on local parquet (no
+    executor storage), reads back identically, is visible to the tick's
+    disk_bytes column, and drop_stage removes the directory."""
+    import os
+
+    _drop_test_stages()
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_MODE", "disk")
+
+    def build():
+        return U.truthful_ckpt(
+            spark.range(1000).select(
+                F.col("id"), (F.col("id") * 3).alias("v")
+            )
+        )
+
+    df = U.session_stage(spark, "/ledger-test", "disk_stage", build)
+    path = getattr(df, "_staged_dir", None)
+    assert path is not None and os.path.isdir(path)
+    assert df.count() == 1000
+    assert df.agg(F.sum("v")).collect()[0][0] == 3 * 999 * 1000 // 2
+    # no executor storage attributed: disk stages live outside the memory
+    # budget, but the tick reports their bytes
+    sizes = {k[2]: v for k, v in U._stage_resident_bytes(spark).items()}
+    assert sizes.get("disk_stage", 0) == 0
+    assert U._stage_disk_bytes() > 0
+    U.drop_stage(spark, "/ledger-test", "disk_stage")
+    assert not os.path.exists(path)
+    _drop_test_stages()
+
+
+def test_truthful_ckpt_threshold_picks_branch(spark, monkeypatch):
+    """Auto mode: a tiny stage stays a localCheckpoint (no _staged_dir), a
+    stage above a forced-low threshold goes to parquet."""
+    _drop_test_stages()
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_MODE", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_SPILL_MB", "100000")
+    small = U.truthful_ckpt(spark.range(100).select("id"))
+    assert getattr(small, "_staged_dir", None) is None
+    small.unpersist()
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_SPILL_MB", "0")
+    big = U.truthful_ckpt(spark.range(5000).select("id"))
+    assert getattr(big, "_staged_dir", None) is not None
+    U._release_stage(big)

@@ -61,6 +61,12 @@ def main() -> int:
         pat = f"{sf_dir}/{t}.parquet"
         if os.path.isdir(pat):
             pat += "/*.parquet"
+        elif not os.path.exists(pat):
+            # partial fixtures (e.g. the boilerplate sfb* dirs carry only
+            # documents/nation/region): register what exists so the
+            # document-family queries can be oracle-checked there; a query
+            # touching a missing table fails loudly at its own row
+            continue
         con.sql(f"CREATE VIEW {t} AS FROM read_parquet('{pat}')")
 
     queries = entrymod.queries()
