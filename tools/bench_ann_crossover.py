@@ -31,6 +31,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from sqldataintegrationfunctiontriggerapp_spark.operators import similarity as S
+from sqldataintegrationfunctiontriggerapp_spark.plans._util import truthful_ckpt
 from sqldataintegrationfunctiontriggerapp_spark.session import get_session
 
 
@@ -73,7 +74,12 @@ def main() -> int:
     t_piv = time.time() - t0
     assign = S.ivf_assign_blas if blas_build else S.ivf_assign
     t0 = time.time()
-    assigned = assign(corpus, pivots).localCheckpoint()
+    # truthful_ckpt (r13): a raw localCheckpoint of the 20M assigned index
+    # is ~6 GB deserialized and OOMed the 8 g sweep the moment the exact
+    # baseline scanned beside it; the spill-aware materializer lands it on
+    # local parquet instead (which is also the honest 100 TB shape for a
+    # standing index: on disk, scanned per probe)
+    assigned = truthful_ckpt(assign(corpus, pivots))
     n_idx = assigned.count()
     t_build = time.time() - t0
     print(f"IVF build: pivots {t_piv:.1f}s; assign+checkpoint {t_build:.1f}s "
