@@ -1961,3 +1961,38 @@ def allocation_permutation(alloc: list[list[int]]) -> list[int]:
     consume without modification."""
     return [j for bucket in alloc for j in bucket]
 
+
+def route_ann(
+    n_queries: int,
+    target_recall: float,
+    curve: list[tuple[int, float]],
+    cost: dict | None = None,
+):
+    """Batch-size-aware ANN routing (VERDICT r12 #6): 'exact' or
+    ('ivf', n_probe), from the measured operating points rather than a
+    heuristic. The r13 20M x 64 sweep measured recall-vs-n_probe to be
+    batch-size-INDEPENDENT (recall varies <0.02 across |Q|=10/100/1000 at
+    fixed n_probe) while COST is strongly batch-size-dependent: probing
+    |Q| query sets touches most of the index repeatedly, so the standing
+    IVF index wins only small batches (5x cheaper than exact at |Q|=10 /
+    0.94 recall) and exact dgemm wins from |Q|~100 up (7.7x cheaper at
+    |Q|=1000 / 0.94 recall). tools/bench_ann_crossover.py emits both the
+    curve and, optionally, per-batch-size cost rows.
+
+    `cost`, when given, maps batch size -> {"exact": sec, n_probe: sec}
+    from the same sweep; the router interpolates to the nearest measured
+    batch size and compares the target operating point's probe cost
+    against exact. Without cost rows it falls back to the measured
+    crossover default: IVF below |Q|=100, exact at or above. Driver-side
+    metadata arithmetic either way -- ints and floats in, one decision
+    out, stored beside the index like choose_n_probe's answer."""
+    n_probe = choose_n_probe(curve, target_recall)
+    if cost:
+        sizes = sorted(cost)
+        nearest = min(sizes, key=lambda s: abs(s - n_queries))
+        row = cost[nearest]
+        exact_s = row.get("exact")
+        probe_s = row.get(n_probe)
+        if exact_s is not None and probe_s is not None:
+            return "exact" if exact_s <= probe_s else ("ivf", n_probe)
+    return ("ivf", n_probe) if n_queries < 100 else "exact"

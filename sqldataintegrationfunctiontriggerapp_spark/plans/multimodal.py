@@ -368,6 +368,55 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_windows",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id, doc_id % 50 + 10 AS n_frames
+        FROM documents WHERE doc_id % 101 <> 0
+    ),
+    fr AS (SELECT doc_id, UNNEST(range(0, n_frames)) AS i FROM dims),
+    sm AS (
+        SELECT doc_id, i, i // 20 AS win,
+               (doc_id + 7 * i) % 4001 - 2000 AS v
+        FROM fr
+    ),
+    base AS (
+        SELECT doc_id, win, v,
+               LAG(v) OVER (PARTITION BY doc_id, win ORDER BY i) AS pv
+        FROM sm
+    )
+    SELECT doc_id AS media_id, CAST(win AS INT) AS win,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(ABS(v)) AS BIGINT) AS abs_sum,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+                    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM base GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR-style framing over DECODED audio: channel 0 of every valid WAV
+    segmented into 20-frame windows, each reporting frame count, integer
+    energy (sum |sample| -- the VAD/silence-trim signal), and
+    zero-crossing count (the voiced/unvoiced discriminator). The window
+    segmentation consumes the real decoder's output, so this pins the
+    decode -> feature seam end-to-end; every value is integer-exact and
+    the oracle recomputes it from the fixture's closed form
+    v(i, 0) = (doc_id + 7i) % 4001 - 2000 (channel 0 of the interleaved
+    stream). Corrupt docs contribute no rows -- the decode entry owns
+    their degradation semantics. The oracle's LAG window is PARTITIONED
+    by (doc, window): bounded inputs, no global sort (plan-lint clean by
+    construction -- the Spark side has no Window at all, the framing runs
+    inside the Arrow batch)."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        synth_wav_media,
+        wav_window_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return wav_window_features(synth_wav_media(docs), window=20)
+
+
+@register(
     "multimodal_decode_dims",
     oracle="""
     SELECT doc_id AS media_id,

@@ -884,3 +884,23 @@ def test_kcenter_radius_non_increasing_and_ids_distinct(spark, sf_dir):
     assert all(a >= b for a, b in zip(radii, radii[1:]))
     ids = [r["vec_id"] for r in rows]
     assert len(set(ids)) == len(ids)
+
+
+def test_wav_window_features_match_closed_form(spark):
+    """The decode -> framing seam end-to-end on a tiny frame: windows of
+    20 frames over channel 0, energy and zero-crossings equal the
+    fixture's closed form."""
+    docs = spark.createDataFrame([(7,), (54,)], "doc_id long")
+    out = MM.wav_window_features(MM.synth_wav_media(docs), window=20)
+    got = {(r.media_id, r.win): (r.n_frames, r.abs_sum, r.zero_crossings)
+           for r in out.collect()}
+    for did in (7, 54):
+        nf = did % 50 + 10
+        ch0 = [MM._wav_sample(did, i, 0) for i in range(nf)]
+        for w0 in range(0, nf, 20):
+            seg = ch0[w0:w0 + 20]
+            zc = sum(1 for a, b in zip(seg, seg[1:]) if (a >= 0) != (b >= 0))
+            assert got[(did, w0 // 20)] == (
+                len(seg), sum(abs(v) for v in seg), zc
+            )
+    assert len(got) == sum(-(-(d % 50 + 10) // 20) for d in (7, 54))

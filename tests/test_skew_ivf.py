@@ -293,3 +293,29 @@ def test_choose_n_probe_picks_cheapest_sufficient_point():
 
     with pytest.raises(ValueError):
         choose_n_probe([], 0.5)
+
+
+def test_route_ann_follows_measured_operating_points():
+    """The r13 20Mx64 sweep as fixture: recall is batch-size-independent,
+    cost is not -- the router must pick IVF for small batches and exact
+    from the measured crossover up, and prefer real cost rows over the
+    default crossover when given."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.similarity import (
+        route_ann,
+    )
+
+    curve = [(8, 0.53), (16, 0.68), (32, 0.84), (64, 0.94), (128, 1.0)]
+    # measured probe/exact seconds per batch size (r13 sweep, COVERAGE)
+    cost = {
+        10: {"exact": 101.8, 8: 10.6, 16: 9.3, 32: 15.9, 64: 20.3, 128: 30.4},
+        100: {"exact": 37.2, 8: 53.6, 16: 19.8, 32: 28.8, 64: 54.7, 128: 85.2},
+        1000: {"exact": 60.8, 8: 79.2, 16: 117.9, 32: 240.5, 64: 465.3},
+    }
+    assert route_ann(10, 0.9, curve, cost) == ("ivf", 64)
+    assert route_ann(100, 0.9, curve, cost) == "exact"
+    assert route_ann(1000, 0.9, curve, cost) == "exact"
+    # at |Q|=100 a LOW recall target still wins for IVF (19.8s < 37.2s)
+    assert route_ann(100, 0.6, curve, cost) == ("ivf", 16)
+    # without cost rows: measured-crossover default at |Q|=100
+    assert route_ann(10, 0.9, curve) == ("ivf", 64)
+    assert route_ann(100, 0.9, curve) == "exact"
