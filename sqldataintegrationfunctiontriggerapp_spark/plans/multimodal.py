@@ -417,6 +417,69 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_container",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(16 * (doc_id % 20 + 1) AS INT) AS width,
+               CAST(16 * (doc_id % 15 + 1) AS INT) AS height,
+               1000000 // (10 + (doc_id % 5) * 5) AS us_per_frame,
+               doc_id % 40 + 5 AS total_frames,
+               doc_id % 103 = 0 AS corrupt
+        FROM documents
+    ),
+    fr AS (
+        SELECT doc_id, total_frames, UNNEST(range(0, total_frames)) AS f
+        FROM dims WHERE NOT corrupt
+    ),
+    mv AS (
+        SELECT doc_id, SUM((doc_id + 11 * f) % 64 + 1) AS movi_bytes
+        FROM fr GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.corrupt THEN 'corrupt' ELSE 'ok' END AS status,
+           d.width, d.height,
+           CAST(d.us_per_frame AS BIGINT) AS us_per_frame,
+           CAST(d.total_frames AS BIGINT) AS total_frames,
+           CAST(1 AS INT) AS n_streams,
+           CASE WHEN d.corrupt THEN NULL
+                ELSE CAST(d.total_frames AS BIGINT) END AS frames_found,
+           CAST(m.movi_bytes AS BIGINT) AS movi_bytes,
+           CASE WHEN d.corrupt THEN NULL
+                ELSE CAST(d.total_frames * d.us_per_frame // 1000 AS BIGINT)
+           END AS duration_ms
+    FROM dims d LEFT JOIN mv m ON m.doc_id = d.doc_id
+    """,
+)
+def multimodal_video_container(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL AVI video-CONTAINER decode, pure stdlib (r13 decode-ladder
+    continuation): documents become complete RIFF/AVI files -- LIST hdrl
+    with a spec-shaped avih main header, LIST movi with one '00dc' chunk
+    per frame, word-aligned -- and decode_avi_metadata walks the RIFF
+    tree for real: dimensions, frame rate, declared-vs-found frame
+    census, movi payload byte count, duration
+    (operators/multimodal.py _decode_avi_one). The frame PAYLOADS stay
+    opaque: that is the codec boundary, stated exactly like progressive
+    JPEG -- with this, C7's "video" gap narrows from the whole format to
+    the codec payload alone.
+
+    The oracle recomputes every field from doc_id arithmetic (frame f's
+    payload is (doc_id + 11f) % 64 + 1 bytes), so any error in RIFF
+    framing, LIST recursion, avih unpacking, or word-alignment breaks the
+    hash. Every 103rd document loses its last 7 bytes: the final frame
+    chunk's declared size exceeds the available bytes, the parser reports
+    status='corrupt' with the header fields kept, and the task never
+    fails. One scan, no shuffle, Arrow-batch-bounded memory."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        decode_avi_metadata,
+        synth_avi_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_avi_metadata(synth_avi_media(docs))
+
+
+@register(
     "multimodal_decode_dims",
     oracle="""
     SELECT doc_id AS media_id,

@@ -904,3 +904,30 @@ def test_wav_window_features_match_closed_form(spark):
                 len(seg), sum(abs(v) for v in seg), zc
             )
     assert len(got) == sum(-(-(d % 50 + 10) // 20) for d in (7, 54))
+
+
+def test_avi_container_roundtrip_and_degradation():
+    """RIFF/AVI container codec pin: header fields, frame census, and
+    payload byte count equal the closed form; truncated movi keeps the
+    header as corrupt; non-AVI bytes are unknown."""
+    for did in (1, 4, 17, 102, 300):
+        fps = 10 + (did % 5) * 5
+        uspf, total = 1_000_000 // fps, did % 40 + 5
+        w, h = 16 * (did % 20 + 1), 16 * (did % 15 + 1)
+        mb = sum(MM._avi_frame_size(did, f) for f in range(total))
+        assert MM._decode_avi_one(MM._avi_full_bytes(did)) == (
+            w, h, uspf, total, 1, total, mb
+        )
+    r = MM._decode_avi_one(MM._avi_full_bytes(103))
+    assert r[0] == "corrupt" and r[1:] == (
+        16 * (103 % 20 + 1), 16 * (103 % 15 + 1),
+        1_000_000 // (10 + (103 % 5) * 5), 103 % 40 + 5, 1,
+    )
+    assert MM._decode_avi_one(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert MM._decode_avi_one(b"") is None
+    # declared frame count above the chunks actually present -> corrupt
+    buf = bytearray(MM._avi_full_bytes(9))
+    at = buf.index(b"avih") + 8 + 16  # avih field 4: total_frames
+    buf[at:at + 4] = (1000).to_bytes(4, "little")
+    r = MM._decode_avi_one(bytes(buf))
+    assert r is not None and r[0] == "corrupt" and r[4] == 1000
