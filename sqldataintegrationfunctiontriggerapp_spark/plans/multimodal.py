@@ -480,6 +480,77 @@ def multimodal_video_container(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_av_sync_report",
+    oracle="""
+    WITH a AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 101 = 0 THEN NULL
+                    ELSE (doc_id % 50 + 10) * 1000
+                         // (8000 * (doc_id % 3 + 1)) END AS audio_ms
+        FROM documents
+    ),
+    v AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 103 = 0 THEN NULL
+                    ELSE (doc_id % 40 + 5)
+                         * (1000000 // (10 + (doc_id % 5) * 5)) // 1000
+               END AS video_ms
+        FROM documents
+    )
+    SELECT a.doc_id AS media_id,
+           CASE WHEN a.audio_ms IS NULL OR v.video_ms IS NULL
+                THEN 'degraded' ELSE 'ok' END AS status,
+           CAST(a.audio_ms AS BIGINT) AS audio_ms,
+           CAST(v.video_ms AS BIGINT) AS video_ms,
+           CAST(a.audio_ms - v.video_ms AS BIGINT) AS drift_ms,
+           CASE WHEN a.audio_ms IS NULL OR v.video_ms IS NULL THEN NULL
+                ELSE ABS(a.audio_ms - v.video_ms) > 40 END AS out_of_sync
+    FROM a JOIN v USING (doc_id)
+    """,
+)
+def multimodal_av_sync_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal consistency audit -- the A/V-sync check a speech/video
+    curation pipeline runs before pairing streams: each document's audio
+    track (the WAV fixture, REAL PCM decode) and video track (the AVI
+    fixture, REAL container decode) are decoded independently and joined
+    on media_id; the report carries both durations, the drift, and an
+    out-of-sync flag at the 40 ms threshold (~one frame at 25 fps). A
+    corrupt track on EITHER side degrades the pair to status='degraded'
+    with NULL drift -- corruption composes across modalities instead of
+    failing the row.
+
+    This is the multimodal family's first cross-modal JOIN: both sides
+    are one-scan decodes, the join key is the id both synthesizers carry,
+    and at 100 TB it is a co-partitioned equi-join (media tables share
+    doc_id layout). The oracle recomputes both durations from the two
+    fixtures' closed forms and replays the same NULL composition."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        decode_avi_metadata,
+        decode_wav_samples,
+        synth_avi_media,
+        synth_wav_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = decode_wav_samples(synth_wav_media(docs)).select(
+        "media_id", F.col("duration_ms").alias("audio_ms")
+    )
+    v = decode_avi_metadata(synth_avi_media(docs)).select(
+        "media_id", F.col("duration_ms").alias("video_ms")
+    )
+    both = F.col("audio_ms").isNotNull() & F.col("video_ms").isNotNull()
+    drift = F.col("audio_ms") - F.col("video_ms")
+    return a.join(v, "media_id").select(
+        "media_id",
+        F.when(both, F.lit("ok")).otherwise(F.lit("degraded")).alias("status"),
+        "audio_ms",
+        "video_ms",
+        drift.alias("drift_ms"),
+        F.when(both, F.abs(drift) > 40).alias("out_of_sync"),
+    )
+
+
+@register(
     "multimodal_decode_dims",
     oracle="""
     SELECT doc_id AS media_id,
