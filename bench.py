@@ -88,18 +88,25 @@ def main() -> None:
     # shows zero evictions), so the A/B difference IS the harness overhead.
     sampling = "--no-ledger-sampling" not in sys.argv[1:]
     peak_holder = {"peak": 0, "stop": False, "epoch": 0}
+    # ADVICE r13: the epoch check and the peak write must be one atomic
+    # step against the boundary reset -- a bare check-then-act lets a
+    # reset land in between and folds a stale high sample into the next
+    # query's peak. The slow storage_bytes REST read stays outside the
+    # lock; only the compare-and-fold and the reset take it.
+    peak_lock = threading.Lock()
 
     def _sample_storage() -> None:
         while not peak_holder["stop"]:
             try:
                 # Epoch tag (ADVICE r12): a sample read during query N must
                 # not be folded into query N+1's peak after the boundary
-                # reset -- snapshot the epoch, read, and discard if a reset
-                # happened while this thread was reading/sleeping.
+                # reset -- snapshot the epoch, read, and discard under the
+                # lock if a reset happened while this thread was reading.
                 epoch = peak_holder["epoch"]
                 b = storage_bytes(spark)
-                if epoch == peak_holder["epoch"]:
-                    peak_holder["peak"] = max(peak_holder["peak"], b)
+                with peak_lock:
+                    if epoch == peak_holder["epoch"]:
+                        peak_holder["peak"] = max(peak_holder["peak"], b)
             except Exception:
                 pass
             time.sleep(0.25)
@@ -124,8 +131,10 @@ def main() -> None:
     )
     for name, fn in selected.items():
         if sampling:
-            peak_holder["epoch"] += 1
-            peak_holder["peak"] = storage_bytes(spark)
+            baseline = storage_bytes(spark)
+            with peak_lock:
+                peak_holder["epoch"] += 1
+                peak_holder["peak"] = baseline
         t0 = time.time()
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         dt = time.time() - t0

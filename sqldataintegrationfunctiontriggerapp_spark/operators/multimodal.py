@@ -1105,9 +1105,13 @@ def _wav_full_bytes(doc_id: int) -> bytes:
 
 
 def _decode_wav_one(buf: bytes):
-    """(rate, nch, n_frames, c_sums[2], amp_min, amp_max) or
+    """(rate, nch, n_frames, c_sums, amp_min, amp_max, samples) or
     ('corrupt', rate, nch) when the fmt header is readable but the data
-    chunk is truncated/unsupported, or None for non-WAV bytes. Pure
+    chunk is truncated/unsupported, or None for non-WAV bytes. The raw
+    interleaved sample tuple is returned so downstream feature extractors
+    (wav_window_features) reuse THIS walk instead of re-parsing -- a
+    second, divergent chunk walk is how the r13 never-throw hole happened
+    (first-vs-last data chunk, unchecked struct.unpack length). Pure
     `struct` chunk walk -- never throws; every malformed layer degrades
     per-row (the 100 TB crawl contract)."""
     import struct
@@ -1149,7 +1153,7 @@ def _decode_wav_one(buf: bytes):
             amp_min = v
         if v > amp_max:
             amp_max = v
-    return (rate, nch, n_samples // nch, sums, amp_min, amp_max)
+    return (rate, nch, n_samples // nch, sums, amp_min, amp_max, samples)
 
 
 def synth_wav_media(docs: DataFrame) -> DataFrame:
@@ -1192,7 +1196,7 @@ def decode_wav_samples(media: DataFrame) -> DataFrame:
                         (int(mid), "corrupt", r[1], r[2]) + (None,) * 6
                     )
                 else:
-                    rate, nch, n_frames, sums, mn, mx = r
+                    rate, nch, n_frames, sums, mn, mx, _samples = r
                     s = (sums + [None, None])[:2]
                     rows.append(
                         (
@@ -1244,21 +1248,11 @@ def wav_window_features(media: DataFrame, window: int = 20) -> DataFrame:
                 r = _decode_wav_one(bytes(buf) if buf is not None else b"")
                 if r is None or r[0] == "corrupt":
                     continue
-                _rate, nch, n_frames, _sums, _mn, _mx = r
-                # re-extract channel 0 with a real chunk walk (a naive
-                # buf.find(b"data") could false-match inside sample bytes)
-                import struct
-
-                b = bytes(buf)
-                pos, data = 12, b""
-                while pos + 8 <= len(b):
-                    tag = b[pos : pos + 4]
-                    size = int.from_bytes(b[pos + 4 : pos + 8], "little")
-                    if tag == b"data":
-                        data = b[pos + 8 : pos + 8 + size]
-                        break
-                    pos += 8 + size + (size & 1)
-                samples = struct.unpack(f"<{n_frames * nch}h", data)
+                _rate, nch, n_frames, _sums, _mn, _mx, samples = r
+                # reuse the samples from the SAME chunk walk that accepted
+                # the row -- a second, divergent walk here (first-vs-last
+                # data chunk, unchecked unpack length) is exactly how a
+                # WAV that decode accepts could throw and kill the task
                 ch0 = samples[::nch]
                 for w0 in range(0, n_frames, window):
                     seg = ch0[w0 : w0 + window]

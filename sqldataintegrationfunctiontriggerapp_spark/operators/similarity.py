@@ -1980,19 +1980,29 @@ def route_ann(
     curve and, optionally, per-batch-size cost rows.
 
     `cost`, when given, maps batch size -> {"exact": sec, n_probe: sec}
-    from the same sweep; the router interpolates to the nearest measured
-    batch size and compares the target operating point's probe cost
-    against exact. Without cost rows it falls back to the measured
-    crossover default: IVF below |Q|=100, exact at or above. Driver-side
-    metadata arithmetic either way -- ints and floats in, one decision
-    out, stored beside the index like choose_n_probe's answer."""
+    from the same sweep. Only rows that contain BOTH the 'exact' entry and
+    the target n_probe's entry are usable (ADVICE r13: partial rows must
+    not silently discard the caller's measurements); the router linearly
+    interpolates both costs between the two usable rows bracketing
+    n_queries (clamping outside the measured range) and compares. Without
+    any usable cost row it falls back to the measured crossover default:
+    IVF below |Q|=100, exact at or above. Driver-side metadata arithmetic
+    either way -- ints and floats in, one decision out, stored beside the
+    index like choose_n_probe's answer."""
     n_probe = choose_n_probe(curve, target_recall)
     if cost:
-        sizes = sorted(cost)
-        nearest = min(sizes, key=lambda s: abs(s - n_queries))
-        row = cost[nearest]
-        exact_s = row.get("exact")
-        probe_s = row.get(n_probe)
-        if exact_s is not None and probe_s is not None:
+        usable = sorted(
+            s for s, row in cost.items()
+            if row.get("exact") is not None and row.get(n_probe) is not None
+        )
+        if usable:
+            lo = max((s for s in usable if s <= n_queries), default=usable[0])
+            hi = min((s for s in usable if s >= n_queries), default=usable[-1])
+            if lo == hi:
+                exact_s, probe_s = cost[lo]["exact"], cost[lo][n_probe]
+            else:
+                w = (n_queries - lo) / (hi - lo)
+                exact_s = cost[lo]["exact"] * (1 - w) + cost[hi]["exact"] * w
+                probe_s = cost[lo][n_probe] * (1 - w) + cost[hi][n_probe] * w
             return "exact" if exact_s <= probe_s else ("ivf", n_probe)
     return ("ivf", n_probe) if n_queries < 100 else "exact"

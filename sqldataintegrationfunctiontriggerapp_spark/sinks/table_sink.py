@@ -132,6 +132,17 @@ def publish_layout(
         validate(staging)
     if _fault:
         _fault("validated")
+    # the previously COMMITTED version (what `table_current` points at
+    # before this publish). Versions above it that already exist on disk
+    # are orphans from crashed-after-rename publishes -- they were never
+    # readable and must not count toward `keep` (ADVICE r13: with keep>=2
+    # an orphan above the committed head would otherwise be retained
+    # while the genuinely committed previous layout is deleted).
+    try:
+        with open(os.path.join(root, _CURRENT)) as f:
+            prev_committed = int(f.read().strip().lstrip("v"))
+    except (OSError, ValueError):
+        prev_committed = 0
     n = (_versions(root) or [0])[-1] + 1
     final = os.path.join(root, f"v{n}")
     os.rename(staging, final)  # atomic same-fs move; still unreferenced
@@ -145,13 +156,18 @@ def publish_layout(
     os.replace(tmp, os.path.join(root, _CURRENT))  # THE commit point
     if _fault:
         _fault("published")
-    # GC: drop everything but the `keep` highest committed versions (the
-    # current dir is the highest by construction; later orphans from
-    # crashed-after-rename jobs are above it and dropped too on the next
-    # successful publish)
+    # GC: orphans first (anything strictly between the previously
+    # committed pointer and this publish, or above it, was never
+    # published and never counts toward `keep`), then retain the `keep`
+    # highest COMMITTED versions -- n itself plus committed history.
+    committed = []
     for v in _versions(root):
-        if v > n or v <= n - keep:
+        if v > n or prev_committed < v < n:
             shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
+        else:
+            committed.append(v)  # sorted ascending from _versions
+    for v in committed[:-keep] if keep > 0 else committed:
+        shutil.rmtree(os.path.join(root, f"v{v}"), ignore_errors=True)
     if _fault:
         _fault("gc")
     return final

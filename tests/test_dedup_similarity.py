@@ -141,7 +141,8 @@ def test_wav_codec_roundtrip_pure_python():
         rate, nch, nf = 8000 * (did % 3 + 1), did % 2 + 1, did % 50 + 10
         r = MM._decode_wav_one(MM._wav_full_bytes(did))
         assert r is not None and r[0] != "corrupt"
-        rr, rn, rf, sums, mn, mx = r
+        rr, rn, rf, sums, mn, mx, samples = r
+        assert len(samples) == rf * rn
         assert (rr, rn, rf) == (rate, nch, nf)
         expect = [
             sum(MM._wav_sample(did, i, c) for i in range(nf))
@@ -904,6 +905,41 @@ def test_wav_window_features_match_closed_form(spark):
                 len(seg), sum(abs(v) for v in seg), zc
             )
     assert len(got) == sum(-(-(d % 50 + 10) // 20) for d in (7, 54))
+
+
+def test_wav_window_features_never_throw_on_multi_data_chunks(spark):
+    """ADVICE r13 regression: a WAV with TWO data chunks (decoy first) is
+    accepted by _decode_wav_one (last-chunk-wins walk). The r13 window
+    extractor re-walked the file taking the FIRST chunk and struck a
+    struct.error task-killer; the fix reuses decode's own samples, so the
+    row must produce windows matching the REAL (last) data chunk."""
+    import struct
+
+    did = 7
+    good = MM._wav_full_bytes(did)  # 1 channel, 17 frames
+    nf = did % 50 + 10
+    # splice a decoy odd-length 'data' chunk right after the fmt chunk
+    fmt_at = good.index(b"fmt ")
+    fmt_size = int.from_bytes(good[fmt_at + 4:fmt_at + 8], "little")
+    cut = fmt_at + 8 + fmt_size + (fmt_size & 1)
+    decoy = b"data" + (3).to_bytes(4, "little") + b"\x01\x02\x03\x00"
+    evil = bytearray(good[:cut] + decoy + good[cut:])
+    # patch the RIFF size so the container stays well-formed
+    evil[4:8] = (len(evil) - 8).to_bytes(4, "little")
+    evil = bytes(evil)
+    r = MM._decode_wav_one(evil)
+    assert r is not None and r[0] != "corrupt"  # decode accepts it
+
+    media = spark.createDataFrame(
+        [(did, bytearray(evil))], "media_id long, content binary"
+    )
+    out = MM.wav_window_features(media, window=20).collect()
+    # no task failure, and features come from the real (last) data chunk
+    ch0 = [MM._wav_sample(did, i, 0) for i in range(nf)]
+    got = {(row.win): (row.n_frames, row.abs_sum) for row in out}
+    for w0 in range(0, nf, 20):
+        seg = ch0[w0:w0 + 20]
+        assert got[w0 // 20] == (len(seg), sum(abs(v) for v in seg))
 
 
 def test_avi_container_roundtrip_and_degradation():

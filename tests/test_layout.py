@@ -240,6 +240,91 @@ def test_publish_layout_crash_between_every_step(tmp_path):
         assert vdirs == [os.path.basename(final)]
 
 
+def test_publish_layout_orphans_never_count_toward_keep(tmp_path):
+    """ADVICE r13 regression: a crash between rename and pointer swap
+    leaves an orphan ABOVE the committed head. With keep=2, the next
+    successful publish must retain the genuinely COMMITTED previous
+    layout and delete the never-published orphan -- not the reverse."""
+    import os
+
+    from sqldataintegrationfunctiontriggerapp_spark.sinks.table_sink import (
+        publish_layout,
+        table_current,
+    )
+
+    class Crash(RuntimeError):
+        pass
+
+    root = str(tmp_path / "tbl")
+    committed = publish_layout(root, _mk_layout(tmp_path, "s1", {"a": "good"}))
+    # crash after rename, before pointer swap: orphan v2 above committed v1
+    def fault(step):
+        if step == "renamed":
+            raise Crash(step)
+
+    with pytest.raises(Crash):
+        publish_layout(root, _mk_layout(tmp_path, "s2", {"a": "orphan"}),
+                       _fault=fault)
+    assert table_current(root) == committed
+    assert os.path.exists(os.path.join(root, "v2"))  # the orphan
+    # next publish with keep=2: v3 live, v1 (committed) retained for
+    # audits, v2 (orphan) deleted
+    v3 = publish_layout(root, _mk_layout(tmp_path, "s3", {"a": "new"}),
+                        keep=2)
+    assert table_current(root) == v3
+    assert os.path.exists(committed), "committed previous layout was GC'd"
+    assert open(os.path.join(committed, "a")).read() == "good"
+    assert not os.path.exists(os.path.join(root, "v2")), "orphan retained"
+
+
+def test_publish_layout_concurrent_reader_race(tmp_path):
+    """VERDICT r13 #7: a reader thread resolving `table_current` and
+    reading the layout in a tight loop across 20 publishes must never
+    observe a missing directory, a missing file, or torn content -- the
+    os.replace pointer commit plus keep=2 retention is the guarantee."""
+    import os
+    import threading
+
+    from sqldataintegrationfunctiontriggerapp_spark.sinks.table_sink import (
+        publish_layout,
+        table_current,
+    )
+
+    root = str(tmp_path / "tbl")
+    publish_layout(root, _mk_layout(tmp_path, "seed", {"a": "p0"}))
+
+    stop = threading.Event()
+    failures: list[str] = []
+    reads = [0]
+
+    def reader():
+        while not stop.is_set():
+            try:
+                cur = table_current(root)
+                content = open(os.path.join(cur, "a")).read()
+                if not (content.startswith("p")
+                        and content[1:].isdigit()):
+                    failures.append(f"torn content {content!r}")
+                reads[0] += 1
+            except Exception as e:  # missing dir/file = a failed read
+                failures.append(f"{type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        for i in range(1, 21):
+            publish_layout(
+                root, _mk_layout(tmp_path, f"s{i}", {"a": f"p{i}"}), keep=2
+            )
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()
+    assert not failures, failures[:5]
+    assert reads[0] > 100  # the loop actually raced the swaps
+
+
 def test_compaction_fixture_reads_through_swapped_pointer(spark, sf_dir):
     """The registered audit's `compacted` dir IS the pointer-resolved live
     layout of the versioned table root, and the pre-compaction layout is

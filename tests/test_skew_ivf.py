@@ -319,3 +319,21 @@ def test_route_ann_follows_measured_operating_points():
     # without cost rows: measured-crossover default at |Q|=100
     assert route_ann(10, 0.9, curve) == ("ivf", 64)
     assert route_ann(100, 0.9, curve) == "exact"
+    # ADVICE r13: interpolation between bracketing batch sizes, not
+    # nearest-snap. At |Q|=500 (between 100 and 1000, w=4/9):
+    # exact = 37.2 + 4/9*(60.8-37.2) = 47.7s; ivf64 = 54.7 + 4/9*410.6
+    # = 237.2s -> exact, even though nearest-snap to 100 would read the
+    # same verdict; at |Q|=55 with recall 0.6 the interpolated ivf16
+    # (14.5s) still beats interpolated exact (69.5s)
+    assert route_ann(500, 0.9, curve, cost) == "exact"
+    assert route_ann(55, 0.6, curve, cost) == ("ivf", 16)
+    # clamping outside the measured range: below 10 uses the 10-row
+    assert route_ann(2, 0.9, curve, cost) == ("ivf", 64)
+    # ADVICE r13: a partial nearest row must NOT discard the caller's
+    # measurements -- |Q|=1000 at recall 1.0 needs n_probe=128, which the
+    # 1000-row lacks; the router falls back to the usable rows (10, 100)
+    # and clamps to the 100-row: exact 37.2 < ivf128 85.2 -> exact
+    # (the r13 code silently reverted to the |Q|<100 heuristic here)
+    assert route_ann(1000, 1.0, curve, cost) == "exact"
+    # all rows partial for the target point -> honest default crossover
+    assert route_ann(10, 0.9, curve, {10: {"exact": 5.0}}) == ("ivf", 64)
