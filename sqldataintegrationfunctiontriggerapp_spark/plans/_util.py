@@ -117,6 +117,35 @@ def _spill_threshold_bytes(spark) -> float:
     return max(256.0 * 1024 * 1024, heap / 32.0)
 
 
+def _family_admission_bytes(spark) -> float:
+    """FAMILY-aggregate admission bound (VERDICT r13 #4): the per-stage
+    heap/32 constant is calibrated to 3-4-stage families -- a 6-stage
+    family each individually under the line would re-create the aggregate
+    starvation the r12 minhash trio hit at heap/8. This makes the bound
+    structural instead of calibrated: before choosing the memory branch,
+    truthful_ckpt checks CURRENT resident stage storage (checkpoint
+    blocks, measured via getRDDStorageInfo) and spills when
+    resident + new_cache_bytes would exceed max(heap/8, 512 MB). The
+    512 MB floor keeps default-1g test/bench sessions untouched (the full
+    sf0.1 sweep's largest per-query resident peak is 151 MB --
+    BENCH_FULL r13), so the sf0.1 plans and bench are unchanged; at 8 g
+    the bound is 1 GB of aggregate residency, the level the r13
+    calibration targeted for a 4-stage family, now enforced for ANY
+    family size. SPARK_GRAFT_STAGE_FAMILY_MB pins it for tests/ladders;
+    STAGE_MODE=memory/disk still forces the branch outright."""
+    import os
+
+    if os.environ.get("SPARK_GRAFT_STAGE_FAMILY_MB"):
+        return int(os.environ["SPARK_GRAFT_STAGE_FAMILY_MB"]) * 1024.0 * 1024.0
+    try:
+        heap = int(
+            spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+        )
+    except Exception:
+        heap = 1 << 30
+    return max(512.0 * 1024 * 1024, heap / 8.0)
+
+
 def truthful_ckpt(df):
     """Materialize a stage so that (a) its size statistics are honest,
     (b) the materialization survives ``spark.catalog.clearCache()``, and
@@ -137,17 +166,28 @@ def truthful_ckpt(df):
 
     The parquet branch tags the returned frame with a ``StagedDir`` via
     ``_staged_dir`` so ledger eviction / sf_dir switch / drop_stage remove
-    the directory with the memo entry."""
+    the directory with the memo entry.
+
+    Admission is per-stage AND per-family: a stage spills when its own
+    measured cache bytes exceed the heap/32 threshold, OR when adding it
+    to the CURRENTLY RESIDENT stage storage would cross the family bound
+    (see _family_admission_bytes) -- so a 6-stage family of individually
+    small stages degrades to disk exactly like one big stage would."""
+    spark = df.sparkSession
+    resident_before = storage_bytes(spark)
     cached = df.persist()
     cached.count()
-    spark = cached.sparkSession
     try:
         size = int(
             cached._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
         )
     except Exception:
         size = 0
-    if size > _spill_threshold_bytes(spark):
+    over_family = (
+        resident_before + size > _family_admission_bytes(spark)
+        and _spill_threshold_bytes(spark) != float("inf")  # MODE=memory wins
+    )
+    if size > _spill_threshold_bytes(spark) or over_family:
         import tempfile
 
         path = tempfile.mkdtemp(prefix="stage_", dir=_stage_spill_root())

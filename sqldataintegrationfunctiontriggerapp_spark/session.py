@@ -26,35 +26,43 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # Explode-aware bytes-derived shuffle sizing (VERDICT r10 #3, reworked per
-# VERDICT r12 #2): one reduce partition per ~16 MB of LOGICAL input bytes,
-# where logical = parquet UNCOMPRESSED bytes (footer metadata -- compressed
-# file size under-measured the sfb10 boilerplate corpus 5x: 67.7 MB on disk,
-# 332.8 MB logical) + an amplification term for the `documents` table,
-# whose span/shingle consumers explode each text token into a posting row
-# carrying a k=8-gram string (~16x the text bytes: sfb10's 327 MB of text
-# built an ~8.3 GB resident posting stage, r12 ladder). Measured landing
-# points: testdata sf<=0.1 stay on the cpu floor (zero plan change for the
-# bench suite), sf1 ~33, sf10 ~349 (r10's manual calibration was 256), and
-# sfb10 ~348 where the old rule derived the floor of 32 -- the
-# under-partitioned ~600x posting explode that needed a manual
-# SPARK_GRAFT_SHUFFLE_PARTITIONS override (COVERAGE r12). Over-partitioning
-# above the floor is cheap because AQE coalesces small partitions back
-# together at runtime; the cap bounds scheduler overhead on this single
+# VERDICT r12 #2, generalized per VERDICT r13 #3): one reduce partition per
+# ~16 MB of LOGICAL input bytes, where logical = parquet UNCOMPRESSED bytes
+# (footer metadata -- compressed file size under-measured the sfb10
+# boilerplate corpus 5x: 67.7 MB on disk, 332.8 MB logical) + an
+# amplification term for TEXT bytes: shingle/span/posting consumers explode
+# each text token into a posting row carrying a k=8-gram string (~16x the
+# text bytes: sfb10's 327 MB of text built an ~8.3 GB resident posting
+# stage, r12 ladder). The r12/r13 rule keyed the amplification to files
+# named documents.parquet -- correct for every fixture, brittle by
+# construction (a corpus table under any other name silently reverted to
+# under-partitioning). Now the term is derived from the footers themselves:
+# the summed uncompressed bytes of BYTE_ARRAY columns (strings; binary
+# media columns ride along, a deliberate over-approximation -- their
+# decoders are per-row compute-heavy, so extra map-side splits never hurt
+# and AQE coalesces the reduce side). Measured landing points (r14):
+# testdata sf<=0.1 stay on the cpu floor (zero plan change for the bench
+# suite), sf1 41 (was 33), sf10 ~410, sfb10 >=354 (the level the r13
+# explode fix calibrated); over-partitioning above the floor is cheap
+# because AQE coalesces, the cap bounds scheduler overhead on this single
 # JVM. On a real cluster the same rule holds with the floor at 2-3x total
 # executor cores -- or the caller sets shuffle_partitions explicitly, which
 # (like the env override) always wins over the derivation.
 _SHUFFLE_TARGET_BYTES = 16 * 1024 * 1024
 _SHUFFLE_PARTITION_CAP = 4096
-_DOC_EXPLODE_AMP = 16  # documents text bytes -> posting-row bytes
+_TEXT_EXPLODE_AMP = 16  # text/binary column bytes -> posting-row bytes
 
 
 def derive_shuffle_partitions(sf_dir: str, cpus: int) -> int:
     """Partition count from fixture LOGICAL bytes: max(cpus,
-    ceil((uncompressed_bytes + 16 * documents_bytes) / 16 MB)), capped.
-    Uncompressed bytes come from parquet footers (driver-side, ~ms per
-    file); a footer that cannot be read falls back to the file size, and
-    unreadable/empty dirs fall back to the cpu floor so a missing fixture
-    never breaks session startup."""
+    ceil((uncompressed_bytes + 16 * text_column_bytes) / 16 MB)), capped.
+    Text bytes = BYTE_ARRAY column uncompressed sizes straight from the
+    same footers (no filename special-casing -- any exploding corpus
+    table is covered regardless of what it is called). Footers are read
+    driver-side (~ms per file); a footer that cannot be read falls back
+    to the file size with no amplification, and unreadable/empty dirs
+    fall back to the cpu floor so a missing fixture never breaks session
+    startup."""
     import math
 
     total = 0.0
@@ -68,19 +76,22 @@ def derive_shuffle_partitions(sf_dir: str, cpus: int) -> int:
                     import pyarrow.parquet as pq
 
                     md = pq.ParquetFile(p).metadata
-                    unc = sum(
-                        md.row_group(i).total_byte_size
-                        for i in range(md.num_row_groups)
-                    )
+                    unc = text = 0
+                    for i in range(md.num_row_groups):
+                        rg = md.row_group(i)
+                        unc += rg.total_byte_size
+                        for j in range(rg.num_columns):
+                            col = rg.column(j)
+                            if col.physical_type == "BYTE_ARRAY":
+                                text += col.total_uncompressed_size
+                    # text columns are the explode seam: span/shingle
+                    # postings materialize ~16x the text bytes
+                    unc += _TEXT_EXPLODE_AMP * text
                 except Exception:
                     try:
                         unc = os.path.getsize(p)
                     except OSError:
                         continue
-                # the documents table is the explode seam: span/shingle
-                # postings materialize ~16x its text bytes
-                if "documents.parquet" in p:
-                    unc *= 1 + _DOC_EXPLODE_AMP
                 total += unc
     except OSError:
         return cpus
@@ -172,6 +183,15 @@ def get_session(
             os.path.dirname(os.path.abspath(__file__))
         )
         builder = builder.config("spark.executorEnv.PYTHONPATH", repo_root)
+    # SPARK_GRAFT_EXTRA_CONF: semicolon-separated k=v pairs applied before
+    # the caller's extra_conf -- lets experiments (e.g. the r14 forced
+    # network-shuffle run: spark.shuffle.readHostLocalDisk=false;
+    # spark.locality.wait=0) flow through every existing tool without
+    # touching call sites. Explicit extra_conf still wins on conflicts.
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

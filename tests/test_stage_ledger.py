@@ -129,3 +129,77 @@ def test_truthful_ckpt_threshold_picks_branch(spark, monkeypatch):
     big = U.truthful_ckpt(spark.range(5000).select("id"))
     assert getattr(big, "_staged_dir", None) is not None
     U._release_stage(big)
+
+
+def test_truthful_ckpt_family_aggregate_admission(spark, monkeypatch):
+    """VERDICT r13 #4: the per-stage threshold judges stages one at a
+    time; a 6-stage family each under the line can still starve the heap
+    in aggregate. The structural bound: once RESIDENT stage storage plus
+    the new stage's cache bytes cross the family bound, later members
+    spill to parquet even though each is individually under the per-stage
+    threshold."""
+    _drop_test_stages()
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_MODE", raising=False)
+    # per-stage threshold far above any member: the old rule keeps ALL
+    # of them memory-resident
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_SPILL_MB", "100000")
+    # family bound = whatever is already resident (other tests in the
+    # shared session may hold blocks) + ~2 MB of headroom: members are
+    # ~0.5-1.5 MB each, so the first stage stays on the fast path and
+    # later ones must spill
+    base_mb = U.storage_bytes(spark) // (1024 * 1024)
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_FAMILY_MB", str(base_mb + 2))
+
+    members = []
+    try:
+        for i in range(6):
+            df = U.truthful_ckpt(
+                spark.range(65536).select(
+                    F.col("id"), (F.col("id") * (i + 1)).alias("v")
+                )
+            )
+            members.append(df)
+        spilled = [m for m in members
+                   if getattr(m, "_staged_dir", None) is not None]
+        resident = [m for m in members
+                    if getattr(m, "_staged_dir", None) is None]
+        # early members fit under the bound; later ones spill -- both
+        # branches must be exercised by the same family
+        assert resident and spilled, (
+            f"{len(resident)} resident / {len(spilled)} spilled"
+        )
+        # the first member (empty ledger) is memory-resident, the last
+        # (residency saturated) is on parquet
+        assert getattr(members[0], "_staged_dir", None) is None
+        assert getattr(members[-1], "_staged_dir", None) is not None
+        # every member is still correct regardless of branch
+        for i, m in enumerate(members):
+            assert m.agg(F.sum("v")).first()[0] == (i + 1) * (
+                65535 * 65536 // 2
+            )
+    finally:
+        for m in members:
+            U._release_stage(m)
+
+
+def test_truthful_ckpt_family_bound_leaves_small_sessions_alone(
+    spark, monkeypatch
+):
+    """The 512 MB family floor: with no env pin, a handful of small
+    stages all stay on the localCheckpoint fast path (sf0.1's largest
+    per-query resident peak is 151 MB -- the bound must not reshape
+    small-session plans)."""
+    _drop_test_stages()
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_MODE", raising=False)
+    monkeypatch.delenv("SPARK_GRAFT_STAGE_FAMILY_MB", raising=False)
+    monkeypatch.setenv("SPARK_GRAFT_STAGE_SPILL_MB", "100000")
+    members = [
+        U.truthful_ckpt(spark.range(10000).select("id")) for _ in range(3)
+    ]
+    try:
+        assert all(
+            getattr(m, "_staged_dir", None) is None for m in members
+        )
+    finally:
+        for m in members:
+            U._release_stage(m)
