@@ -942,6 +942,56 @@ def test_wav_window_features_never_throw_on_multi_data_chunks(spark):
         assert got[w0 // 20] == (len(seg), sum(abs(v) for v in seg))
 
 
+def test_mjpeg_composition_matches_closed_form():
+    """VERDICT r13 #2: the AVI frame walk composed with the baseline-JPEG
+    reader -- every complete '00dc' payload decodes to the JPEG closed
+    form at seed doc_id + 131*frame; truncated containers yield their
+    intact leading frames; per-frame entropy corruption degrades only
+    that frame."""
+    for did in (1, 5, 47, 89, 103, 0, 258):
+        frames, trunc = MM._mjpeg_frames_one(MM._mjpeg_full_bytes(did))
+        total = did % 6 + 2
+        assert trunc == (did % 103 == 0)
+        assert len(frames) == (total - 1 if trunc else total)
+        for f, payload in enumerate(frames):
+            seed = did + 131 * f
+            jr = MM._decode_jpeg_pixels_one(payload)
+            w, h = 8 * (seed % 4 + 1), 8 * (seed % 3 + 1)
+            if seed % 89 == 0:
+                assert jr == ("corrupt", w, h, 1)
+            else:
+                vs = [
+                    (5 * bx + 7 * by + seed) % 256
+                    for bx in range(w // 8)
+                    for by in range(h // 8)
+                ]
+                assert jr == (
+                    w, h, 1, [64 * sum(vs)], min(vs), max(vs)
+                )
+    # non-AVI bytes: unknown, never a raise
+    assert MM._mjpeg_frames_one(b"not a riff") is None
+    assert MM._mjpeg_frames_one(b"") is None
+
+
+def test_mjpeg_byte_flip_fuzz_never_throws():
+    """Byte-flip fuzzing across BOTH layers (the r13 discipline that
+    found the SOS KeyError task-killer): flipping any byte of the
+    container or any frame payload must degrade per-frame or per-file,
+    never raise."""
+    import random
+
+    rnd = random.Random(29)
+    for _ in range(300):
+        buf = bytearray(MM._mjpeg_full_bytes(rnd.randrange(0, 500)))
+        buf[rnd.randrange(len(buf))] ^= 0xFF
+        r = MM._mjpeg_frames_one(bytes(buf))
+        if r is None:
+            continue
+        frames, _trunc = r
+        for payload in frames:
+            MM._decode_jpeg_pixels_one(payload)  # must not raise
+
+
 def test_avi_container_roundtrip_and_degradation():
     """RIFF/AVI container codec pin: header fields, frame census, and
     payload byte count equal the closed form; truncated movi keeps the
