@@ -348,6 +348,124 @@ def _ivf_full_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.score_pairs(session_stage(spark, sf_dir, "ivf_pairs_16", build))
 
 
+# Operating points for the routed-ANN entry (VERDICT r13 #5): the recall
+# curve is the fixture index's shape (n_lists=16; n_probe=4 ~ 0.94 recall,
+# the level ann_ivf_topk/ann_ivf_recall_sweep pin in tests), the cost rows
+# carry the r13 20Mx64 sweep's MEASURED shape (COVERAGE: standing IVF wins
+# small batches ~5-10x, exact dgemm wins from |Q|~100 up) mapped onto the
+# fixture's n_probe=4 operating point. route_ann is pure driver-side
+# metadata arithmetic either way -- what the registered entry adds is the
+# decision EXERCISED under the hash gate, both branches.
+_ROUTE_CURVE = [(2, 0.61), (4, 0.94), (8, 0.99), (16, 1.0)]
+_ROUTE_COST = {
+    10: {"exact": 101.8, 4: 10.6},
+    100: {"exact": 37.2, 4: 19.8},
+    1000: {"exact": 60.8, 4: 117.9},
+}
+
+
+def _exact_oracle_ctes(qpred: str) -> str:
+    return f"""
+    raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+            FROM embeddings
+            WHERE list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[])) > 0),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM raw WHERE {qpred}),
+    c AS (SELECT vec_id AS neighbor_id, v AS cv FROM raw),
+    exact_ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(qv, cv)
+                   / sqrt(list_dot_product(qv, qv)
+                          * list_dot_product(cv, cv)) AS cos
+            FROM c CROSS JOIN q
+            WHERE neighbor_id <> query_id
+        )
+    )
+    """
+
+
+@register(
+    "ann_routed_topk",
+    oracle=f"""
+    WITH {_IVF_ORACLE_CTES.replace("vec_id < 5", "vec_id < 10")},
+    {_exact_oracle_ctes("vec_id < 500")}
+    SELECT CAST(10 AS INT) AS batch, 'ivf' AS route,
+           query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cos
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored WHERE probe_rank <= 4
+    ) WHERE rnk <= 5
+    UNION ALL
+    SELECT CAST(500 AS INT) AS batch, 'exact' AS route,
+           query_id, neighbor_id, CAST(rnk AS INTEGER) AS rnk, cos
+    FROM exact_ranked WHERE rnk <= 5
+    """,
+)
+def ann_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """route_ann exercised END-TO-END under the hash gate (VERDICT r13
+    #5): two query batches arrive against the same corpus -- |Q|=10 and
+    |Q|=500 -- and the router picks each one's execution strategy from
+    the measured operating points (_ROUTE_CURVE/_ROUTE_COST; the r13
+    sweep's shape: IVF wins small batches, exact wins big ones). The
+    |Q|=10 batch MUST route to ('ivf', 4) and execute the inverted-list
+    probe; the |Q|=500 batch MUST route to 'exact' and execute the
+    brute-force scan -- asserted at plan-build time, and the oracle
+    replays both branches exactly (IVF CTEs at n_probe=4 for the small
+    batch, full cosine ranking for the big one), so a routing regression
+    flips rows between branches and breaks the hash.
+
+    100 TB design: the decision is O(1) driver-side metadata beside the
+    index; the branches are the already-laddered paths (bucketed
+    list-probe join vs one streamed scan/dgemm pass). Batch-size routing
+    is exactly what a production retrieval tier does per request class
+    (interactive lookups vs offline joins)."""
+    e = load_table(spark, sf_dir, "embeddings")
+
+    d10 = S.route_ann(10, 0.9, _ROUTE_CURVE, _ROUTE_COST)
+    d500 = S.route_ann(500, 0.9, _ROUTE_CURVE, _ROUTE_COST)
+    assert d10 == ("ivf", 4) and d500 == "exact", (d10, d500)
+
+    # ivf branch, |Q|=10: probe pairs over the session-staged assignment
+    def build():
+        q = e.where(F.col("vec_id") < 10)
+        pivots = S.ivf_pivots(e, n_lists=16)
+        assigned = S.ivf_assign(e, pivots).localCheckpoint()
+        return S.ivf_probe_pairs(assigned, q, pivots, n_probe=16)\
+            .localCheckpoint()
+
+    scored = S.score_pairs(
+        session_stage(spark, sf_dir, "ivf_routed_pairs_16", build)
+    ).where(F.col("probe_rank") <= d10[1])
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    ivf_rows = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            F.lit(10).cast("int").alias("batch"),
+            F.lit("ivf").alias("route"),
+            "query_id", "neighbor_id", "rnk", "cos",
+        )
+    )
+
+    # exact branch, |Q|=500: brute-force scan (broadcast queries)
+    exact_rows = (
+        S.brute_force_topk(e, e.where(F.col("vec_id") < 500), k=5)
+        .select(
+            F.lit(500).cast("int").alias("batch"),
+            F.lit("exact").alias("route"),
+            "query_id", "neighbor_id",
+            F.col("rank").alias("rnk"), "cos",
+        )
+    )
+    return ivf_rows.unionByName(exact_rows)
+
+
 @register(
     "embedding_norms",
     oracle="""

@@ -58,6 +58,7 @@ _BNLJ_ALLOWED = {
     "hybrid_rrf_fusion":         "gated: dense-branch query panel broadcast (blas kernel above 64 queries)",
     "group_kfold_components":    "1-row: straddling-pair audit count combine",
     "dedup_threshold_sweep":     "4-row: threshold frame broadcast over the materialized pair table",
+    "ann_routed_topk":           "gated: exact branch = ann_cosine_topk's broadcast scan at |Q|=500 (the route the measured cost table picks for big batches)",
 }
 
 
