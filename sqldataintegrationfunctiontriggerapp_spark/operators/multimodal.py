@@ -1284,6 +1284,229 @@ def wav_window_features(media: DataFrame, window: int = 20) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IMA ADPCM audio decode (VERDICT r13 #6) -- COMPRESSED audio is no longer
+# uniformly out of scope: IMA/DVI ADPCM (WAV format code 0x11) is an
+# integer-only predictive codec, fully decodable with `struct` arithmetic.
+# With this, the C7 audio boundary restates as PERCEPTUAL codecs (MP3/AAC)
+# only. The fixture encodes a closed-form NIBBLE stream, so the decoded
+# samples are a deterministic predictor walk the oracle replays with a
+# recursive CTE -- the decode_pixels discipline, applied to a stateful
+# codec.
+
+_IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+ADPCM_SCHEMA = (
+    "media_id bigint, status string, sample_rate int, n_frames bigint, "
+    "c0_sum bigint, amp_min int, amp_max int, duration_ms bigint"
+)
+
+
+def _adpcm_nibble(doc_id: int, i: int) -> int:
+    """Closed-form encoded nibble for sample i (i >= 1; sample 0 is the
+    block-header predictor): (doc_id + 3*i) % 16 -- covers all 16 codes,
+    including the sign bit and every index adjustment."""
+    return (doc_id + 3 * i) % 16
+
+
+def _ima_step(pred: int, idx: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (new_predictor, new_index). The exact
+    integer recurrence (step>>3 base magnitude + optional step>>2/step>>1/
+    step terms, sign bit 8, predictor clamped to int16, index clamped to
+    the 89-entry table) -- the same arithmetic the oracle's recursive CTE
+    replays."""
+    step = _IMA_STEP_TABLE[idx]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    pred = pred - diff if nibble & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + _IMA_INDEX_TABLE[nibble & 7]))
+    return pred, idx
+
+
+def _adpcm_full_bytes(doc_id: int) -> bytes:
+    """A complete RIFF/WAVE file carrying IMA ADPCM (format code 0x11,
+    mono, 4-bit): fmt with block_align sized to one block, a spec-required
+    'fact' chunk declaring the true sample count, and a data chunk holding
+    one block -- 4-byte header (initial predictor int16 = doc_id % 1001 -
+    500, step index = doc_id % 89) followed by the closed-form nibble
+    stream packed low-nibble-first. n_frames = doc_id % 40 + 8.
+    doc_id % 107 == 0 files lose their last 5 bytes: the data chunk's
+    declared size then exceeds the available bytes and the decoder must
+    degrade with the fmt header kept."""
+    import struct
+
+    rate = 8000 * (doc_id % 3 + 1)
+    n_frames = doc_id % 40 + 8
+    p0 = doc_id % 1001 - 500
+    s0 = doc_id % 89
+    nibbles = [_adpcm_nibble(doc_id, i) for i in range(1, n_frames)]
+    if len(nibbles) & 1:
+        nibbles.append(0)  # pad nibble beyond the declared sample count
+    payload = bytes(
+        nibbles[k] | (nibbles[k + 1] << 4) for k in range(0, len(nibbles), 2)
+    )
+    block = struct.pack("<hBB", p0, s0, 0) + payload
+    block_align = len(block)
+    samples_per_block = (block_align - 4) * 2 + 1
+    fmt = struct.pack(
+        "<HHIIHH H H", 0x11, 1, rate, rate * block_align
+        // samples_per_block, block_align, 4, 2, samples_per_block
+    )
+    chunks = (
+        b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + (4).to_bytes(4, "little")
+        + n_frames.to_bytes(4, "little")
+        + b"data" + len(block).to_bytes(4, "little") + block
+        + (b"\x00" if len(block) & 1 else b"")
+    )
+    buf = b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+    if doc_id % 107 == 0:
+        buf = buf[:-5]
+    return buf
+
+
+def _decode_adpcm_one(buf: bytes):
+    """(rate, n_frames, sum, amp_min, amp_max) or ('corrupt', rate) when
+    the fmt header is readable but the data/fact layer is truncated or
+    unsupported, or None for non-WAV bytes. Real IMA ADPCM block decode:
+    header predictor is sample 0, each low-first nibble advances the
+    predictor walk. Never throws."""
+    import struct
+
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        return None
+    pos = 12
+    rate = nch = block_align = fmt_code = None
+    total = None
+    data = None
+    truncated = False
+    while pos + 8 <= len(buf):
+        tag = buf[pos : pos + 4]
+        size = int.from_bytes(buf[pos + 4 : pos + 8], "little")
+        body = buf[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt_code, nch, rate = struct.unpack("<HHI", body[:8])
+            block_align = struct.unpack("<H", body[12:14])[0]
+        elif tag == b"fact" and len(body) >= 4:
+            total = int.from_bytes(body[:4], "little")
+        elif tag == b"data":
+            if len(body) < size:
+                truncated = True
+            data = body
+        pos += 8 + size + (size & 1)
+    if rate is None or nch is None:
+        return None
+    if (
+        fmt_code != 0x11 or nch != 1 or data is None or truncated
+        or total is None or block_align is None or block_align < 5
+    ):
+        return ("corrupt", rate) if rate else None
+    out_sum = 0
+    amp_min, amp_max = 32767, -32768
+    decoded = 0
+    dpos = 0
+    while decoded < total:
+        if dpos + 4 > len(data):
+            return ("corrupt", rate)
+        pred = struct.unpack("<h", data[dpos : dpos + 2])[0]
+        idx = data[dpos + 2]
+        if idx > 88:
+            return ("corrupt", rate)
+        out_sum += pred
+        amp_min, amp_max = min(amp_min, pred), max(amp_max, pred)
+        decoded += 1
+        k = 0
+        nmax = (min(dpos + block_align, len(data)) - dpos - 4) * 2
+        while decoded < total and k < nmax:
+            byte = data[dpos + 4 + (k >> 1)]
+            nibble = (byte >> 4) if k & 1 else (byte & 15)
+            pred, idx = _ima_step(pred, idx, nibble)
+            out_sum += pred
+            amp_min, amp_max = min(amp_min, pred), max(amp_max, pred)
+            decoded += 1
+            k += 1
+        if decoded < total and k >= nmax and dpos + block_align > len(data):
+            return ("corrupt", rate)
+        dpos += block_align
+    return (rate, total, out_sum, amp_min, amp_max)
+
+
+def synth_adpcm_media(docs: DataFrame) -> DataFrame:
+    """Deterministic IMA-ADPCM WAV fixture over documents (see
+    _adpcm_full_bytes); doc_id % 107 == 0 rows are data-truncated."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_adpcm_full_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id bigint, content binary"
+    )
+
+
+def decode_adpcm_samples(media: DataFrame) -> DataFrame:
+    """REAL IMA ADPCM decode over the Arrow-batched mapInPandas seam:
+    RIFF walk, fmt/fact parse, block-header + nibble predictor walk,
+    per-file sample statistics. Truncated data or malformed blocks ->
+    status='corrupt' with the declared rate kept; non-WAV bytes ->
+    'unknown'. Same 100 TB shape as the PCM decoder."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(buf) if buf is not None else b""
+                r = _decode_adpcm_one(b)
+                if r is None:
+                    rows.append((int(mid), "unknown") + (None,) * 6)
+                elif r[0] == "corrupt":
+                    rows.append(
+                        (int(mid), "corrupt", r[1]) + (None,) * 5
+                    )
+                else:
+                    rate, total, s, mn, mx = r
+                    rows.append(
+                        (int(mid), "ok", rate, total, s, mn, mx,
+                         total * 1000 // rate)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "status", "sample_rate", "n_frames",
+                    "c0_sum", "amp_min", "amp_max", "duration_ms",
+                ],
+            ).astype(
+                {
+                    "sample_rate": "Int32", "n_frames": "Int64",
+                    "c0_sum": "Int64", "amp_min": "Int32",
+                    "amp_max": "Int32", "duration_ms": "Int64",
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=ADPCM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Real (pure-stdlib) AVI video CONTAINER decoding -- r13 continuation of the
 # decode ladder: AVI is RIFF (like WAV), so the container layer -- main
 # header, stream declarations, frame chunks -- parses with `struct` alone.

@@ -942,6 +942,42 @@ def test_wav_window_features_never_throw_on_multi_data_chunks(spark):
         assert got[w0 // 20] == (len(seg), sum(abs(v) for v in seg))
 
 
+def test_adpcm_codec_roundtrip_and_degradation():
+    """IMA ADPCM codec pin: the hand-rolled block decoder reproduces the
+    reference predictor walk (step-table magnitudes, sign bit, int16
+    clamp, index adaptation) for every fixture id; truncated data keeps
+    the fmt header as corrupt; non-WAV bytes are unknown; 400 byte-flips
+    never raise."""
+    import random
+
+    def ref_walk(did):
+        n = did % 40 + 8
+        p, idx = did % 1001 - 500, did % 89
+        out = [p]
+        for i in range(1, n):
+            p, idx = MM._ima_step(p, idx, MM._adpcm_nibble(did, i))
+            out.append(p)
+        return out
+
+    for did in (1, 2, 7, 54, 88, 200, 500):
+        r = MM._decode_adpcm_one(MM._adpcm_full_bytes(did))
+        s = ref_walk(did)
+        assert r == (
+            8000 * (did % 3 + 1), len(s), sum(s), min(s), max(s)
+        ), did
+    for did in (0, 107):  # truncated data chunk: fmt kept
+        assert MM._decode_adpcm_one(MM._adpcm_full_bytes(did)) == (
+            "corrupt", 8000 * (did % 3 + 1)
+        )
+    assert MM._decode_adpcm_one(b"") is None
+    assert MM._decode_adpcm_one(b"RIFFxxxxJUNKpadpad") is None
+    rnd = random.Random(31)
+    for _ in range(400):
+        b = bytearray(MM._adpcm_full_bytes(rnd.randrange(0, 600)))
+        b[rnd.randrange(len(b))] ^= 0xFF
+        MM._decode_adpcm_one(bytes(b))  # must not raise
+
+
 def test_mjpeg_composition_matches_closed_form():
     """VERDICT r13 #2: the AVI frame walk composed with the baseline-JPEG
     reader -- every complete '00dc' payload decodes to the JPEG closed
