@@ -643,19 +643,201 @@ def _idct_8x8(coef: list[float]) -> list[float]:
     return out
 
 
+def _entropy_end(buf: bytes, start: int) -> int:
+    """First position at/after `start` holding a 0xFF that is NOT a
+    stuffed literal (i.e. the next marker / fill byte / truncated FF) --
+    where a scan's entropy segment ends. Mirrors _FastBits' setup pass."""
+    i, n = start, len(buf)
+    while True:
+        j = buf.find(b"\xff", i)
+        if j < 0:
+            return n
+        if j + 1 >= n or buf[j + 1] != 0x00:
+            return j
+        i = j + 2
+
+
+def _progressive_scan(rdr, seg, comps, coefs, huff_dc, huff_ac, bw, bh):
+    """One progressive (SOF2) scan over the coefficient buffers -- ITU
+    T.81 Annex G.2: DC first (Huffman diff, point-transformed by Al), DC
+    refinement (one appended bit per block), AC first (spectral band with
+    EOBRUN), AC refinement (correction bits over nonzero history). 1x1
+    sampling only: an interleaved DC scan's MCU is one block per
+    component; AC scans are single-component by spec. Raises EOFError /
+    IndexError / KeyError on malformed streams -- the caller's per-row
+    degradation net."""
+    ns = seg[0]
+    scan_comps = []
+    for si in range(ns):
+        cid = seg[1 + 2 * si]
+        td, ta = seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 15
+        # dict lookup (KeyError on a corrupt SOS naming an undeclared
+        # component -- the baseline path's fuzz-found degradation class)
+        cix = {c: ix for ix, (c, _tq) in enumerate(comps)}[cid]
+        scan_comps.append((cix, td, ta))
+    ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+    ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+    nblocks = bw * bh
+    dc_pred = [0] * len(comps)  # predictors reset at scan start (F.2.1.3.1)
+
+    if ss == 0:  # DC scan (interleaved allowed)
+        for b in range(nblocks):
+            for cix, td, _ta in scan_comps:
+                coef = coefs[cix][b]
+                if ah == 0:  # first scan: Huffman diff at Al
+                    s = rdr.decode_huff(huff_dc[td])
+                    diff = _extend(rdr.read_bits(s), s)
+                    dc_pred[cix] += diff
+                    coef[0] = dc_pred[cix] << al
+                else:  # refinement: append one bit
+                    if rdr.read_bits(1):
+                        coef[0] |= 1 << al
+        return
+    # AC scan: single component, non-interleaved raster order
+    if ns != 1 or se > 63 or ss > se:
+        raise IndexError("bad AC scan header")
+    cix, _td, ta = scan_comps[0]
+    act = huff_ac[ta]
+    eob_run = 0
+    if ah == 0:  # AC first scan (G.2.2 history-free band)
+        for b in range(nblocks):
+            coef = coefs[cix][b]
+            if eob_run:
+                eob_run -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = rdr.decode_huff(act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eob_run = (1 << r) - 1
+                    if r:
+                        eob_run += rdr.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise IndexError("AC run past band end")
+                coef[_JPEG_ZIGZAG[k]] = _extend(rdr.read_bits(s), s) << al
+                k += 1
+        return
+    # AC refinement scan (G.2.2 correction bits)
+    plus, minus = 1 << al, -(1 << al)
+    for b in range(nblocks):
+        coef = coefs[cix][b]
+        k = ss
+        if eob_run == 0:
+            while k <= se:
+                rs = rdr.decode_huff(act)
+                r, s = rs >> 4, rs & 15
+                if s == 0:
+                    if r < 15:
+                        eob_run = (1 << r)
+                        if r:
+                            eob_run += rdr.read_bits(r)
+                        break
+                    val = 0  # ZRL: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise IndexError("refinement size != 1")
+                    val = plus if rdr.read_bits(1) else minus
+                while k <= se:
+                    z = _JPEG_ZIGZAG[k]
+                    if coef[z]:
+                        if rdr.read_bits(1) and not (coef[z] & plus):
+                            coef[z] += plus if coef[z] > 0 else minus
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    coef[_JPEG_ZIGZAG[k]] = val
+                k += 1
+        if eob_run:
+            # EOB run covers this block: correction bits still flow for
+            # every nonzero-history coefficient in the band
+            while k <= se:
+                z = _JPEG_ZIGZAG[k]
+                if coef[z]:
+                    if rdr.read_bits(1) and not (coef[z] & plus):
+                        coef[z] += plus if coef[z] > 0 else minus
+                k += 1
+            eob_run -= 1
+
+
+def _jpeg_finish_progressive(frame, coefs, qt):
+    """Dequantize + IDCT + pixel statistics over the accumulated
+    progressive coefficient buffers -- the same arithmetic finish as the
+    baseline path (flat fast path for DC-only blocks included), run once
+    at EOI."""
+    w0, h0, comps = frame
+    ch = len(comps)
+    bw, bh = (w0 + 7) // 8, (h0 + 7) // 8
+    sums = [0] * ch
+    px_min, px_max = 255, 0
+    for cix, (_cid, tq) in enumerate(comps):
+        q = qt.get(tq)
+        if q is None:
+            return ("corrupt", w0, h0, ch)
+        for b, raw in enumerate(coefs[cix]):
+            by, bx = divmod(b, bw)
+            ny = min(8, h0 - by * 8)
+            nx = min(8, w0 - bx * 8)
+            if not any(raw[1:]):
+                v = int(round(raw[0] * q[0] / 8.0)) + 128
+                v = 0 if v < 0 else (255 if v > 255 else v)
+                sums[cix] += v * ny * nx
+                if v < px_min:
+                    px_min = v
+                if v > px_max:
+                    px_max = v
+                continue
+            coef = [0.0] * 64
+            for k in range(64):
+                if raw[_JPEG_ZIGZAG[k]]:
+                    coef[_JPEG_ZIGZAG[k]] = raw[_JPEG_ZIGZAG[k]] * q[k]
+            blk = _idct_8x8(coef)
+            for yy in range(ny):
+                base = yy * 8
+                for xx in range(nx):
+                    v = int(round(blk[base + xx])) + 128
+                    v = 0 if v < 0 else (255 if v > 255 else v)
+                    sums[cix] += v
+                    if v < px_min:
+                        px_min = v
+                    if v > px_max:
+                        px_max = v
+    return (w0, h0, ch, sums, px_min, px_max)
+
+
 def _decode_jpeg_pixels_one(buf: bytes, reader=_FastBits):
     """(w, h, ch, c_sums, px_min, px_max) or ('corrupt', w, h, ch) or None.
-    Full baseline sequential decode for 1- or 3-component 1x1-sampled
-    frames; progressive/arithmetic/subsampled streams degrade to
-    'corrupt' once dims are known, never a raise. `reader` picks the
-    entropy reader: _FastBits (production, LUT-driven) or _BitReader
-    (bit-at-a-time reference) -- the parity test pins them identical."""
+    Full baseline-sequential AND progressive (SOF2: spectral selection +
+    successive approximation, VERDICT r13 #9) decode for 1- or
+    3-component 1x1-sampled frames; arithmetic-coded/subsampled/other
+    streams degrade to 'corrupt' once dims are known, never a raise.
+    Baseline streams keep the r13 single-pass streaming path (per-block-
+    row memory); progressive streams accumulate a coefficient buffer
+    (the format forces whole-image coefficient state -- every real
+    decoder carries it) and run the same dequantize+IDCT+stats finish.
+    `reader` picks the entropy reader: _FastBits (production, LUT-driven)
+    or _BitReader (bit-at-a-time reference) -- the parity test pins them
+    identical on both coding modes. No DRI/restart-interval support:
+    streams declaring DRI degrade to 'corrupt' like any other
+    out-of-scope layer."""
     if len(buf) < 4 or buf[0] != 0xFF or buf[1] != 0xD8:
         return None
     qt: dict[int, list[int]] = {}
     huff_dc: dict[int, dict] = {}
     huff_ac: dict[int, dict] = {}
     frame = None  # (w, h, [(comp_id, tq)])
+    progressive = False
+    coefs = None  # per component: per block: 64 raw coefficients
+    dc_pred = None
+    scans_done = 0
     i, n = 2, len(buf)
     try:
         while i + 3 < n:
@@ -665,7 +847,12 @@ def _decode_jpeg_pixels_one(buf: bytes, reader=_FastBits):
             if marker == 0xFF:
                 i += 1
                 continue
-            if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+            if marker == 0xD9:  # EOI: progressive streams finalize here
+                if progressive and scans_done:
+                    return _jpeg_finish_progressive(frame, coefs, qt)
+                i += 2
+                continue
+            if 0xD0 <= marker <= 0xD8 or marker == 0x01:
                 i += 2
                 continue
             seg_len = int.from_bytes(buf[i + 2:i + 4], "big")
@@ -692,7 +879,7 @@ def _decode_jpeg_pixels_one(buf: bytes, reader=_FastBits):
                     (huff_dc if tc == 0 else huff_ac)[th] = entry
                     j += 17 + nsym
             elif marker in _JPEG_SOF:
-                if marker != 0xC0:  # only baseline sequential
+                if marker not in (0xC0, 0xC2):  # sequential or progressive
                     h0 = int.from_bytes(seg[1:3], "big")
                     w0 = int.from_bytes(seg[3:5], "big")
                     return ("corrupt", w0, h0, seg[5])
@@ -712,6 +899,25 @@ def _decode_jpeg_pixels_one(buf: bytes, reader=_FastBits):
                 if ncomp not in (1, 3) or w0 == 0 or h0 == 0:
                     return ("corrupt", w0, h0, ncomp) if ncomp else None
                 frame = (w0, h0, comps)
+                if marker == 0xC2:
+                    progressive = True
+                    nb = ((w0 + 7) // 8) * ((h0 + 7) // 8)
+                    coefs = [
+                        [[0] * 64 for _ in range(nb)] for _ in comps
+                    ]
+            elif marker == 0xDA and progressive:  # progressive SOS
+                if frame is None:
+                    return None
+                w0, h0, comps = frame
+                bw, bh = (w0 + 7) // 8, (h0 + 7) // 8
+                rdr = reader(buf, i + 2 + seg_len)
+                _progressive_scan(
+                    rdr, seg, comps, coefs, huff_dc, huff_ac, bw, bh
+                )
+                scans_done += 1
+                # jump past this scan's entropy to the next marker
+                i = _entropy_end(buf, i + 2 + seg_len)
+                continue
             elif marker == 0xDA:  # SOS
                 if frame is None:
                     return None
@@ -800,6 +1006,10 @@ def _decode_jpeg_pixels_one(buf: bytes, reader=_FastBits):
                                         px_max = v
                 return (w0, h0, ch, sums, px_min, px_max)
             i += 2 + seg_len
+        if progressive and scans_done:
+            # trailing EOI sits below the 4-byte marker window; end of
+            # buffer after >=1 clean scan finalizes like EOI does
+            return _jpeg_finish_progressive(frame, coefs, qt)
         return ("corrupt", *frame[:2], len(frame[2])) if frame else None
     # KeyError: a corrupted SOS can reference a component id the frame
     # header never declared (found by byte-flip fuzzing) -- same per-row
@@ -895,6 +1105,97 @@ def _jpeg_full_bytes(doc_id: int) -> bytes:
     )
 
 
+# AC table for the progressive fixture: EOB0..EOB3 (run-length symbols
+# 0x00/0x10/0x20/0x30) as four 3-bit codes -- enough to EOB-run any band
+# of the fixture's <= 12 blocks in one symbol
+_JPEG_PROG_AC_COUNTS = [0, 0, 4] + [0] * 13
+_JPEG_PROG_AC_SYMBOLS = [0x00, 0x10, 0x20, 0x30]
+
+
+def _jpeg_progressive_bytes(doc_id: int) -> bytes:
+    """The SAME image as _jpeg_full_bytes(doc_id) -- block (bx, by) flat
+    at v = (5*bx + 7*by + doc_id) % 256 -- encoded PROGRESSIVE (SOF2)
+    with a real successive-approximation + spectral-selection ladder:
+
+      scan 1: DC first,  Al=4   (Huffman diff coding of dc >> 4)
+      scan 2: DC refine, Al=3   (bit (dc>>3)&1 = v&1 -- VARIES per block)
+      scans 3-5: DC refine, Al=2/1/0 (structurally 0 bits: dc = 8(v-128)
+                                      is a multiple of 8 -- the appended-
+                                      bit read path still runs per block)
+      scan 6: AC first, band 1-5,  EOB-run over all blocks
+      scan 7: AC first, band 6-63, EOB-run over all blocks
+
+    so the reconstructed coefficients equal the baseline encoding's
+    exactly and the SAME arithmetic oracle covers both entries. doc_id %
+    89 == 0 truncates scan 1's entropy -- dims survive via SOF2,
+    status='corrupt'."""
+    w, h = 8 * (doc_id % 4 + 1), 8 * (doc_id % 3 + 1)
+    nblocks = (w // 8) * (h // 8)
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof = (
+        bytes([8])
+        + h.to_bytes(2, "big")
+        + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0])
+    )
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
+    dht_ac = (
+        bytes([0x10]) + bytes(_JPEG_PROG_AC_COUNTS)
+        + bytes(_JPEG_PROG_AC_SYMBOLS)
+    )
+    dcs = [
+        8 * ((5 * bx + 7 * by + doc_id) % 256 - 128)
+        for by in range(h // 8)
+        for bx in range(w // 8)
+    ]
+
+    def sos(ss: int, se: int, ah: int, al: int, entropy: bytes) -> bytes:
+        return (
+            _jpeg_seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+            + entropy
+        )
+
+    # scan 1: DC first at Al=4 -- category + diff bits per block
+    bw_ = _BitWriter()
+    pred = 0
+    for dc in dcs:
+        val = dc >> 4
+        diff = val - pred
+        pred = val
+        s = abs(diff).bit_length()
+        bw_.write(s, 5)
+        if s:
+            bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    scan1 = bw_.flush()
+    if doc_id % 89 == 0 and len(scan1) > 2:
+        scan1 = scan1[: len(scan1) // 2]
+    out = sos(0, 0, 0, 4, scan1)
+    # scans 2-5: DC refinement, one appended bit per block
+    for al in (3, 2, 1, 0):
+        bw_ = _BitWriter()
+        for dc in dcs:
+            bw_.write((dc >> al) & 1, 1)
+        out += sos(0, 0, al + 1, al, bw_.flush())
+    # scans 6-7: AC first scans, each one EOB-run over every block
+    for ss, se in ((1, 5), (6, 63)):
+        bw_ = _BitWriter()
+        n = nblocks
+        r = n.bit_length() - 1  # EOBn: run = (1<<r) + r extra bits
+        bw_.write(r, 3)  # symbol r<<4 is the r-th 3-bit code
+        if r:
+            bw_.write(n - (1 << r), r)
+        out += sos(ss, se, 0, 0, bw_.flush())
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, dqt)
+        + _jpeg_seg(0xC2, sof)
+        + _jpeg_seg(0xC4, dht_dc)
+        + _jpeg_seg(0xC4, dht_ac)
+        + out
+        + b"\xff\xd9"
+    )
+
+
 def synth_jpeg_media(docs: DataFrame) -> DataFrame:
     """Deterministic full-JPEG fixture over documents (see
     _jpeg_full_bytes); doc_id % 89 == 0 rows are entropy-truncated."""
@@ -954,6 +1255,28 @@ def decode_jpeg_pixels(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, schema=PIXEL_SCHEMA)
+
+
+def synth_progressive_jpeg_media(docs: DataFrame) -> DataFrame:
+    """Deterministic PROGRESSIVE-JPEG fixture over documents (see
+    _jpeg_progressive_bytes); doc_id % 89 == 0 rows have their first DC
+    scan truncated."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [
+                        _jpeg_progressive_bytes(int(i)) for i in ids
+                    ],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id bigint, content binary"
+    )
 
 
 def synth_pixel_media(docs: DataFrame) -> DataFrame:

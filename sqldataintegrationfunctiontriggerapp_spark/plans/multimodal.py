@@ -228,9 +228,12 @@ def multimodal_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_png_pixels(synth_pixel_media(docs))
 
 
-@register(
-    "multimodal_decode_jpeg_pixels",
-    oracle="""
+# Shared by the baseline AND progressive JPEG entries: both fixtures encode
+# the SAME image (block (bx, by) flat at (5bx + 7by + doc_id) % 256) with
+# the same corruption predicate, so one arithmetic oracle covers both --
+# which is itself the strongest cross-coding-mode check: the two entries
+# hash-match each other through the oracle.
+_JPEG_PIXELS_ORACLE = """
     WITH dims AS (
         SELECT doc_id,
                CAST(8 * (doc_id % 4 + 1) AS INT) AS w,
@@ -262,8 +265,10 @@ def multimodal_decode_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s.px_min AS INT) AS px_min,
            CAST(s.px_max AS INT) AS px_max
     FROM dims d LEFT JOIN stats s ON s.doc_id = d.doc_id
-    """,
-)
+    """
+
+
+@register("multimodal_decode_jpeg_pixels", oracle=_JPEG_PIXELS_ORACLE)
 def multimodal_decode_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-JPEG entropy decode, pure stdlib (VERDICT r11 #10
     stretch -- the step that retires the decode stub for baseline JPEG):
@@ -293,6 +298,42 @@ def multimodal_decode_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_jpeg_pixels(synth_jpeg_media(docs))
+
+
+@register("multimodal_decode_progressive_jpeg", oracle=_JPEG_PIXELS_ORACLE)
+def multimodal_decode_progressive_jpeg(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PROGRESSIVE JPEG decode, pure stdlib (VERDICT r13 #9 stretch -- the
+    last JPEG qualifier retires): documents become SOF2 files carrying a
+    real successive-approximation + spectral-selection scan ladder -- DC
+    first at Al=4, four DC refinement scans appending bits 3..0 (bit 3
+    varies per block), and two spectral AC bands coded as EOB runs -- and
+    the decoder accumulates the per-scan coefficient updates in a
+    whole-image buffer before one dequantize+IDCT+stats finish
+    (operators/multimodal.py _progressive_scan / _jpeg_finish_progressive;
+    the AC refinement correction-bit path is pinned by an independent
+    numpy IDCT reference in tests, since the flat-block oracle fixture
+    cannot reach it).
+
+    The fixture encodes the SAME image as the baseline entry, so the same
+    arithmetic oracle covers both -- the two entries hash-matching one
+    oracle IS the cross-coding-mode equivalence check, per-document, at
+    every scale factor. Every 89th document truncates its first DC scan:
+    dims survive via SOF2, status='corrupt', NULL stats, no task failure;
+    byte-flip fuzzing pins the production and reference entropy readers
+    identical across the scan ladder.
+
+    100 TB shape: one scan, no shuffle; per-image memory is the
+    coefficient buffer the format itself mandates (64 ints/block),
+    bounded by the Arrow batch."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synth_progressive_jpeg_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_pixels(synth_progressive_jpeg_media(docs))
 
 
 @register(

@@ -254,6 +254,118 @@ def test_jpeg_codec_ac_runlength_path_matches_idct_reference():
     assert (mn, mx) == (int(ref.min()), int(ref.max()))
 
 
+def test_jpeg_progressive_matches_baseline_and_degrades():
+    """VERDICT r13 #9: the progressive (SOF2) path decodes the same image
+    bit-identically to the baseline encoding across the whole fixture
+    range -- both entropy readers -- and the truncated-first-scan corrupt
+    branch keeps the SOF2 dims. 400 byte-flips across the scan ladder
+    stay reader-parity-identical and never raise."""
+    import random
+
+    for did in range(0, 300):
+        b = MM._decode_jpeg_pixels_one(MM._jpeg_full_bytes(did))
+        p = MM._decode_jpeg_pixels_one(MM._jpeg_progressive_bytes(did))
+        if did % 89 == 0:
+            assert p == ("corrupt", 8 * (did % 4 + 1), 8 * (did % 3 + 1), 1)
+        else:
+            assert p == b, did
+    for did in (1, 7, 123):
+        buf = MM._jpeg_progressive_bytes(did)
+        assert MM._decode_jpeg_pixels_one(buf) == MM._decode_jpeg_pixels_one(
+            buf, reader=MM._BitReader
+        )
+    rnd = random.Random(17)
+    for _ in range(400):
+        buf = bytearray(MM._jpeg_progressive_bytes(rnd.randrange(1, 500)))
+        buf[rnd.randrange(len(buf))] ^= 0xFF
+        b2 = bytes(buf)
+        assert MM._decode_jpeg_pixels_one(b2) == MM._decode_jpeg_pixels_one(
+            b2, reader=MM._BitReader
+        )
+
+
+def test_jpeg_progressive_ac_refinement_matches_idct_reference():
+    """The AC refinement path (G.2.2 correction bits: history corrections
+    riding EOB runs AND inside runs, plus a newly-nonzero coefficient
+    placed by the refinement scan) -- unreachable by the DC-only registry
+    fixture -- against an independent numpy IDCT reference."""
+    import numpy as np
+
+    # 16x8 frame, 2 blocks. Target quantized coefficients (zigzag k):
+    #   block0: DC=16, k1=+3, k7=-2
+    #   block1: DC=-24, k2=+2, k7=-1 (k7 appears ONLY in the refine scan)
+    dqt = bytes([0x00]) + bytes([1 + (k % 3) for k in range(64)])
+    sof = bytes([8]) + (8).to_bytes(2, "big") + (16).to_bytes(2, "big") \
+        + bytes([1, 1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(MM._JPEG_DC_COUNTS) \
+        + bytes(MM._JPEG_DC_SYMBOLS)
+    ac_counts = [0, 0, 4] + [0] * 13
+    ac_syms = [0x00, 0x01, 0x11, 0x51]  # EOB0, (0,1), (1,1), (5,1)
+    dht_ac = bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+
+    def sos(ss, se, ah, al, entropy):
+        return MM._jpeg_seg(
+            0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        ) + entropy
+
+    # scan 1: DC first, Al=0 (diffs +16, -40)
+    bw = MM._BitWriter()
+    bw.write(5, 5); bw.write(16, 5)              # +16
+    bw.write(6, 5); bw.write(-40 + 63, 6)        # -40
+    dc_scan = sos(0, 0, 0, 0, bw.flush())
+    # scan 2: AC first, band 1-63, Al=1 (values >> 1, trunc toward zero)
+    bw = MM._BitWriter()
+    bw.write(0b001, 3); bw.write(1, 1)   # blk0 k=1: (0,1) +1 -> +2
+    bw.write(0b011, 3)                   # (5,1): skip k=2..6, land at k=7
+    bw.write(0, 1)                       # -1 -> -2 at k=7
+    bw.write(0b000, 3)                   # EOB0: rest of blk0
+    bw.write(0b010, 3); bw.write(1, 1)   # blk1: (1,1) skip k=1 -> k=2: +1 -> +2
+    bw.write(0b000, 3)                   # EOB0: rest of blk1
+    ac1_scan = sos(1, 63, 0, 1, bw.flush())
+    # scan 3: AC refine, band 1-63, Ah=1, Al=0
+    bw = MM._BitWriter()
+    # blk0: no new coefficient -> EOB0 first, then history corrections
+    bw.write(0b000, 3)                   # EOB0 (covers blk0)
+    bw.write(1, 1)                       # k=1 history +2 -> +3 (bit 1)
+    bw.write(0, 1)                       # k=7 history -2 stays (bit 0)
+    # blk1: new coefficient -1 at k=7, after skipping r=5 zero-history
+    # slots (k=1,3,4,5,6 -- k=2 is nonzero history, correction inline)
+    bw.write(0b011, 3)                   # (5,1)
+    bw.write(0, 1)                       # sign bit: negative -> -1
+    bw.write(0, 1)                       # k=2 history +2 correction bit 0
+    bw.write(0b000, 3)                   # EOB0 (rest of blk1, no history)
+    ac2_scan = sos(1, 63, 1, 0, bw.flush())
+
+    buf = (b"\xff\xd8" + MM._jpeg_seg(0xDB, dqt) + MM._jpeg_seg(0xC2, sof)
+           + MM._jpeg_seg(0xC4, dht_dc) + MM._jpeg_seg(0xC4, dht_ac)
+           + dc_scan + ac1_scan + ac2_scan + b"\xff\xd9")
+    r = MM._decode_jpeg_pixels_one(buf)
+    assert r is not None and r[0] != "corrupt"
+    w, h, ch, sums, mn, mx = r
+    assert (w, h, ch) == (16, 8, 1)
+    assert MM._decode_jpeg_pixels_one(buf, reader=MM._BitReader) == r
+
+    q = np.array([1 + (k % 3) for k in range(64)])
+    c = np.ones(8); c[0] = 1 / np.sqrt(2)
+    xs = np.arange(8)
+    basis = np.cos((2 * xs[:, None] + 1) * np.arange(8)[None, :]
+                   * np.pi / 16)
+
+    def ref_block(zz_coefs):
+        coef = np.zeros(64)
+        for k, v in zz_coefs.items():
+            coef[MM._JPEG_ZIGZAG[k]] = v * q[k]
+        F = coef.reshape(8, 8)
+        spatial = (basis * c[None, :]) @ F.T @ (basis * c[None, :]).T / 4.0
+        return np.clip(np.round(spatial.T).astype(int) + 128, 0, 255)
+
+    b0 = ref_block({0: 16, 1: 3, 7: -2})
+    b1 = ref_block({0: -24, 2: 2, 7: -1})
+    assert sums == [int(b0.sum() + b1.sum())]
+    assert mn == int(min(b0.min(), b1.min()))
+    assert mx == int(max(b0.max(), b1.max()))
+
+
 def test_frame_sample_offsets(spark, sf_dir):
     media = MM.documents_as_media(load_table(spark, sf_dir, "documents")).limit(3)
     frames = MM.frame_sample(media, every_n_bytes=100)
