@@ -673,8 +673,10 @@ def _progressive_scan(rdr, seg, comps, coefs, huff_dc, huff_ac, bw, bh):
         td, ta = seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 15
         # dict lookup (KeyError on a corrupt SOS naming an undeclared
         # component -- the baseline path's fuzz-found degradation class)
-        cix = {c: ix for ix, (c, _tq) in enumerate(comps)}[cid]
+        cix = {c[0]: ix for ix, c in enumerate(comps)}[cid]
         scan_comps.append((cix, td, ta))
+    if any(c[2] != 1 or c[3] != 1 for c in comps):
+        raise IndexError("progressive + subsampling out of scope")
     ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
     ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
     nblocks = bw * bh
@@ -686,6 +688,8 @@ def _progressive_scan(rdr, seg, comps, coefs, huff_dc, huff_ac, bw, bh):
                 coef = coefs[cix][b]
                 if ah == 0:  # first scan: Huffman diff at Al
                     s = rdr.decode_huff(huff_dc[td])
+                    if s > 15:  # corrupt DHT symbol: degrade, and keep
+                        raise IndexError  # both readers behaving alike
                     diff = _extend(rdr.read_bits(s), s)
                     dc_pred[cix] += diff
                     coef[0] = dc_pred[cix] << al
@@ -768,6 +772,110 @@ def _progressive_scan(rdr, seg, comps, coefs, huff_dc, huff_ac, bw, bh):
             eob_run -= 1
 
 
+def _jpeg_decode_mcu_subsampled(rdr, frame, scan_tables, qt, huff_dc,
+                                huff_ac):
+    """Baseline MCU-interleaved decode for chroma-subsampled frames
+    (sampling factors 1 or 2 per axis -- 4:2:0/4:2:2/4:4:0): each MCU
+    carries hi*vi blocks per component in raster order, per-component DC
+    prediction runs across the whole scan (padding blocks at the right/
+    bottom edges included, as the spec requires), and statistics are
+    taken over the FULL-RESOLUTION upsampled planes -- each component
+    sample replicates over an (Hmax/hi) x (Vmax/vi) pixel box clipped to
+    the image, so the sums match what a real nearest-neighbor-upsampling
+    decoder emits, without materializing any plane (per-sample box
+    arithmetic; memory stays O(1) per block). The 1x1 path keeps its
+    untouched streaming loop -- this function is only entered for frames
+    that path never handled. Raises into the caller's degradation net."""
+    w0, h0, comps = frame
+    ch = len(comps)
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    mcux = (w0 + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h0 + 8 * vmax - 1) // (8 * vmax)
+    sums = [0] * ch
+    px_min, px_max = 255, 0
+    pred = [0] * ch
+    # per component: plane dims (A.1.1) and the replication box
+    plane = []
+    for _cid, _tq, hi, vi in comps:
+        cw = (w0 * hi + hmax - 1) // hmax
+        chh = (h0 * vi + vmax - 1) // vmax
+        plane.append((cw, chh, hmax // hi, vmax // vi))
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for cix, (cid, tq, hi, vi) in enumerate(comps):
+                td, ta = scan_tables[cid]
+                dct = huff_dc.get(td)
+                act = huff_ac.get(ta)
+                q = qt.get(tq)
+                if dct is None or act is None or q is None:
+                    return ("corrupt", w0, h0, ch)
+                cw, chh, sx, sy = plane[cix]
+                for dy in range(vi):
+                    for dx in range(hi):
+                        coef = [0.0] * 64
+                        s = rdr.decode_huff(dct)
+                        if s > 15:  # corrupt DHT symbol
+                            raise IndexError
+                        diff = _extend(rdr.read_bits(s), s)
+                        pred[cix] += diff
+                        coef[0] = pred[cix] * q[0]
+                        k = 1
+                        has_ac = False
+                        while k < 64:
+                            rs = rdr.decode_huff(act)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                return ("corrupt", w0, h0, ch)
+                            coef[_JPEG_ZIGZAG[k]] = (
+                                _extend(rdr.read_bits(s), s) * q[k]
+                            )
+                            has_ac = True
+                            k += 1
+                        # component-plane origin of this block
+                        bx0 = (mx * hi + dx) * 8
+                        by0 = (my * vi + dy) * 8
+                        nx = min(8, cw - bx0)
+                        ny = min(8, chh - by0)
+                        if nx <= 0 or ny <= 0:
+                            continue  # pure padding block: decoded, no stats
+                        if not has_ac:
+                            v = int(round(coef[0] / 8.0)) + 128
+                            v = 0 if v < 0 else (255 if v > 255 else v)
+                            # full-res pixels covered by the block's
+                            # in-plane samples, clipped at the image edge
+                            covx = min((bx0 + nx) * sx, w0) - bx0 * sx
+                            covy = min((by0 + ny) * sy, h0) - by0 * sy
+                            sums[cix] += v * covx * covy
+                            if v < px_min:
+                                px_min = v
+                            if v > px_max:
+                                px_max = v
+                            continue
+                        blk = _idct_8x8(coef)
+                        for yy in range(ny):
+                            rows = min((by0 + yy + 1) * sy, h0) \
+                                - (by0 + yy) * sy
+                            base = yy * 8
+                            for xx in range(nx):
+                                cols = min((bx0 + xx + 1) * sx, w0) \
+                                    - (bx0 + xx) * sx
+                                v = int(round(blk[base + xx])) + 128
+                                v = 0 if v < 0 else (255 if v > 255 else v)
+                                sums[cix] += v * rows * cols
+                                if v < px_min:
+                                    px_min = v
+                                if v > px_max:
+                                    px_max = v
+    return (w0, h0, ch, sums, px_min, px_max)
+
+
 def _jpeg_finish_progressive(frame, coefs, qt):
     """Dequantize + IDCT + pixel statistics over the accumulated
     progressive coefficient buffers -- the same arithmetic finish as the
@@ -778,7 +886,7 @@ def _jpeg_finish_progressive(frame, coefs, qt):
     bw, bh = (w0 + 7) // 8, (h0 + 7) // 8
     sums = [0] * ch
     px_min, px_max = 255, 0
-    for cix, (_cid, tq) in enumerate(comps):
+    for cix, (_cid, tq, _hi, _vi) in enumerate(comps):
         q = qt.get(tq)
         if q is None:
             return ("corrupt", w0, h0, ch)
@@ -893,9 +1001,11 @@ def _decode_jpeg_pixels_one(buf: bytes, reader=_FastBits):
                     cid = seg[6 + 3 * ci]
                     samp = seg[7 + 3 * ci]
                     tq = seg[8 + 3 * ci]
-                    if samp != 0x11:  # subsampling out of scope
+                    hi, vi = samp >> 4, samp & 15
+                    if hi not in (1, 2) or vi not in (1, 2):
+                        # sampling factors beyond 2 out of scope
                         return ("corrupt", w0, h0, ncomp)
-                    comps.append((cid, tq))
+                    comps.append((cid, tq, hi, vi))
                 if ncomp not in (1, 3) or w0 == 0 or h0 == 0:
                     return ("corrupt", w0, h0, ncomp) if ncomp else None
                 frame = (w0, h0, comps)
@@ -930,6 +1040,13 @@ def _decode_jpeg_pixels_one(buf: bytes, reader=_FastBits):
                     td, ta = seg[2 + 2 * si] >> 4, seg[2 + 2 * si] & 15
                     scan_tables[cid] = (td, ta)
                 rdr = reader(buf, i + 2 + seg_len)
+                if any(c[2] != 1 or c[3] != 1 for c in comps):
+                    # chroma-subsampled frame: MCU-interleaved decode
+                    if ns != ch:
+                        return ("corrupt", w0, h0, ch)
+                    return _jpeg_decode_mcu_subsampled(
+                        rdr, frame, scan_tables, qt, huff_dc, huff_ac
+                    )
                 bw, bh = (w0 + 7) // 8, (h0 + 7) // 8
                 sums = [0] * ch
                 px_min, px_max = 255, 0
@@ -939,7 +1056,7 @@ def _decode_jpeg_pixels_one(buf: bytes, reader=_FastBits):
                     row_blocks = []
                     for _bx in range(bw):
                         mcu = []
-                        for cix, (cid, tq) in enumerate(comps):
+                        for cix, (cid, tq, _hi, _vi) in enumerate(comps):
                             td, ta = scan_tables[cid]
                             dct = huff_dc.get(td)
                             act = huff_ac.get(ta)
@@ -948,6 +1065,8 @@ def _decode_jpeg_pixels_one(buf: bytes, reader=_FastBits):
                                 return ("corrupt", w0, h0, ch)
                             coef = [0.0] * 64
                             s = rdr.decode_huff(dct)
+                            if s > 15:  # corrupt DHT symbol
+                                raise IndexError
                             diff = _extend(rdr.read_bits(s), s)
                             pred[cix] += diff
                             coef[0] = pred[cix] * q[0]
@@ -1090,6 +1209,77 @@ def _jpeg_full_bytes(doc_id: int) -> bytes:
             if s:
                 bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
             bw_.write(0b00, 2)  # AC EOB
+    entropy = bw_.flush()
+    if doc_id % 89 == 0 and len(entropy) > 2:
+        entropy = entropy[: len(entropy) // 2]
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xDB, dqt)
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, dht_dc)
+        + _jpeg_seg(0xC4, dht_ac)
+        + _jpeg_seg(0xDA, sos)
+        + entropy
+        + b"\xff\xd9"
+    )
+
+
+def _jpeg_420_block_vals(doc_id: int, w: int, h: int):
+    """Closed-form flat-block values for the 4:2:0 fixture: luma block
+    (bx, by) -> (5bx + 7by + doc_id) % 256 over the full-res plane;
+    chroma blocks (one per MCU) -> Cb (3mx + 11my + doc_id) % 256,
+    Cr (11mx + 3my + 2*doc_id) % 256."""
+    yv = lambda bx, by: (5 * bx + 7 * by + doc_id) % 256  # noqa: E731
+    cb = lambda mx, my: (3 * mx + 11 * my + doc_id) % 256  # noqa: E731
+    cr = lambda mx, my: (11 * mx + 3 * my + 2 * doc_id) % 256  # noqa: E731
+    return yv, cb, cr
+
+
+def _jpeg_420_bytes(doc_id: int) -> bytes:
+    """A complete baseline 4:2:0 JPEG (luma 2x2, chroma 1x1 -- the layout
+    virtually every camera/web JPEG uses): flat DC-only blocks so every
+    statistic stays doc_id arithmetic, MCU-interleaved Y Y Y Y Cb Cr with
+    per-component DC prediction ACROSS padding blocks (w = 8*(doc_id%5+2)
+    makes odd luma-column counts appear, so right-edge padding blocks and
+    partial chroma blocks are both in the fixture, not just in theory).
+    doc_id % 89 == 0 truncates the entropy segment -- corrupt, dims
+    kept."""
+    w, h = 8 * (doc_id % 5 + 2), 8 * (doc_id % 4 + 2)
+    yv, cb, cr = _jpeg_420_block_vals(doc_id, w, h)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    dqt = bytes([0x00]) + bytes([1] * 64)
+    sof = (
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )
+    dht_dc = bytes([0x00]) + bytes(_JPEG_DC_COUNTS) + bytes(_JPEG_DC_SYMBOLS)
+    dht_ac = bytes([0x10]) + bytes(_JPEG_AC_COUNTS) + bytes(_JPEG_AC_SYMBOLS)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    bw_ = _BitWriter()
+    pred = [0, 0, 0]
+
+    def emit(cix: int, v):
+        if v is None:  # padding block: repeat the predictor (diff 0)
+            bw_.write(0, 5)
+        else:
+            dc = 8 * (v - 128)
+            diff = dc - pred[cix]
+            pred[cix] = dc
+            s = abs(diff).bit_length()
+            bw_.write(s, 5)
+            if s:
+                bw_.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        bw_.write(0b00, 2)  # AC EOB
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for dy in range(2):
+                for dx in range(2):
+                    bx, by = 2 * mx + dx, 2 * my + dy
+                    real = bx < w // 8 and by < h // 8
+                    emit(0, yv(bx, by) if real else None)
+            emit(1, cb(mx, my))
+            emit(2, cr(mx, my))
     entropy = bw_.flush()
     if doc_id % 89 == 0 and len(entropy) > 2:
         entropy = entropy[: len(entropy) // 2]
@@ -1255,6 +1445,25 @@ def decode_jpeg_pixels(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, schema=PIXEL_SCHEMA)
+
+
+def synth_jpeg_420_media(docs: DataFrame) -> DataFrame:
+    """Deterministic 4:2:0 baseline-JPEG fixture over documents (see
+    _jpeg_420_bytes); doc_id % 89 == 0 rows are entropy-truncated."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_jpeg_420_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id bigint, content binary"
+    )
 
 
 def synth_progressive_jpeg_media(docs: DataFrame) -> DataFrame:

@@ -300,6 +300,99 @@ def multimodal_decode_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame
     return decode_jpeg_pixels(synth_jpeg_media(docs))
 
 
+@register(
+    "multimodal_decode_jpeg_420",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(8 * (doc_id % 5 + 2) AS INT) AS w,
+               CAST(8 * (doc_id % 4 + 2) AS INT) AS h,
+               doc_id % 89 = 0 AS corrupt
+        FROM documents
+    ),
+    ybx AS (
+        SELECT doc_id, h, UNNEST(range(0, w // 8)) AS bx
+        FROM dims WHERE NOT corrupt
+    ),
+    yblocks AS (SELECT doc_id, bx, UNNEST(range(0, h // 8)) AS by FROM ybx),
+    yvals AS (
+        SELECT doc_id, (5 * bx + 7 * by + doc_id) % 256 AS v FROM yblocks
+    ),
+    ystats AS (
+        SELECT doc_id, SUM(64 * v) AS c0, MIN(v) AS mn, MAX(v) AS mx
+        FROM yvals GROUP BY doc_id
+    ),
+    cmx AS (
+        SELECT doc_id, w, h, UNNEST(range(0, (w + 15) // 16)) AS mx
+        FROM dims WHERE NOT corrupt
+    ),
+    cblocks AS (
+        SELECT doc_id, w, h, mx, UNNEST(range(0, (h + 15) // 16)) AS my
+        FROM cmx
+    ),
+    cvals AS (
+        -- one chroma block per MCU; its in-plane samples each cover a
+        -- full 2x2 pixel box (w, h are even), partial blocks clip at the
+        -- chroma plane edge
+        SELECT doc_id,
+               (3 * mx + 11 * my + doc_id) % 256 AS vcb,
+               (11 * mx + 3 * my + 2 * doc_id) % 256 AS vcr,
+               LEAST(8, w // 2 - 8 * mx)
+                   * LEAST(8, h // 2 - 8 * my) * 4 AS npx
+        FROM cblocks
+    ),
+    cstats AS (
+        SELECT doc_id, SUM(vcb * npx) AS c1, SUM(vcr * npx) AS c2,
+               MIN(LEAST(vcb, vcr)) AS mn, MAX(GREATEST(vcb, vcr)) AS mx
+        FROM cvals GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.corrupt THEN 'corrupt' ELSE 'ok' END AS status,
+           d.w AS width, d.h AS height, CAST(3 AS INT) AS n_channels,
+           CAST(y.c0 AS BIGINT) AS c0_sum,
+           CAST(c.c1 AS BIGINT) AS c1_sum,
+           CAST(c.c2 AS BIGINT) AS c2_sum,
+           CAST(LEAST(y.mn, c.mn) AS INT) AS px_min,
+           CAST(GREATEST(y.mx, c.mx) AS INT) AS px_max
+    FROM dims d LEFT JOIN ystats y ON y.doc_id = d.doc_id
+                LEFT JOIN cstats c ON c.doc_id = d.doc_id
+    """,
+)
+def multimodal_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHROMA-SUBSAMPLED (4:2:0) baseline JPEG decode -- the layout
+    virtually every camera/web JPEG ships, previously the last structural
+    JPEG boundary: documents become MCU-interleaved Y Y Y Y Cb Cr streams
+    (luma 2x2, chroma 1x1) and _jpeg_decode_mcu_subsampled runs the real
+    interleaved decode -- per-component DC prediction ACROSS right-edge
+    padding blocks (the fixture's widths make odd luma-column counts, so
+    padding blocks and partial chroma blocks are exercised, not just
+    possible), statistics over the FULL-RESOLUTION nearest-neighbor-
+    upsampled planes via per-sample box arithmetic (no plane ever
+    materializes -- O(1) memory per block at any image size).
+
+    The oracle recomputes everything from doc_id arithmetic: luma blocks
+    contribute 64 x value, each chroma block contributes value x
+    in-plane-samples x 4 (the 2x2 upsample box). Any error in MCU
+    ordering, predictor routing across the three components, padding
+    handling, or the upsample accounting breaks the hash. Every 89th
+    document truncates its entropy -- dims kept, status='corrupt'.
+    Byte-flip fuzzing across all three JPEG fixtures pins the production
+    and reference readers parity-identical (and caught a real latent
+    task-killer: a flipped DHT yielding a DC size symbol > 16 crashed
+    _FastBits with ValueError where _BitReader read on -- both now
+    degrade identically). With this, the C7 image boundary restates as
+    arithmetic-coded JPEG only.
+
+    100 TB shape: one scan, no shuffle, Arrow-batch-bounded memory."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        decode_jpeg_pixels,
+        synth_jpeg_420_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_jpeg_pixels(synth_jpeg_420_media(docs))
+
+
 @register("multimodal_decode_progressive_jpeg", oracle=_JPEG_PIXELS_ORACLE)
 def multimodal_decode_progressive_jpeg(
     spark: SparkSession, sf_dir: str

@@ -254,6 +254,52 @@ def test_jpeg_codec_ac_runlength_path_matches_idct_reference():
     assert (mn, mx) == (int(ref.min()), int(ref.max()))
 
 
+def test_jpeg_420_subsampled_matches_closed_form():
+    """4:2:0 MCU-interleaved decode vs the fixture's closed form: luma
+    2x2 + chroma 1x1 with right-edge padding blocks and partial chroma
+    blocks, stats over the full-res upsampled planes; truncated entropy
+    keeps dims; both entropy readers agree, and cross-fixture byte-flip
+    fuzzing (all three JPEG fixtures) stays parity-identical -- the sweep
+    that caught the DC-size>16 ValueError task-killer."""
+    import random
+
+    def expected(did):
+        w, h = 8 * (did % 5 + 2), 8 * (did % 4 + 2)
+        yv, cb, cr = MM._jpeg_420_block_vals(did, w, h)
+        ys = [yv(bx, by) for bx in range(w // 8) for by in range(h // 8)]
+        cbs, crs, c1, c2 = [], [], 0, 0
+        for mx in range((w + 15) // 16):
+            for my in range((h + 15) // 16):
+                nx = min(8, w // 2 - 8 * mx)
+                ny = min(8, h // 2 - 8 * my)
+                v1, v2 = cb(mx, my), cr(mx, my)
+                cbs.append(v1)
+                crs.append(v2)
+                c1 += v1 * nx * ny * 4
+                c2 += v2 * nx * ny * 4
+        allv = ys + cbs + crs
+        return (
+            w, h, 3, [sum(v * 64 for v in ys), c1, c2],
+            min(allv), max(allv),
+        )
+
+    for did in range(0, 200):
+        r = MM._decode_jpeg_pixels_one(MM._jpeg_420_bytes(did))
+        if did % 89 == 0:
+            assert r == ("corrupt", 8 * (did % 5 + 2), 8 * (did % 4 + 2), 3)
+        else:
+            assert r == expected(did), did
+    rnd = random.Random(23)
+    for fixture in (MM._jpeg_420_bytes, MM._jpeg_full_bytes,
+                    MM._jpeg_progressive_bytes):
+        for _ in range(200):
+            b = bytearray(fixture(rnd.randrange(1, 500)))
+            b[rnd.randrange(len(b))] ^= 0xFF
+            bb = bytes(b)
+            assert MM._decode_jpeg_pixels_one(bb) == \
+                MM._decode_jpeg_pixels_one(bb, reader=MM._BitReader)
+
+
 def test_jpeg_progressive_matches_baseline_and_degrades():
     """VERDICT r13 #9: the progressive (SOF2) path decodes the same image
     bit-identically to the baseline encoding across the whole fixture
