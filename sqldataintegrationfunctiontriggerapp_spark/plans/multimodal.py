@@ -301,6 +301,77 @@ def multimodal_decode_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "multimodal_decode_gif",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 29 + 10 AS INT) AS w,
+               CAST(doc_id % 23 + 10 AS INT) AS h,
+               doc_id % 109 = 0 AS corrupt
+        FROM documents
+    ),
+    xs AS (
+        SELECT doc_id, h, UNNEST(range(0, w)) AS x
+        FROM dims WHERE NOT corrupt
+    ),
+    px AS (SELECT doc_id, x, UNNEST(range(0, h)) AS y FROM xs),
+    rgb AS (
+        SELECT doc_id,
+               (x + 2 * y + doc_id) % 256 AS r,
+               (3 * ((x + 2 * y + doc_id) % 256)) % 256 AS g,
+               (7 * ((x + 2 * y + doc_id) % 256)) % 256 AS b
+        FROM px
+    ),
+    stats AS (
+        SELECT doc_id, SUM(r) AS c0, SUM(g) AS c1, SUM(b) AS c2,
+               MIN(LEAST(r, g, b)) AS mn, MAX(GREATEST(r, g, b)) AS mx
+        FROM rgb GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.corrupt THEN 'corrupt' ELSE 'ok' END AS status,
+           d.w AS width, d.h AS height, CAST(3 AS INT) AS n_channels,
+           CAST(s.c0 AS BIGINT) AS c0_sum,
+           CAST(s.c1 AS BIGINT) AS c1_sum,
+           CAST(s.c2 AS BIGINT) AS c2_sum,
+           CAST(s.mn AS INT) AS px_min,
+           CAST(s.mx AS INT) AS px_max
+    FROM dims d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    """,
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode, pure stdlib (r14 -- the third still-image format;
+    web crawls still carry GIFs in volume, and LZW is pure-integer):
+    documents become complete GIF89a files -- logical screen descriptor,
+    256-entry closed-form global color table, a graphic-control extension
+    (the skip path), one non-interlaced image whose pixel indices are
+    (x + 2y + doc_id) % 256, REAL variable-width LSB-first LZW with
+    literal root codes (the dictionary grows an entry per pixel, crossing
+    the 9->10->11-bit width boundaries on larger images) and a CLEAR code
+    injected every 300 pixels -- and decode_gif_pixels runs the full LZW
+    decoder (dictionary growth, KwKwK case, clear/end handling, palette
+    mapping) to per-channel sums + extrema (operators/multimodal.py
+    _decode_gif_one; the KwKwK branch, unreachable by literal-only
+    streams, is pinned by a hand-built compressed stream in tests).
+
+    The oracle recomputes everything from the closed forms (palette[i] =
+    (i, 3i%256, 7i%256)); any error in sub-block reassembly, bit
+    unpacking, width growth, clear handling, or palette routing breaks a
+    channel sum. Every 109th document loses its tail: the pixel stream
+    runs short, dims survive, status='corrupt', no task failure; 600
+    byte-flips never raise. Interlaced images / local color tables are
+    the stated out-of-scope layers (degrade, never throw).
+
+    100 TB shape: one scan, no shuffle, Arrow-batch-bounded memory."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        decode_gif_pixels,
+        synth_gif_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_gif_pixels(synth_gif_media(docs))
+
+
+@register(
     "multimodal_decode_jpeg_420",
     oracle="""
     WITH dims AS (

@@ -254,6 +254,74 @@ def test_jpeg_codec_ac_runlength_path_matches_idct_reference():
     assert (mn, mx) == (int(ref.min()), int(ref.max()))
 
 
+def test_gif_codec_roundtrip_and_degradation():
+    """GIF/LZW codec pin: full decode matches the fixture's closed form
+    (palette routing, width growth, mid-stream clears), truncation keeps
+    dims as corrupt, non-GIF is unknown, 600 byte-flips never raise."""
+    import random
+
+    def expected(did):
+        w, h = did % 29 + 10, did % 23 + 10
+        sums = [0, 0, 0]
+        mn, mx = 255, 0
+        for y in range(h):
+            for x in range(w):
+                r, g, b = MM._gif_palette((x + 2 * y + did) % 256)
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+                mn = min(mn, r, g, b)
+                mx = max(mx, r, g, b)
+        return (w, h, 3, sums, mn, mx)
+
+    for did in (1, 5, 54, 109, 300, 0):
+        r = MM._decode_gif_one(MM._gif_full_bytes(did))
+        if did % 109 == 0:
+            assert r == ("corrupt", did % 29 + 10, did % 23 + 10, 3)
+        else:
+            assert r == expected(did), did
+    assert MM._decode_gif_one(b"") is None
+    assert MM._decode_gif_one(b"not a gif at all") is None
+    rnd = random.Random(41)
+    for _ in range(600):
+        b = bytearray(MM._gif_full_bytes(rnd.randrange(0, 800)))
+        b[rnd.randrange(len(b))] ^= 0xFF
+        MM._decode_gif_one(bytes(b))  # must not raise
+
+
+def test_gif_lzw_kwkwk_case():
+    """The KwKwK corner (a code referencing the entry being defined) --
+    unreachable by the literal-coded registry fixture: a hand-compressed
+    3x1 image with pixels [1, 1, 1] emits codes [CLEAR, 1, 6] at mcs=2,
+    where 6 IS the entry under construction. The decoder must expand it
+    to prev + prev[0]."""
+    # header: 3x1 screen, 4-entry global table
+    out = bytearray(b"GIF89a")
+    out += (3).to_bytes(2, "little") + (1).to_bytes(2, "little")
+    out += bytes([0x80 | 0x01, 0, 0])  # global table, 2<<1 = 4 entries
+    pal = [(10, 20, 30), (40, 50, 60), (70, 80, 90), (5, 15, 25)]
+    for rgb in pal:
+        out += bytes(rgb)
+    out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2 \
+        + (3).to_bytes(2, "little") + (1).to_bytes(2, "little") + bytes([0])
+    # mcs=2: clear=4, end=5; codes [4, 1, 6, 5] at width 3, LSB-first
+    acc = 0
+    nbits = 0
+    data = bytearray()
+    for code in (4, 1, 6, 5):
+        acc |= code << nbits
+        nbits += 3
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        data.append(acc & 0xFF)
+    out += bytes([2, len(data)]) + data + bytes([0, 0x3B])
+    r = MM._decode_gif_one(bytes(out))
+    assert r == (3, 1, 3, [40 * 3, 50 * 3, 60 * 3], 40, 60), r
+
+
 def test_jpeg_420_subsampled_matches_closed_form():
     """4:2:0 MCU-interleaved decode vs the fixture's closed form: luma
     2x2 + chroma 1x1 with right-edge padding blocks and partial chroma
