@@ -575,11 +575,11 @@ def multimodal_decode_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IMA_STEP_LIST_SQL = "[" + ",".join(map(str, _IMA_STEP_TABLE)) + "]"
 
-
-@register(
-    "multimodal_decode_adpcm",
-    oracle=f"""
-    WITH RECURSIVE steps AS (
+# CTE body shared with the streaming ingest parity (plans/windows.py
+# streaming_media_decode_parity): the stateful predictor-walk replay is
+# identical; only the final projection differs (the parity adds the
+# arrival-batch column).
+_ADPCM_CTES = f"""steps AS (
         SELECT t.i AS sidx, l.lst[t.i + 1] AS step
         FROM (SELECT {_IMA_STEP_LIST_SQL} AS lst) l, range(0, 89) t(i)
     ),
@@ -615,10 +615,12 @@ _IMA_STEP_LIST_SQL = "[" + ",".join(map(str, _IMA_STEP_TABLE)) + "]"
         JOIN steps st ON st.sidx = w.idx
         WHERE w.i + 1 < d.n_frames
     ),
-    stats AS (
+    adpcm_stats AS (
         SELECT doc_id, SUM(pred) AS s, MIN(pred) AS mn, MAX(pred) AS mx
         FROM walk GROUP BY doc_id
-    )
+    )"""
+
+_ADPCM_SELECT = """
     SELECT d.doc_id AS media_id,
            CASE WHEN d.corrupt THEN 'corrupt' ELSE 'ok' END AS status,
            d.rate AS sample_rate,
@@ -628,8 +630,15 @@ _IMA_STEP_LIST_SQL = "[" + ",".join(map(str, _IMA_STEP_TABLE)) + "]"
            CAST(st.mn AS INT) AS amp_min, CAST(st.mx AS INT) AS amp_max,
            CASE WHEN d.corrupt THEN NULL
                 ELSE CAST(d.n_frames * 1000 // d.rate AS BIGINT)
-           END AS duration_ms
-    FROM docs0 d LEFT JOIN stats st ON st.doc_id = d.doc_id
+           END AS duration_ms"""
+
+
+@register(
+    "multimodal_decode_adpcm",
+    oracle=f"""
+    WITH RECURSIVE {_ADPCM_CTES}
+    {_ADPCM_SELECT}
+    FROM docs0 d LEFT JOIN adpcm_stats st ON st.doc_id = d.doc_id
     """,
 )
 def multimodal_decode_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2544,3 +2544,70 @@ def streaming_gdpr_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "suppressed_n",
     )
     return active.unionAll(forgotten)
+
+
+# --- streaming media ingest: decode-on-arrival --------------------------------
+
+
+def _media_ingest_oracle() -> str:
+    from sqldataintegrationfunctiontriggerapp_spark.plans.multimodal import (
+        _ADPCM_CTES,
+        _ADPCM_SELECT,
+    )
+
+    return f"""
+    WITH RECURSIVE {_ADPCM_CTES},
+    mid AS (SELECT (MIN(doc_id) + MAX(doc_id)) // 2 AS m FROM documents)
+    {_ADPCM_SELECT},
+           CAST(CASE WHEN d.doc_id <= mid.m THEN 1 ELSE 2 END
+                AS INTEGER) AS ingest_batch
+    FROM docs0 d LEFT JOIN adpcm_stats st ON st.doc_id = d.doc_id
+    CROSS JOIN mid
+    """
+
+
+@register("streaming_media_decode_parity", oracle=_media_ingest_oracle())
+def streaming_media_decode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECODE-ON-ARRIVAL -- the media sibling of the curation/minhash
+    ingest parities, and the shape a crawl pipeline actually runs (media
+    is fingerprinted/decoded as it lands, not in nightly batch): each
+    micro-batch of the staged 2-batch documents replay synthesizes its
+    media payloads and runs the REAL IMA ADPCM decoder
+    (operators/multimodal.py) inside foreachBatch, tagging every decoded
+    row with the micro-batch that ingested it. This is the evidence that
+    the Arrow-batched mapInPandas codec seam composes with the streaming
+    engine's micro-batch execution -- per-row corrupt degradation
+    included (a corrupt payload must degrade ITS row in ITS batch, never
+    fail a trigger and stall the stream).
+
+    THE ORACLE IS THE BATCH DECODE (the shared recursive-CTE predictor
+    walk) plus the id-split arrival batch: streaming-equals-batch holds
+    exactly because the decode is a pure per-row function, so the only
+    thing the streaming engine can change -- and the thing this parity
+    pins -- is WHICH batch processed each row and that no row is lost,
+    duplicated, or cross-contaminated at trigger boundaries.
+
+    Scale shape: stateless per-batch map, no standing state, checkpoint
+    tracks source offsets only; the decode itself is the measured
+    Arrow-batch path of multimodal_decode_adpcm."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        decode_adpcm_samples,
+        synth_adpcm_media,
+    )
+
+    state: dict = {"n": 0, "parts": []}
+
+    def fb(batch_df: DataFrame, epoch_id: int) -> None:
+        state["n"] += 1
+        out = decode_adpcm_samples(synth_adpcm_media(batch_df))
+        state["parts"].append(
+            out.withColumn(
+                "ingest_batch", F.lit(state["n"]).cast("int")
+            ).localCheckpoint()
+        )
+
+    _staged_docs_foreach_replay(spark, sf_dir, fb)
+    out = state["parts"][0]
+    for p in state["parts"][1:]:
+        out = out.unionByName(p)
+    return out
