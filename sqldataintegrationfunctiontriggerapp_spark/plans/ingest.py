@@ -57,7 +57,13 @@ def _staged_text_format(spark: SparkSession, sf_dir: str, fmt: str,
         getattr(w, fmt)(path)
         return StagedDir(path)
 
-    return session_stage(spark, sf_dir, f"documents_as_{fmt}", build)
+    # options participate in the memo key: the gzip JSONL stage must not
+    # collide with the plain JSONL one (same fmt, different bytes)
+    okey = "_".join(f"{k}-{v}" for k, v in sorted(options.items()))
+    return session_stage(
+        spark, sf_dir, f"documents_as_{fmt}{'_' + okey if okey else ''}",
+        build,
+    )
 
 
 @register("jsonl_ingest_roundtrip", oracle=_ROUNDTRIP_ORACLE)
@@ -80,6 +86,36 @@ def jsonl_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     record from silently retyping a column for the whole job."""
     docs = load_table(spark, sf_dir, "documents")
     path = _staged_text_format(spark, sf_dir, "json")
+    back = spark.read.schema(docs.schema).json(str(path))
+    return back.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("long").alias("n_chars"),
+        F.md5("text").alias("text_md5"),
+    )
+
+
+@register("jsonl_gzip_ingest_roundtrip", oracle=_ROUNDTRIP_ORACLE)
+def jsonl_gzip_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gzipped JSONL -- how crawl dumps and most vendor corpus drops
+    actually arrive (CommonCrawl WET/WARC sidecars, HF dataset shards):
+    documents -> .write.option(compression=gzip).json -> read back with
+    the explicit schema, hashed per row against the parquet ground truth
+    like the plain-JSONL sibling.
+
+    The 100 TB note this entry exists to pin: gzip is NOT splittable --
+    one .json.gz file is one read task no matter its size, so ingest
+    parallelism = file count, not byte count. The staged write inherits
+    the source's partitioning (multiple .gz parts), which is exactly the
+    production mitigation: many medium gzip shards, or recompress to a
+    splittable codec at the first parquet hop (what every other entry in
+    this registry reads). A single 100 GB .json.gz is the classic
+    one-straggler ingest bug; this entry is the tested evidence the
+    engine handles the format, and its docstring is the warning label."""
+    docs = load_table(spark, sf_dir, "documents")
+    path = _staged_text_format(
+        spark, sf_dir, "json", compression="gzip"
+    )
     back = spark.read.schema(docs.schema).json(str(path))
     return back.select(
         "doc_id",

@@ -310,6 +310,144 @@ def ann_ivf_standing_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_ctes_suffixed(suffix: str, corpus_pred: str = "TRUE") -> str:
+    """_IVF_ORACLE_CTES with every CTE name suffixed (so two index
+    generations coexist in one WITH clause) and the corpus filtered by
+    `corpus_pred` -- the SQL mirror of building an index over a corpus
+    snapshot."""
+    import re
+
+    s = _IVF_ORACLE_CTES.replace(
+        "FROM embeddings", f"FROM embeddings WHERE {corpus_pred}"
+    )
+    for name in ("corpus", "pivots", "cvec", "qvec", "assigned", "probes",
+                 "scored"):
+        s = re.sub(rf"\b{name}\b", f"{name}{suffix}", s)
+    return s
+
+
+@register(
+    "ann_index_publish_probe",
+    oracle=f"""
+    WITH {_ivf_ctes_suffixed("_a", "vec_id % 2 = 0")},
+    {_ivf_ctes_suffixed("_b")}
+    SELECT 'v1' AS version, query_id, neighbor_id,
+           CAST(rnk AS INTEGER) AS rnk, cos
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored_a WHERE probe_rank <= 4
+    ) WHERE rnk <= 5
+    UNION ALL
+    SELECT 'v2' AS version, query_id, neighbor_id,
+           CAST(rnk AS INTEGER) AS rnk, cos
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rnk
+        FROM scored_b WHERE probe_rank <= 4
+    ) WHERE rnk <= 5
+    """,
+)
+def ann_index_publish_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX REFRESH THROUGH THE ATOMIC SWAP -- the composition that makes
+    a standing ANN index operable: the versioned-layout machinery built
+    for compaction (sinks/table_sink.py publish_layout/table_current) is
+    exactly what an index rebuild needs, and this entry proves it
+    end-to-end under the hash gate. Generation v1 indexes the corpus
+    snapshot at half-ingest (even vec_ids -- a crawl mid-backfill),
+    generation v2 the full corpus; each generation writes its assignment
+    parquet AND its pivot metadata (pivots.json -- the layout carries
+    everything needed to serve, and the probe reloads pivots FROM the
+    published directory rather than from driver memory) into a staging
+    dir, publishes via the validate-then-os.replace pointer commit with
+    keep=2, and is probed THROUGH table_current. The oracle replays both
+    generations (suffixed IVF CTEs over the filtered/full corpus), so a
+    probe that read a stale pointer, a publish that lost the pivot
+    metadata, or a GC that deleted the serving generation all break the
+    hash; the v1 directory surviving v2's publish (the keep=2 audit
+    window) is asserted in the build.
+
+    100 TB shape: the rebuild is the ivf_assign scan-and-write; readers
+    resolve one small pointer file per job and never observe a partial
+    index -- the exact contract a 100M-vector serving tier needs for
+    zero-downtime refresh."""
+    import atexit
+    import hashlib
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        StagedDir,
+        session_stage,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.sinks.table_sink import (
+        publish_layout,
+        table_current,
+    )
+
+    def build():
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        base = tempfile.mkdtemp(prefix=f"ann_pub_{tag}_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        root = os.path.join(base, "index_root")
+        e = load_table(spark, sf_dir, "embeddings")
+        published = []
+        parts = []
+        for version, snapshot in (
+            ("v1", e.where(F.col("vec_id") % 2 == 0)),
+            ("v2", e),
+        ):
+            pivots = S.ivf_pivots(snapshot, 16)
+            staging = os.path.join(base, f"staging_{version}")
+            S.ivf_assign(snapshot, pivots).write.parquet(
+                os.path.join(staging, "assigned")
+            )
+            with open(os.path.join(staging, "pivots.json"), "w") as f:
+                json.dump(pivots, f)
+
+            def validate(p):
+                if spark.read.parquet(os.path.join(p, "assigned")).where(
+                    F.col("list_id").isNull()
+                ).count():
+                    raise ValueError("null list_id in staged index")
+
+            published.append(
+                publish_layout(root, staging, validate=validate, keep=2)
+            )
+            # serve THROUGH the pointer: layout carries index + pivots
+            cur = table_current(root)
+            with open(os.path.join(cur, "pivots.json")) as f:
+                served_pivots = json.load(f)
+            idx = spark.read.parquet(os.path.join(cur, "assigned"))
+            scored = S.ivf_probe(
+                idx, snapshot.where(F.col("vec_id") < 5), served_pivots,
+                n_probe=4,
+            )
+            w = Window.partitionBy("query_id").orderBy(
+                F.desc("cos"), "neighbor_id"
+            )
+            parts.append(
+                scored.withColumn("rnk", F.row_number().over(w))
+                .where(F.col("rnk") <= 5)
+                .select(
+                    F.lit(version).alias("version"),
+                    "query_id", "neighbor_id", "rnk", "cos",
+                )
+                .localCheckpoint()
+            )
+        # keep=2: the superseded generation stays readable for audits
+        assert os.path.isdir(published[0]), "v1 GC'd despite keep=2"
+        assert table_current(root) == published[1]
+        return (StagedDir(base), parts[0].unionByName(parts[1]))
+
+    _dir, out = session_stage(spark, sf_dir, "ann_index_publish", build)
+    return out
+
+
 # Shared IVF stage (same memo pattern as plans/dedup.py): ONE pivots
 # collect + argmin assignment + full-probe JOIN per session+sf_dir,
 # materialized as raw (qv, cv, norms, probe_rank) pairs. The join is
