@@ -608,3 +608,137 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_req.alias("ok_required_words"),
         (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_req).alias("passes"),
     )
+
+
+@register(
+    "html_text_extraction",
+    oracle="""
+    SELECT doc_id,
+           md5('Doc ' || CAST(doc_id AS VARCHAR) || ' Doc '
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN TRIM(regexp_replace(text, '\\s+', ' ', 'g'))
+                            = '' THEN ''
+                       ELSE ' ' || TRIM(regexp_replace(text, '\\s+', ' ',
+                                                       'g')) END)
+               AS extracted_md5,
+           CAST(LENGTH('Doc ' || CAST(doc_id AS VARCHAR) || ' Doc '
+               || CAST(doc_id AS VARCHAR)
+               || CASE WHEN TRIM(regexp_replace(text, '\\s+', ' ', 'g'))
+                            = '' THEN ''
+                       ELSE ' ' || TRIM(regexp_replace(text, '\\s+', ' ',
+                                                       'g')) END)
+               AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible text, the step between raw crawl and every other
+    curation stage -- entirely JVM-side regexp_replace chains (whole-stage
+    codegen; a Python-side parser here would be the classic 100 TB
+    bottleneck). The fixture wraps each document in a deterministic HTML
+    template -- head with title, an entity-laden <script> block, a <style>
+    block, body with <h1> + <p>, an HTML comment -- and entity-ENCODES the
+    body text (spaces -> &nbsp;, & -> &amp;), so extraction must run the
+    full ladder to recover it: strip script/style/comment blocks
+    ((?s) non-greedy), replace tags with spaces, decode the five core
+    entities, collapse whitespace, trim.
+
+    THE ORACLE NEVER SEES THE HTML: it computes the expected visible text
+    straight from the source ('Doc N' title + 'Doc N' heading + the
+    whitespace-normalized text) and hashes it -- so a tag left behind, an
+    entity left encoded, a script body leaking into the text, or an
+    over-eager strip eating content all break the hash. Round-trip
+    construction-and-recovery, the codec-fixture discipline applied to
+    markup."""
+    docs = load_table(spark, sf_dir, "documents")
+    body = F.regexp_replace(
+        F.regexp_replace(F.col("text"), "&", "&amp;"), " ", "&nbsp;"
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), F.col("doc_id").cast("string"),
+        F.lit("</title><script>var x = 1 &amp; 2; if (x<3) {}</script>"
+              "<style>p { color: red; }</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), body,
+        F.lit("</p><!-- crawl noise &amp; <fake tags> --></body></html>"),
+    )
+    stripped = html
+    for pat in (r"(?s)<script.*?</script>", r"(?s)<style.*?</style>",
+                r"(?s)<!--.*?-->"):
+        stripped = F.regexp_replace(stripped, pat, " ")
+    stripped = F.regexp_replace(stripped, r"<[^>]+>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+        stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
+    extracted = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(extracted).alias("extracted_md5"),
+        F.length(extracted).cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "url_normalization",
+    oracle="""
+    SELECT doc_id,
+           (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'https' END)
+               || '://example' || CAST(doc_id % 10 AS VARCHAR)
+               || '.com/Articles/' || CAST(doc_id AS VARCHAR)
+               || '?id=' || CAST(doc_id AS VARCHAR)
+               || CASE WHEN doc_id % 5 = 0 THEN '&ref=home' ELSE '' END
+               AS norm_url,
+           'example' || CAST(doc_id % 10 AS VARCHAR) || '.com' AS domain,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS INT)
+               AS n_params
+    FROM documents
+    """,
+)
+def url_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization -- the dedup key every crawl pipeline needs
+    before any content-level dedup runs (the same page arrives as
+    HTTP://WWW.site.COM/p/, https://site.com/p?utm_source=feed, ...):
+    the fixture synthesizes messy-but-valid URLs (uppercase scheme and
+    host, www. prefix, trailing slash, utm_* tracking params, fragment)
+    and the plan normalizes with the JVM parse_url builtin plus column
+    expressions -- lowercase scheme/host, strip www., drop the fragment
+    (parse_url QUERY excludes it by construction), strip the trailing
+    slash, and filter tracking parameters with a higher-order array
+    filter (p NOT LIKE 'utm_%'). No UDF anywhere.
+
+    THE ORACLE NEVER PARSES A URL: it computes the expected canonical
+    form straight from doc_id (the recovery discipline), so a fragment
+    leaking into the query, a surviving utm_ param, a case-normalization
+    miss, or a trailing slash left behind all break the hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP"))
+        .otherwise(F.lit("https")),
+        F.lit("://WWW.ExAmple"), (F.col("doc_id") % 10).cast("string"),
+        F.lit(".COM/Articles/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&id="), F.col("doc_id").cast("string"),
+        F.lit("&utm_medium=rss"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("&ref=home"))
+        .otherwise(F.lit("")),
+        F.lit("#Section"), (F.col("doc_id") % 7).cast("string"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    scheme = F.lower(F.expr("parse_url(url, 'PROTOCOL')"))
+    host = F.regexp_replace(
+        F.lower(F.expr("parse_url(url, 'HOST')")), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.expr("parse_url(url, 'PATH')"), r"/$", "")
+    kept = F.expr(
+        "filter(split(parse_url(url, 'QUERY'), '&'),"
+        " p -> p NOT LIKE 'utm\\\\_%')"
+    )
+    return with_url.select(
+        "doc_id",
+        F.concat(
+            scheme, F.lit("://"), host, path, F.lit("?"),
+            F.array_join(kept, "&"),
+        ).alias("norm_url"),
+        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        F.size(kept).cast("int").alias("n_params"),
+    )
