@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -1834,6 +1835,74 @@ def _gif_pixel_index(doc_id: int, x: int, y: int) -> int:
     return (x + 2 * y + doc_id) % 256
 
 
+def _gif_local_palette(i: int) -> tuple[int, int, int]:
+    """Closed-form LOCAL color table for the interlaced fixture --
+    deliberately different linear maps from the global table, so a
+    decoder that routes pixels through the (also present) global table
+    instead of the image's local one breaks every channel sum."""
+    return ((5 * i) % 256, (11 * i) % 256, (13 * i) % 256)
+
+
+def _gif_interlace_rows(h: int) -> list:
+    """GIF89a 4-pass interlace row order (spec appendix E): rows
+    0,8,16,... then 4,12,... then 2,6,10,... then 1,3,5,..."""
+    return (
+        list(range(0, h, 8))
+        + list(range(4, h, 8))
+        + list(range(2, h, 4))
+        + list(range(1, h, 2))
+    )
+
+
+def _gif_lzw_literal(indices) -> bytes:
+    """Literal-root-code LZW stream (mcs=8) over a pixel-index sequence:
+    the decoder's dictionary grows an entry per code so the code width
+    crosses the 9->10->11-bit boundaries on larger images; a CLEAR is
+    injected every 300 pixels to exercise mid-stream resets. Shared by
+    the raster and interlaced GIF fixtures."""
+    mcs = 8
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    acc = nbits = 0
+    width = mcs + 1
+    next_code = end + 1
+    data = bytearray()
+    first = True
+
+    def put(code: int):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    for count, idx in enumerate(indices):
+        if count and count % 300 == 0:
+            put(clear)
+            width, next_code, first = mcs + 1, end + 1, True
+        put(idx)
+        if first:
+            first = False
+        else:
+            next_code += 1  # decoder adds an entry per code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+    put(end)
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def _gif_subblocks(data: bytes) -> bytes:
+    out = bytearray()
+    for k in range(0, len(data), 255):
+        chunk = data[k : k + 255]
+        out += bytes([len(chunk)]) + chunk
+    return bytes(out)
+
+
 def _gif_full_bytes(doc_id: int) -> bytes:
     """A complete GIF89a: logical screen descriptor, 256-entry global
     color table (closed form), a graphic-control extension (exercises
@@ -1854,46 +1923,10 @@ def _gif_full_bytes(doc_id: int) -> bytes:
     out += bytes([0x21, 0xF9, 4, 0, 0, 0, 0, 0])  # graphic control ext
     out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2 \
         + w.to_bytes(2, "little") + h.to_bytes(2, "little") + bytes([0])
-    # LZW: min code size 8; emit literal codes, CLEAR every 300 pixels
-    mcs = 8
-    clear, end = 1 << mcs, (1 << mcs) + 1
-    acc = nbits = 0
-    width = mcs + 1
-    next_code = end + 1
-    data = bytearray()
-    first = True
-
-    def put(code: int):
-        nonlocal acc, nbits
-        acc |= code << nbits
-        nbits += width
-        while nbits >= 8:
-            data.append(acc & 0xFF)
-            acc >>= 8
-            nbits -= 8
-
-    put(clear)
-    count = 0
-    for y in range(h):
-        for x in range(w):
-            if count and count % 300 == 0:
-                put(clear)
-                width, next_code, first = mcs + 1, end + 1, True
-            put(_gif_pixel_index(doc_id, x, y))
-            count += 1
-            if first:
-                first = False
-            else:
-                next_code += 1  # decoder adds an entry per code
-                if next_code == (1 << width) and width < 12:
-                    width += 1
-    put(end)
-    if nbits:
-        data.append(acc & 0xFF)
-    out += bytes([mcs])
-    for k in range(0, len(data), 255):
-        chunk = data[k : k + 255]
-        out += bytes([len(chunk)]) + chunk
+    data = _gif_lzw_literal(
+        _gif_pixel_index(doc_id, x, y) for y in range(h) for x in range(w)
+    )
+    out += bytes([8]) + _gif_subblocks(data)
     out += bytes([0, 0x3B])
     buf = bytes(out)
     if doc_id % 109 == 0:
@@ -1901,14 +1934,46 @@ def _gif_full_bytes(doc_id: int) -> bytes:
     return buf
 
 
-def _decode_gif_one(buf: bytes):
-    """(w, h, 3, [r_sum, g_sum, b_sum], px_min, px_max) or
-    ('corrupt', w, h, 3) once dims are known, or None for non-GIF bytes.
-    Real GIF decode: screen descriptor, global color table, extension
-    skipping, image descriptor, full LZW (variable-width LSB-first codes,
-    dictionary growth with the KwKwK case, clear/end codes, deferred-
-    clear tolerance), palette mapping. Interlaced images and local color
-    tables degrade to 'corrupt' (out of scope, stated); never throws."""
+def _gif_interlaced_bytes(doc_id: int) -> bytes:
+    """An INTERLACED GIF89a with a LOCAL color table: the two layers the
+    raster fixture leaves out. The global table is still present (the
+    closed-form _gif_palette) but the image carries its own 256-entry
+    local table (_gif_local_palette) that the decoder must prefer; the
+    pixel stream is written in the 4-pass interlace row order, so a
+    decoder that ignores the interlace flag produces a row-permuted
+    image. w = doc_id % 27 + 12, h = doc_id % 21 + 11. doc_id % 113 == 0
+    files lose their last 6 bytes (stream runs short, dims kept)."""
+    w, h = doc_id % 27 + 12, doc_id % 21 + 11
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])
+    for i in range(256):
+        out += bytes(_gif_palette(i))
+    out += bytes([0x2C]) + (0).to_bytes(2, "little") * 2 \
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little") \
+        + bytes([0xC7])  # local table (2^8) + interlace
+    for i in range(256):
+        out += bytes(_gif_local_palette(i))
+    data = _gif_lzw_literal(
+        _gif_pixel_index(doc_id, x, y)
+        for y in _gif_interlace_rows(h)
+        for x in range(w)
+    )
+    out += bytes([8]) + _gif_subblocks(data)
+    out += bytes([0, 0x3B])
+    buf = bytes(out)
+    if doc_id % 113 == 0:
+        buf = buf[:-6]
+    return buf
+
+
+def _decode_gif_arr(buf: bytes):
+    """Shared GIF parse + LZW core: ('ok', w, h, palette, arr) with arr
+    the palette-index bytearray in RASTER order (interlaced images are
+    re-ordered through the 4-pass row map), ('corrupt', w, h) once dims
+    are known, or None for non-GIF bytes. A local color table, when
+    present, overrides the global one for this image (GIF89a spec);
+    never throws."""
     if len(buf) < 13 or buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
         return None
     w = int.from_bytes(buf[6:8], "little")
@@ -1920,10 +1985,10 @@ def _decode_gif_one(buf: bytes):
         n = 2 << (packed & 7)
         palette = buf[pos : pos + 3 * n]
         if len(palette) < 3 * n:
-            return ("corrupt", w, h, 3)
+            return ("corrupt", w, h)
         pos += 3 * n
     if w == 0 or h == 0:
-        return ("corrupt", w, h, 3)
+        return ("corrupt", w, h)
     try:
         while pos < len(buf):
             intro = buf[pos]
@@ -1934,27 +1999,33 @@ def _decode_gif_one(buf: bytes):
                 pos += 1
             elif intro == 0x2C:  # image descriptor
                 ipacked = buf[pos + 9]
-                if ipacked & 0x40:  # interlace out of scope
-                    return ("corrupt", w, h, 3)
-                if ipacked & 0x80:  # local color table out of scope
-                    return ("corrupt", w, h, 3)
+                interlaced = bool(ipacked & 0x40)
                 iw = int.from_bytes(buf[pos + 5 : pos + 7], "little")
                 ih = int.from_bytes(buf[pos + 7 : pos + 9], "little")
                 pos += 10
+                if ipacked & 0x80:  # local color table overrides global
+                    n = 2 << (ipacked & 7)
+                    local = buf[pos : pos + 3 * n]
+                    if len(local) < 3 * n:
+                        return ("corrupt", w, h)
+                    palette = local
+                    pos += 3 * n
+                if pos >= len(buf):
+                    return ("corrupt", w, h)
                 mcs = buf[pos]
                 pos += 1
                 if palette is None or not (2 <= mcs <= 11):
-                    return ("corrupt", w, h, 3)
+                    return ("corrupt", w, h)
                 data = bytearray()
                 while True:
                     if pos >= len(buf):
-                        return ("corrupt", w, h, 3)
+                        return ("corrupt", w, h)
                     blen = buf[pos]
                     pos += 1
                     if blen == 0:
                         break
                     if pos + blen > len(buf):
-                        return ("corrupt", w, h, 3)
+                        return ("corrupt", w, h)
                     data += buf[pos : pos + blen]
                     pos += blen
                 # LZW decode
@@ -1975,7 +2046,7 @@ def _decode_gif_one(buf: bytes):
                 while not done:
                     while nbits < width:
                         if di >= len(data):
-                            return ("corrupt", w, h, 3)
+                            return ("corrupt", w, h)
                         acc |= data[di] << nbits
                         di += 1
                         nbits += 8
@@ -1995,7 +2066,7 @@ def _decode_gif_one(buf: bytes):
                     elif code == len(table) and prev is not None:
                         entry = prev + prev[:1]  # KwKwK
                     else:
-                        return ("corrupt", w, h, 3)
+                        return ("corrupt", w, h)
                     arr += entry
                     if prev is not None and len(table) < 4096:
                         table.append(prev + entry[:1])
@@ -2005,34 +2076,85 @@ def _decode_gif_one(buf: bytes):
                     if len(arr) >= npx:
                         done = True
                 if len(arr) < npx:
-                    return ("corrupt", w, h, 3)
+                    return ("corrupt", w, h)
                 del arr[npx:]  # surplus codes: ignore like real decoders
-                sums = [0, 0, 0]
-                px_min, px_max = 255, 0
-                for idx in set(arr):
-                    base = 3 * idx
-                    if base + 3 > len(palette):
-                        return ("corrupt", w, h, 3)
-                    cnt = arr.count(idx)
-                    r, g, b = palette[base], palette[base + 1], \
-                        palette[base + 2]
-                    sums[0] += r * cnt
-                    sums[1] += g * cnt
-                    sums[2] += b * cnt
-                    lo = min(r, g, b)
-                    hi = max(r, g, b)
-                    if lo < px_min:
-                        px_min = lo
-                    if hi > px_max:
-                        px_max = hi
-                return (w, h, 3, sums, px_min, px_max)
+                if interlaced and iw > 0:
+                    raster = bytearray(npx)
+                    for k, y in enumerate(_gif_interlace_rows(ih)):
+                        raster[y * iw : (y + 1) * iw] = \
+                            arr[k * iw : (k + 1) * iw]
+                    arr = raster
+                return ("ok", w, h, palette, arr)
             elif intro == 0x3B:
                 break
             else:
-                return ("corrupt", w, h, 3)
-        return ("corrupt", w, h, 3)  # no image block found
+                return ("corrupt", w, h)
+        return ("corrupt", w, h)  # no image block found
     except (IndexError, EOFError):
-        return ("corrupt", w, h, 3)
+        return ("corrupt", w, h)
+
+
+def _decode_gif_one(buf: bytes):
+    """(w, h, 3, [r_sum, g_sum, b_sum], px_min, px_max) or
+    ('corrupt', w, h, 3) once dims are known, or None for non-GIF bytes.
+    Real GIF decode over _decode_gif_arr: screen descriptor, color
+    tables (local overrides global), extension skipping, full LZW
+    (variable-width LSB-first codes, dictionary growth with the KwKwK
+    case, clear/end codes, deferred-clear tolerance), interlace row
+    re-ordering, palette mapping; never throws."""
+    r = _decode_gif_arr(buf)
+    if r is None:
+        return None
+    if r[0] == "corrupt":
+        return ("corrupt", r[1], r[2], 3)
+    _, w, h, palette, arr = r
+    sums = [0, 0, 0]
+    px_min, px_max = 255, 0
+    for idx in set(arr):
+        base = 3 * idx
+        if base + 3 > len(palette):
+            return ("corrupt", w, h, 3)
+        cnt = arr.count(idx)
+        rr, gg, bb = palette[base], palette[base + 1], palette[base + 2]
+        sums[0] += rr * cnt
+        sums[1] += gg * cnt
+        sums[2] += bb * cnt
+        lo = min(rr, gg, bb)
+        hi = max(rr, gg, bb)
+        if lo < px_min:
+            px_min = lo
+        if hi > px_max:
+            px_max = hi
+    return (w, h, 3, sums, px_min, px_max)
+
+
+def _decode_gif_interlaced_one(buf: bytes):
+    """(w, h, [c0, c1, c2], wpos) or ('corrupt', w, h) or None -- the
+    position-sensitive GIF decode contract. Channel sums alone are
+    row-permutation-invariant, so they cannot distinguish a correct
+    4-pass deinterlace from ignoring the flag; wpos = sum over raster
+    order of R(x, y) * (y*w + x + 1) pins every pixel to its position
+    (numpy gather over the decoded index array -- no per-pixel Python
+    loop)."""
+    r = _decode_gif_arr(buf)
+    if r is None:
+        return None
+    if r[0] == "corrupt":
+        return ("corrupt", r[1], r[2])
+    _, w, h, palette, arr = r
+    idx = np.frombuffer(bytes(arr), dtype=np.uint8).astype(np.int64)
+    pal = np.frombuffer(bytes(palette), dtype=np.uint8)
+    pal = pal[: 3 * (len(pal) // 3)].reshape(-1, 3).astype(np.int64)
+    if idx.size == 0 or int(idx.max()) >= pal.shape[0]:
+        return ("corrupt", w, h)
+    rgb = pal[idx]
+    wts = np.arange(1, idx.size + 1, dtype=np.int64)
+    return (
+        w,
+        h,
+        [int(rgb[:, 0].sum()), int(rgb[:, 1].sum()), int(rgb[:, 2].sum())],
+        int((rgb[:, 0] * wts).sum()),
+    )
 
 
 def synth_gif_media(docs: DataFrame) -> DataFrame:
@@ -2095,6 +2217,73 @@ def decode_gif_pixels(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(_decode, schema=PIXEL_SCHEMA)
+
+
+def synth_gif_interlaced_media(docs: DataFrame) -> DataFrame:
+    """Deterministic interlaced+local-palette GIF fixture over documents
+    (see _gif_interlaced_bytes); doc_id % 113 == 0 rows are truncated."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_gif_interlaced_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id bigint, content binary"
+    )
+
+
+GIF_POS_SCHEMA = (
+    "media_id bigint, status string, width int, height int, "
+    "c0_sum bigint, c1_sum bigint, c2_sum bigint, wpos_sum bigint"
+)
+
+
+def decode_gif_interlaced_pixels(media: DataFrame) -> DataFrame:
+    """Position-sensitive GIF decode over the Arrow-batched mapInPandas
+    seam: channel sums + the raster-position-weighted red sum (wpos)
+    that makes the 4-pass deinterlace and local-palette routing
+    hash-detectable; truncated streams keep header dims as
+    status='corrupt', non-GIF bytes are 'unknown'."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(buf) if buf is not None else b""
+                r = _decode_gif_interlaced_one(b)
+                if r is None:
+                    rows.append((int(mid), "unknown") + (None,) * 6)
+                elif r[0] == "corrupt":
+                    rows.append(
+                        (int(mid), "corrupt", r[1], r[2]) + (None,) * 4
+                    )
+                else:
+                    w, h, sums, wpos = r
+                    rows.append(
+                        (int(mid), "ok", w, h, sums[0], sums[1], sums[2],
+                         wpos)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "status", "width", "height",
+                    "c0_sum", "c1_sum", "c2_sum", "wpos_sum",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "c0_sum": "Int64", "c1_sum": "Int64",
+                    "c2_sum": "Int64", "wpos_sum": "Int64",
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=GIF_POS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -358,8 +358,9 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     unpacking, width growth, clear handling, or palette routing breaks a
     channel sum. Every 109th document loses its tail: the pixel stream
     runs short, dims survive, status='corrupt', no task failure; 600
-    byte-flips never raise. Interlaced images / local color tables are
-    the stated out-of-scope layers (degrade, never throw).
+    byte-flips never raise. Interlaced images and local color tables
+    decode for real too -- multimodal_decode_gif_interlaced pins them
+    with a position-weighted statistic.
 
     100 TB shape: one scan, no shuffle, Arrow-batch-bounded memory."""
     from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
@@ -369,6 +370,74 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_gif_pixels(synth_gif_media(docs))
+
+
+@register(
+    "multimodal_decode_gif_interlaced",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 27 + 12 AS INT) AS w,
+               CAST(doc_id % 21 + 11 AS INT) AS h,
+               doc_id % 113 = 0 AS corrupt
+        FROM documents
+    ),
+    xs AS (
+        SELECT doc_id, w, h, UNNEST(range(0, w)) AS x
+        FROM dims WHERE NOT corrupt
+    ),
+    px AS (SELECT doc_id, w, x, UNNEST(range(0, h)) AS y FROM xs),
+    vals AS (
+        SELECT doc_id,
+               (5 * ((x + 2 * y + doc_id) % 256)) % 256 AS r,
+               (11 * ((x + 2 * y + doc_id) % 256)) % 256 AS g,
+               (13 * ((x + 2 * y + doc_id) % 256)) % 256 AS b,
+               y * w + x + 1 AS wt
+        FROM px
+    ),
+    stats AS (
+        SELECT doc_id, SUM(r) AS c0, SUM(g) AS c1, SUM(b) AS c2,
+               SUM(r * wt) AS wp
+        FROM vals GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.corrupt THEN 'corrupt' ELSE 'ok' END AS status,
+           d.w AS width, d.h AS height,
+           CAST(s.c0 AS BIGINT) AS c0_sum,
+           CAST(s.c1 AS BIGINT) AS c1_sum,
+           CAST(s.c2 AS BIGINT) AS c2_sum,
+           CAST(s.wp AS BIGINT) AS wpos_sum
+    FROM dims d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    """,
+)
+def multimodal_decode_gif_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERLACED GIF + LOCAL color table decode (r14) -- the two layers
+    the raster GIF entry stated as out of scope, now in scope: documents
+    become GIF89a files whose single image sets BOTH the interlace flag
+    and a 256-entry local color table (the global table is still present
+    with a DIFFERENT closed form, so palette routing is checked, not
+    assumed), with the pixel stream LZW-coded in the spec's 4-pass row
+    order (0,8,.. / 4,12,.. / 2,6,.. / 1,3,..).
+
+    Channel sums are row-permutation-invariant -- they cannot tell a
+    correct deinterlace from ignoring the flag -- so this entry's
+    contract adds wpos_sum = sum over RASTER order of R(x,y)*(y*w+x+1):
+    a decoder that skips the row re-ordering (verified: flipping the
+    interlace bit off shifts wpos on the same stream), or reads the
+    global table, breaks the hash. The oracle recomputes all four
+    statistics from the closed forms (local palette[i] = (5i, 11i, 13i)
+    % 256, index = (x+2y+d) % 256). Every 113th document loses its
+    tail: dims survive, status='corrupt'; 400 byte-flips never raise.
+
+    100 TB shape: one scan, no shuffle, Arrow-batch-bounded memory; the
+    statistics pass is a numpy gather, not a per-pixel Python loop."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        decode_gif_interlaced_pixels,
+        synth_gif_interlaced_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_gif_interlaced_pixels(synth_gif_interlaced_media(docs))
 
 
 @register(

