@@ -437,6 +437,262 @@ def _decode_png_pixels_one(buf: bytes):
     return (w, h, ch, sums, px_min, px_max)
 
 
+# Adam7 pass geometry (ISO/IEC 15948 §8.2): (x_start, y_start, x_step,
+# y_step). Each pass is an independently-filtered sub-image; empty passes
+# contribute no scanlines at all.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_filter_line(f: int, row: bytes, prev: bytes, ch: int) -> bytes:
+    """Apply PNG filter type f to a raw scanline (encode side)."""
+    stride = len(row)
+    if f == 0:
+        return row
+    if f == 1:  # Sub
+        return bytes(
+            (row[k] - (row[k - ch] if k >= ch else 0)) & 255
+            for k in range(stride)
+        )
+    if f == 2:  # Up
+        return bytes((row[k] - prev[k]) & 255 for k in range(stride))
+    if f == 3:  # Average
+        return bytes(
+            (row[k] - (((row[k - ch] if k >= ch else 0) + prev[k]) >> 1))
+            & 255
+            for k in range(stride)
+        )
+    out = bytearray()  # Paeth
+    for k in range(stride):
+        a = row[k - ch] if k >= ch else 0
+        b = prev[k]
+        cc = prev[k - ch] if k >= ch else 0
+        p = a + b - cc
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+        pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+        out.append((row[k] - pred) & 255)
+    return bytes(out)
+
+
+def _png_unfilter_line(f: int, line: bytearray, prev: bytes, ch: int) -> bool:
+    """Reverse PNG filter type f in place; False for an unknown type."""
+    stride = len(line)
+    if f == 1:
+        for k in range(ch, stride):
+            line[k] = (line[k] + line[k - ch]) & 255
+    elif f == 2:
+        for k in range(stride):
+            line[k] = (line[k] + prev[k]) & 255
+    elif f == 3:
+        for k in range(stride):
+            left = line[k - ch] if k >= ch else 0
+            line[k] = (line[k] + ((left + prev[k]) >> 1)) & 255
+    elif f == 4:
+        for k in range(stride):
+            a = line[k - ch] if k >= ch else 0
+            b = prev[k]
+            cc = prev[k - ch] if k >= ch else 0
+            p = a + b - cc
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else cc)
+            line[k] = (line[k] + pred) & 255
+    elif f != 0:
+        return False
+    return True
+
+
+def _png_interlaced_bytes(doc_id: int) -> bytes:
+    """An Adam7-INTERLACED RGB8 PNG (IHDR interlace=1): the layer the
+    raster PNG entry degrades on. Pixel (x, y, c) carries the same
+    closed form (x + 2y + 3c + doc_id) % 256; each of the 7 passes is
+    serialized as its own filtered sub-image (filter = pass-local
+    scanline index % 5, prev resets to zeros at every pass start).
+    W = doc_id % 26 + 13, H = doc_id % 19 + 9, so every pass is
+    non-empty. doc_id % 101 == 0 payloads get their IDAT truncated."""
+    import zlib
+
+    w, h, ch = doc_id % 26 + 13, doc_id % 19 + 9, 3
+    filtered = bytearray()
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytes(pw * ch)
+        for j in range(ph):
+            y = y0 + j * ys
+            row = bytes(
+                (x0 + i * xs + 2 * y + 3 * c + doc_id) % 256
+                for i in range(pw)
+                for c in range(ch)
+            )
+            f = j % 5
+            filtered.append(f)
+            filtered += _png_filter_line(f, row, prev, ch)
+            prev = row
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big") + bytes([8, 2, 0, 0, 1])
+    )
+    z = zlib.compress(bytes(filtered), 6)
+    if doc_id % 101 == 0 and len(z) > 4:
+        z = z[: len(z) // 2]
+    half = max(1, len(z) // 2)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", z[:half])
+        + _png_chunk(b"IDAT", z[half:])
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _decode_png_interlaced_one(buf: bytes):
+    """(w, h, [c0, c1, c2], wpos) or ('corrupt', w, h) or None -- the
+    position-sensitive PNG decode contract over Adam7 input. Channel
+    sums are pixel-position-invariant, so wpos = sum over raster order
+    of channel-0 value * (y*w + x + 1) is what pins every pass's
+    placement grid; a decoder that drops, swaps, or misplaces a pass
+    breaks it. Non-interlaced files (interlace=0) and unsupported
+    depths degrade to 'corrupt' here -- decode_png_pixels is the raster
+    path; never throws."""
+    import zlib
+
+    if len(buf) < 33 or not buf.startswith(_PNG_SIG):
+        return None
+    if buf[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(buf[16:20], "big")
+    h = int.from_bytes(buf[20:24], "big")
+    depth, color_type, interlace = buf[24], buf[25], buf[28]
+    if color_type not in _PNG_CHANNELS or not (
+        0 < w <= 0x7FFFFFFF and 0 < h <= 0x7FFFFFFF
+    ):
+        return None
+    ch = _PNG_CHANNELS[color_type]
+    if depth != 8 or interlace != 1 or ch != 3:
+        return ("corrupt", w, h)
+    i, n = 8, len(buf)
+    idat = bytearray()
+    while i + 8 <= n:
+        clen = int.from_bytes(buf[i : i + 4], "big")
+        tag = buf[i + 4 : i + 8]
+        if i + 8 + clen + 4 > n:
+            return ("corrupt", w, h)
+        if tag == b"IDAT":
+            idat += buf[i + 8 : i + 8 + clen]
+        i += 8 + clen + 4
+        if tag == b"IEND":
+            break
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return ("corrupt", w, h)
+    expected = sum(
+        ((h - y0 + ys - 1) // ys)
+        * (1 + ((w - x0 + xs - 1) // xs) * ch)
+        for x0, y0, xs, ys in _ADAM7
+        if (w - x0 + xs - 1) // xs > 0 and (h - y0 + ys - 1) // ys > 0
+    )
+    if len(raw) != expected:
+        return ("corrupt", w, h)
+    raster = bytearray(w * h * ch)
+    pos = 0
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = pw * ch
+        prev = bytes(stride)
+        for j in range(ph):
+            f = raw[pos]
+            pos += 1
+            line = bytearray(raw[pos : pos + stride])
+            pos += stride
+            if not _png_unfilter_line(f, line, prev, ch):
+                return ("corrupt", w, h)
+            y = y0 + j * ys
+            base = (y * w + x0) * ch
+            step = xs * ch
+            for ii in range(pw):
+                dst = base + ii * step
+                src = ii * ch
+                raster[dst : dst + ch] = line[src : src + ch]
+            prev = bytes(line)
+    px = np.frombuffer(bytes(raster), dtype=np.uint8)
+    px = px.reshape(w * h, ch).astype(np.int64)
+    wts = np.arange(1, w * h + 1, dtype=np.int64)
+    return (
+        w,
+        h,
+        [int(px[:, c].sum()) for c in range(ch)],
+        int((px[:, 0] * wts).sum()),
+    )
+
+
+def synth_png_interlaced_media(docs: DataFrame) -> DataFrame:
+    """Deterministic Adam7 PNG fixture over documents (see
+    _png_interlaced_bytes); doc_id % 101 == 0 rows are truncated."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf["doc_id"]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "content": [_png_interlaced_bytes(int(i)) for i in ids],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        _synth, schema="media_id bigint, content binary"
+    )
+
+
+def decode_png_interlaced_pixels(media: DataFrame) -> DataFrame:
+    """Position-sensitive Adam7 PNG decode over the Arrow-batched
+    mapInPandas seam: channel sums + the raster-position-weighted
+    channel-0 sum that makes all seven pass placements hash-detectable;
+    truncated/unsupported layers keep header dims as status='corrupt',
+    non-PNG bytes are 'unknown'."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(buf) if buf is not None else b""
+                r = _decode_png_interlaced_one(b)
+                if r is None:
+                    rows.append((int(mid), "unknown") + (None,) * 6)
+                elif r[0] == "corrupt":
+                    rows.append(
+                        (int(mid), "corrupt", r[1], r[2]) + (None,) * 4
+                    )
+                else:
+                    w, h, sums, wpos = r
+                    rows.append(
+                        (int(mid), "ok", w, h, sums[0], sums[1], sums[2],
+                         wpos)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "status", "width", "height",
+                    "c0_sum", "c1_sum", "c2_sum", "wpos_sum",
+                ],
+            ).astype(
+                {
+                    "width": "Int32", "height": "Int32",
+                    "c0_sum": "Int64", "c1_sum": "Int64",
+                    "c2_sum": "Int64", "wpos_sum": "Int64",
+                }
+            )
+
+    return media.mapInPandas(_decode, schema=GIF_POS_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Real (pure-stdlib) baseline-JPEG ENTROPY decoding -- VERDICT r11 #10
 # stretch: DQT/DHT/SOF0/SOS parse, canonical-Huffman bitstream decode with

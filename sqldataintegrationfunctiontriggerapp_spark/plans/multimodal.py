@@ -373,6 +373,76 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_png_interlaced",
+    oracle="""
+    WITH dims AS (
+        SELECT doc_id,
+               CAST(doc_id % 26 + 13 AS INT) AS w,
+               CAST(doc_id % 19 + 9 AS INT) AS h,
+               doc_id % 101 = 0 AS corrupt
+        FROM documents
+    ),
+    xs AS (
+        SELECT doc_id, w, h, UNNEST(range(0, w)) AS x
+        FROM dims WHERE NOT corrupt
+    ),
+    px AS (SELECT doc_id, w, x, UNNEST(range(0, h)) AS y FROM xs),
+    vals AS (
+        SELECT doc_id,
+               (x + 2 * y + doc_id) % 256 AS c0,
+               (x + 2 * y + 3 + doc_id) % 256 AS c1,
+               (x + 2 * y + 6 + doc_id) % 256 AS c2,
+               y * w + x + 1 AS wt
+        FROM px
+    ),
+    stats AS (
+        SELECT doc_id, SUM(c0) AS s0, SUM(c1) AS s1, SUM(c2) AS s2,
+               SUM(c0 * wt) AS wp
+        FROM vals GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CASE WHEN d.corrupt THEN 'corrupt' ELSE 'ok' END AS status,
+           d.w AS width, d.h AS height,
+           CAST(s.s0 AS BIGINT) AS c0_sum,
+           CAST(s.s1 AS BIGINT) AS c1_sum,
+           CAST(s.s2 AS BIGINT) AS c2_sum,
+           CAST(s.wp AS BIGINT) AS wpos_sum
+    FROM dims d LEFT JOIN stats s ON s.doc_id = d.doc_id
+    """,
+)
+def multimodal_decode_png_interlaced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAM7-INTERLACED PNG decode (r14) -- the one layer the raster PNG
+    entry degrades on: documents become spec-valid RGB8 PNGs with IHDR
+    interlace=1, each of the seven passes serialized as its own filtered
+    sub-image (all five ISO/IEC 15948 filter types in rotation, prev
+    resetting to zeros at every pass boundary -- the part naive
+    implementations get wrong), and decode_png_interlaced_pixels
+    inflates, unfilters each pass against ITS OWN previous scanline, and
+    re-places every pass onto the raster through the Adam7 geometry
+    grid.
+
+    Channel sums cannot detect a misplaced pass (they are position-
+    invariant), so the contract adds wpos_sum = sum over raster order of
+    channel-0 value * (y*w + x + 1): dropping, swapping, or offsetting
+    any of the seven placement grids breaks the hash. The oracle
+    recomputes all four statistics from the closed form pixel(x,y,c) =
+    (x + 2y + 3c + d) % 256. Every 101st document truncates its IDAT
+    mid-stream: inflate fails, dims survive, status='corrupt'; 400
+    byte-flips never raise. Cross-path checks are pinned in tests: the
+    raster decoder reports interlaced files as corrupt (and vice versa)
+    rather than mis-decoding them.
+
+    100 TB shape: one scan, no shuffle, Arrow-batch-bounded memory."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        decode_png_interlaced_pixels,
+        synth_png_interlaced_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_png_interlaced_pixels(synth_png_interlaced_media(docs))
+
+
+@register(
     "multimodal_decode_gif_interlaced",
     oracle="""
     WITH dims AS (

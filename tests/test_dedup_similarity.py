@@ -338,6 +338,47 @@ def test_gif_interlaced_local_palette_decode():
         MM._decode_gif_one(bytes(b))
 
 
+def test_png_adam7_interlaced_decode():
+    """Adam7 PNG pin: decoded statistics match the closed form across
+    all seven passes (per-pass filter rotation with prev reset), the
+    position-weighted sum covers every pass's placement grid, raster
+    and interlaced decoders reject each other's files as corrupt
+    instead of mis-decoding, truncation degrades with dims kept, and
+    400 byte-flips never raise."""
+    import random
+
+    def expected(did):
+        w, h = did % 26 + 13, did % 19 + 9
+        sums = [0, 0, 0]
+        wpos = 0
+        for y in range(h):
+            for x in range(w):
+                for c in range(3):
+                    v = (x + 2 * y + 3 * c + did) % 256
+                    sums[c] += v
+                    if c == 0:
+                        wpos += v * (y * w + x + 1)
+        return (w, h, sums, wpos)
+
+    for did in (1, 7, 54, 101, 202, 0, 500):
+        r = MM._decode_png_interlaced_one(MM._png_interlaced_bytes(did))
+        if did % 101 == 0:
+            assert r == ("corrupt", did % 26 + 13, did % 19 + 9), (did, r)
+        else:
+            assert r == expected(did), did
+    # cross-path: neither decoder silently mis-reads the other's layout
+    assert MM._decode_png_interlaced_one(MM._png_full_bytes(5)) == \
+        ("corrupt", 5 % 16 + 1, 5 % 12 + 1)
+    assert MM._decode_png_pixels_one(MM._png_interlaced_bytes(5))[0] == \
+        "corrupt"
+    assert MM._decode_png_interlaced_one(b"") is None
+    rnd = random.Random(23)
+    for _ in range(400):
+        b = bytearray(MM._png_interlaced_bytes(rnd.randrange(0, 800)))
+        b[rnd.randrange(len(b))] ^= 0xFF
+        MM._decode_png_interlaced_one(bytes(b))  # must not raise
+
+
 def test_gif_lzw_kwkwk_case():
     """The KwKwK corner (a code referencing the entry being defined) --
     unreachable by the literal-coded registry fixture: a hand-compressed
