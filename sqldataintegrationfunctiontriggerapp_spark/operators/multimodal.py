@@ -274,6 +274,15 @@ PIXEL_SCHEMA = (
     "c0_sum bigint, c1_sum bigint, c2_sum bigint, px_min int, px_max int"
 )
 
+# Position-sensitive variant shared by the interlaced decoders (GIF 4-pass,
+# PNG Adam7): channel sums are row-permutation-invariant, so these entries
+# additionally carry wpos_sum = sum over raster order of c0(x,y)*(y*w+x+1),
+# which any dropped/swapped/offset deinterlace pass breaks.
+POS_PIXEL_SCHEMA = (
+    "media_id bigint, status string, width int, height int, "
+    "c0_sum bigint, c1_sum bigint, c2_sum bigint, wpos_sum bigint"
+)
+
 
 def _png_chunk(tag: bytes, payload: bytes) -> bytes:
     import zlib
@@ -690,7 +699,7 @@ def decode_png_interlaced_pixels(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_decode, schema=GIF_POS_SCHEMA)
+    return media.mapInPandas(_decode, schema=POS_PIXEL_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -2224,12 +2233,16 @@ def _gif_interlaced_bytes(doc_id: int) -> bytes:
 
 
 def _decode_gif_arr(buf: bytes):
-    """Shared GIF parse + LZW core: ('ok', w, h, palette, arr) with arr
-    the palette-index bytearray in RASTER order (interlaced images are
-    re-ordered through the 4-pass row map), ('corrupt', w, h) once dims
-    are known, or None for non-GIF bytes. A local color table, when
-    present, overrides the global one for this image (GIF89a spec);
-    never throws."""
+    """Shared GIF parse + LZW core: ('ok', w, h, iw, ih, palette, arr)
+    with arr the palette-index bytearray in RASTER order (interlaced
+    images are re-ordered through the 4-pass row map) and iw/ih the
+    image-descriptor dims (usually == screen dims w/h but carried
+    separately so position-sensitive consumers can enforce their
+    contract), ('corrupt', w, h) once dims are known — including a
+    zero-area image descriptor, so both consumers degrade identically —
+    or None for non-GIF bytes. A local color table, when present,
+    overrides the global one for this image (GIF89a spec); never
+    throws."""
     if len(buf) < 13 or buf[:4] != b"GIF8" or buf[4:6] not in (b"7a", b"9a"):
         return None
     w = int.from_bytes(buf[6:8], "little")
@@ -2259,6 +2272,8 @@ def _decode_gif_arr(buf: bytes):
                 iw = int.from_bytes(buf[pos + 5 : pos + 7], "little")
                 ih = int.from_bytes(buf[pos + 7 : pos + 9], "little")
                 pos += 10
+                if iw == 0 or ih == 0:
+                    return ("corrupt", w, h)
                 if ipacked & 0x80:  # local color table overrides global
                     n = 2 << (ipacked & 7)
                     local = buf[pos : pos + 3 * n]
@@ -2340,7 +2355,7 @@ def _decode_gif_arr(buf: bytes):
                         raster[y * iw : (y + 1) * iw] = \
                             arr[k * iw : (k + 1) * iw]
                     arr = raster
-                return ("ok", w, h, palette, arr)
+                return ("ok", w, h, iw, ih, palette, arr)
             elif intro == 0x3B:
                 break
             else:
@@ -2363,7 +2378,7 @@ def _decode_gif_one(buf: bytes):
         return None
     if r[0] == "corrupt":
         return ("corrupt", r[1], r[2], 3)
-    _, w, h, palette, arr = r
+    _, w, h, _iw, _ih, palette, arr = r
     sums = [0, 0, 0]
     px_min, px_max = 255, 0
     for idx in set(arr):
@@ -2391,13 +2406,19 @@ def _decode_gif_interlaced_one(buf: bytes):
     4-pass deinterlace from ignoring the flag; wpos = sum over raster
     order of R(x, y) * (y*w + x + 1) pins every pixel to its position
     (numpy gather over the decoded index array -- no per-pixel Python
-    loop)."""
+    loop). The weight grid is defined over the screen raster, so an
+    image descriptor whose dims differ from the logical-screen dims
+    (legal GIF, but the documented y*w+x+1 contract would not describe
+    the decoded order) degrades as 'corrupt' rather than returning a
+    silently re-based weighting."""
     r = _decode_gif_arr(buf)
     if r is None:
         return None
     if r[0] == "corrupt":
         return ("corrupt", r[1], r[2])
-    _, w, h, palette, arr = r
+    _, w, h, iw, ih, palette, arr = r
+    if iw != w or ih != h:
+        return ("corrupt", w, h)
     idx = np.frombuffer(bytes(arr), dtype=np.uint8).astype(np.int64)
     pal = np.frombuffer(bytes(palette), dtype=np.uint8)
     pal = pal[: 3 * (len(pal) // 3)].reshape(-1, 3).astype(np.int64)
@@ -2494,12 +2515,6 @@ def synth_gif_interlaced_media(docs: DataFrame) -> DataFrame:
     )
 
 
-GIF_POS_SCHEMA = (
-    "media_id bigint, status string, width int, height int, "
-    "c0_sum bigint, c1_sum bigint, c2_sum bigint, wpos_sum bigint"
-)
-
-
 def decode_gif_interlaced_pixels(media: DataFrame) -> DataFrame:
     """Position-sensitive GIF decode over the Arrow-batched mapInPandas
     seam: channel sums + the raster-position-weighted red sum (wpos)
@@ -2539,7 +2554,7 @@ def decode_gif_interlaced_pixels(media: DataFrame) -> DataFrame:
                 }
             )
 
-    return media.mapInPandas(_decode, schema=GIF_POS_SCHEMA)
+    return media.mapInPandas(_decode, schema=POS_PIXEL_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -338,6 +338,34 @@ def test_gif_interlaced_local_palette_decode():
         MM._decode_gif_one(bytes(b))
 
 
+def test_gif_degradation_edges_consistent():
+    """ADVICE r14 pins: (a) a zero-area image descriptor degrades as
+    'corrupt' identically through BOTH shared-core consumers (previously
+    _decode_gif_one returned ok with px_min=255 > px_max=0 while the
+    interlaced path said corrupt); (b) an image descriptor whose dims
+    differ from the logical-screen dims is rejected by the
+    position-sensitive path, whose documented y*w+x+1 weight grid is
+    defined over the screen raster."""
+    buf = bytearray(MM._gif_full_bytes(3))
+    ipos = buf.index(0x2C, 13 + 768)
+    # (a) zero both image-descriptor dims
+    zbuf = bytearray(buf)
+    zbuf[ipos + 5 : ipos + 9] = b"\x00\x00\x00\x00"
+    w = int.from_bytes(buf[6:8], "little")
+    h = int.from_bytes(buf[8:10], "little")
+    assert MM._decode_gif_arr(bytes(zbuf)) == ("corrupt", w, h)
+    assert MM._decode_gif_one(bytes(zbuf)) == ("corrupt", w, h, 3)
+    assert MM._decode_gif_interlaced_one(bytes(zbuf)) == ("corrupt", w, h)
+    # (b) shrink the descriptor width by 1: channel-sum path may still
+    # decode a sub-image, but the position-weighted contract must refuse
+    sbuf = bytearray(MM._gif_interlaced_bytes(7))
+    spos = sbuf.index(0x2C, 13 + 768)
+    iw = int.from_bytes(sbuf[spos + 5 : spos + 7], "little")
+    sbuf[spos + 5 : spos + 7] = (iw - 1).to_bytes(2, "little")
+    r = MM._decode_gif_interlaced_one(bytes(sbuf))
+    assert r is not None and r[0] == "corrupt"
+
+
 def test_png_adam7_interlaced_decode():
     """Adam7 PNG pin: decoded statistics match the closed form across
     all seven passes (per-pass filter rotation with prev reset), the
