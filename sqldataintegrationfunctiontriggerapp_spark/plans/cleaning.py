@@ -565,19 +565,76 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured-free pattern documented at plans/text.py), zero joins,
     zero shuffles beyond the scan itself."""
     d = _docs(spark, sf_dir)
-    tk = TX.tokens("text")
-    m = d.select(
+    m = d.select("doc_id", *gopher_metric_cols(TX.tokens("text")))
+    rules = gopher_rule_exprs()
+    return m.select(
         "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        *[rules[k].alias(k) for k in (
+            "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+            "ok_alpha_words", "ok_required_words", "passes",
+        )],
+    )
+
+
+# ---- shared crawl-front column builders -----------------------------------
+# Factored so the composed end-to-end entry (crawl_curation_pipeline in
+# plans/ingest.py) runs the IDENTICAL extraction / canonicalization /
+# quality expressions as the standalone per-stage entries below — one
+# definition, three oracle-pinned consumers.
+
+
+def visible_text_from_html(html):
+    """HTML -> visible text as a pure JVM column ladder (whole-stage
+    codegen; no parser UDF): strip script/style/comment blocks ((?s)
+    non-greedy), replace tags with spaces, decode the five core entities
+    (&amp; last so freshly-decoded ampersands are not re-interpreted),
+    collapse whitespace, trim."""
+    stripped = html
+    for pat in (r"(?s)<script.*?</script>", r"(?s)<style.*?</style>",
+                r"(?s)<!--.*?-->"):
+        stripped = F.regexp_replace(stripped, pat, " ")
+    stripped = F.regexp_replace(stripped, r"<[^>]+>", " ")
+    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
+        stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(stripped, r"\s+", " "))
+
+
+def canonical_url_parts(url):
+    """(norm_url, domain, kept_params) from a messy URL column via the
+    JVM parse_url builtin: lowercase scheme/host, strip leading www.,
+    drop the fragment (QUERY excludes it by construction), strip the
+    trailing slash, filter utm_* tracking params with a higher-order
+    array filter. No UDF anywhere."""
+    scheme = F.lower(F.parse_url(url, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.parse_url(url, F.lit("HOST"))), r"^www\.", ""
+    )
+    path = F.regexp_replace(F.parse_url(url, F.lit("PATH")), r"/$", "")
+    kept = F.filter(
+        F.split(F.parse_url(url, F.lit("QUERY")), "&"),
+        lambda p: ~p.like("utm\\_%"),
+    )
+    norm = F.concat(
+        scheme, F.lit("://"), host, path, F.lit("?"),
+        F.array_join(kept, "&"),
+    )
+    domain = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return norm, domain, kept
+
+
+def gopher_metric_cols(tk):
+    """The five Gopher rule metrics over a token-array column, aliased to
+    the names gopher_rule_exprs() reads."""
+    return [
         F.size(tk).alias("n_words"),
         F.length(F.array_join(tk, "")).alias("n_word_chars"),
         F.size(F.filter(tk, lambda x: x.rlike("[A-Za-z]"))).alias(
             "n_alpha_words"
         ),
         F.size(
-            F.filter(
-                tk,
-                lambda x: x.contains("#") | x.contains("..."),
-            )
+            F.filter(tk, lambda x: x.contains("#") | x.contains("..."))
         ).alias("n_symbol_words"),
         F.size(
             F.array_distinct(
@@ -590,7 +647,12 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             )
         ).alias("n_required"),
-    )
+    ]
+
+
+def gopher_rule_exprs():
+    """Per-rule boolean expressions over gopher_metric_cols() names plus
+    the conjunction, all exact integer cross-multiplication."""
     ok_wc = F.col("n_words").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
     ok_mwl = (3 * F.col("n_words") <= F.col("n_word_chars")) & (
         F.col("n_word_chars") <= 10 * F.col("n_words")
@@ -598,15 +660,41 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     ok_sym = 10 * F.col("n_symbol_words") <= F.col("n_words")
     ok_alpha = 5 * F.col("n_alpha_words") >= 4 * F.col("n_words")
     ok_req = F.col("n_required") >= 2
-    return m.select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        ok_wc.alias("ok_word_count"),
-        ok_mwl.alias("ok_mean_word_len"),
-        ok_sym.alias("ok_symbol_ratio"),
-        ok_alpha.alias("ok_alpha_words"),
-        ok_req.alias("ok_required_words"),
-        (ok_wc & ok_mwl & ok_sym & ok_alpha & ok_req).alias("passes"),
+    return {
+        "ok_word_count": ok_wc,
+        "ok_mean_word_len": ok_mwl,
+        "ok_symbol_ratio": ok_sym,
+        "ok_alpha_words": ok_alpha,
+        "ok_required_words": ok_req,
+        "passes": ok_wc & ok_mwl & ok_sym & ok_alpha & ok_req,
+    }
+
+
+# SQL twin of gopher_metric_cols/gopher_rule_exprs for composed oracles:
+# given a token-array SQL expression, yields the metric CTE body and the
+# pass predicate over those metric names (used by crawl_curation_pipeline).
+def gopher_metrics_sql(tk_expr: str) -> str:
+    return f"""
+           len({tk_expr}) AS n_words,
+           len(array_to_string({tk_expr}, '')) AS n_word_chars,
+           len(list_filter({tk_expr}, x -> regexp_matches(x, '[A-Za-z]')))
+               AS n_alpha_words,
+           len(list_filter({tk_expr}, x -> contains(x, '#')
+                                        OR contains(x, '...')))
+               AS n_symbol_words,
+           len(list_distinct(list_filter(
+               {tk_expr}, x -> lower(x) IN {_GOPHER_REQUIRED})))
+               AS n_required
+    """
+
+
+def gopher_pass_sql() -> str:
+    return (
+        f"n_words BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}"
+        " AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words"
+        " AND 10 * n_symbol_words <= n_words"
+        " AND 5 * n_alpha_words >= 4 * n_words"
+        " AND n_required >= 2"
     )
 
 
@@ -662,15 +750,7 @@ def html_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("</h1><p>"), body,
         F.lit("</p><!-- crawl noise &amp; <fake tags> --></body></html>"),
     )
-    stripped = html
-    for pat in (r"(?s)<script.*?</script>", r"(?s)<style.*?</style>",
-                r"(?s)<!--.*?-->"):
-        stripped = F.regexp_replace(stripped, pat, " ")
-    stripped = F.regexp_replace(stripped, r"<[^>]+>", " ")
-    for ent, ch in (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
-                    ("&quot;", "\""), ("&#39;", "'"), ("&amp;", "&")):
-        stripped = F.replace(stripped, F.lit(ent), F.lit(ch))
-    extracted = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    extracted = visible_text_from_html(html)
     return docs.select(
         "doc_id",
         F.md5(extracted).alias("extracted_md5"),
@@ -724,21 +804,10 @@ def url_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("#Section"), (F.col("doc_id") % 7).cast("string"),
     )
     with_url = docs.select("doc_id", url.alias("url"))
-    scheme = F.lower(F.expr("parse_url(url, 'PROTOCOL')"))
-    host = F.regexp_replace(
-        F.lower(F.expr("parse_url(url, 'HOST')")), r"^www\.", ""
-    )
-    path = F.regexp_replace(F.expr("parse_url(url, 'PATH')"), r"/$", "")
-    kept = F.expr(
-        "filter(split(parse_url(url, 'QUERY'), '&'),"
-        " p -> p NOT LIKE 'utm\\\\_%')"
-    )
+    norm, domain, kept = canonical_url_parts(F.col("url"))
     return with_url.select(
         "doc_id",
-        F.concat(
-            scheme, F.lit("://"), host, path, F.lit("?"),
-            F.array_join(kept, "&"),
-        ).alias("norm_url"),
-        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1).alias("domain"),
+        norm.alias("norm_url"),
+        domain.alias("domain"),
         F.size(kept).cast("int").alias("n_params"),
     )
