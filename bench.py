@@ -31,6 +31,29 @@ def _warm_fn(s: pd.Series) -> pd.Series:
     return s
 
 
+def _calibration_probe(spark) -> float:
+    """Fixed CPU+shuffle micro-probe (VERDICT r14 #2): 30M JVM-side md5s
+    followed by a full 64-partition row shuffle and a scalar aggregate.
+    Every term is pinned -- input rows, input partitions, md5 work,
+    repartition(64) target (NOT the session's derived shuffle partitions)
+    -- so the measured seconds depend only on the HOST (CPU class, memory
+    bandwidth, contention), never on engine code or fixture scale. Run
+    before and after the suite; the recorded pair lets bench_compare.py
+    separate host-class drift (judge-confirmed 2-4x swings between
+    sessions) from genuine per-query code movement without a worktree
+    A/B. Memory-light by construction (no per-key state; the 1g default
+    heap runs it with headroom)."""
+    t0 = time.time()
+    (
+        spark.range(0, 30_000_000, 1, 32)
+        .select(F.md5(F.col("id").cast("string")).alias("h"))
+        .repartition(64, "h")
+        .select(F.sum(F.crc32(F.col("h"))).alias("s"))
+        .write.mode("overwrite").format("noop").save()
+    )
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -67,6 +90,8 @@ def main() -> None:
     import __spark_entry__ as _e
     _e.entry(spark).write.mode("overwrite").format("noop").save()
     spark.catalog.clearCache()
+    probe_pre = _calibration_probe(spark)
+    print(f"# calibration probe (pre): {probe_pre:.2f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
     total = 0.0
@@ -169,6 +194,8 @@ def main() -> None:
         )
 
     peak_holder["stop"] = True
+    probe_post = _calibration_probe(spark)
+    print(f"# calibration probe (post): {probe_post:.2f}s", file=sys.stderr)
     payload = {
         "metric": "suite_wall_sec",
         "value": round(total, 3),
@@ -176,6 +203,10 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "storage_peak_mb": storage_peaks,
+        # host-speed calibration pair (VERDICT r14 #2): fixed workload, so
+        # cross-round ratios of these values measure the HOST, not the code
+        "probe_sec_pre": probe_pre,
+        "probe_sec_post": probe_post,
     }
     line = json.dumps(payload)
     # The driver's BENCH_r{N}.json keeps only a ~2 KB tail of stdout, which

@@ -152,11 +152,37 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# Candidate-doc broadcast bound for verify_jaccard's restriction semi-join:
+# the build side is 2 rows of one bigint per candidate pair (pre-distinct);
+# 2M pairs = 4M ids, tens of MB serialized -- unambiguously broadcastable.
+# Above it (or when the caller cannot cheaply know the count) the semi-join
+# is left unhinted and AQE picks the strategy from runtime sizes.
+_VERIFY_BROADCAST_MAX_PAIRS = 2_000_000
+
+
 def verify_jaccard(candidates: DataFrame, shingled: DataFrame,
                    threshold: float, id_col: str = "doc_id",
-                   trust_stats: bool = False) -> DataFrame:
+                   trust_stats: bool = False,
+                   n_candidates: int | None = None) -> DataFrame:
     """Exact Jaccard on candidate pairs only: intersection via a shingle
     equi-join restricted to candidates, sizes via a per-doc count.
+
+    r15 (VERDICT r14 #1 -- the sf100 super-linearity fix): the shingle
+    table is first RESTRICTED to documents that appear in some candidate
+    pair, via a left-semi join on the candidate doc-id list. Semantically
+    the identity (every output row references only candidate docs), but it
+    changes the 100 TB shape of everything downstream: previously sizes /
+    ea / eb each shuffled the FULL corpus-scale shingle table (3 corpus
+    shuffles, ~12 GB of shuffle write + sort spill each at the sf100 rung
+    -- the measured super-linear driver), now the corpus-scale table is
+    only ever probed by a filter and the three verification shuffles carry
+    candidate docs' shingles only (bounded by pair count x shingles/doc,
+    orders of magnitude smaller at every measured rung). When the caller
+    knows the materialized candidate count (`n_candidates`) and it is
+    under _VERIFY_BROADCAST_MAX_PAIRS, the doc-id list is broadcast
+    explicitly so not even the semi-join shuffles the corpus; otherwise
+    the semi-join is unhinted and AQE decides. Callers should pass a
+    MATERIALIZED `candidates` (the doc-id list re-executes its lineage).
 
     trust_stats (r11): True means `shingled` is a MATERIALIZED persist()
     cache whose InMemoryRelation stats are truthful -- the joins are left
@@ -166,6 +192,12 @@ def verify_jaccard(candidates: DataFrame, shingled: DataFrame,
     bytes. The default keeps the r10 merge hints because checkpoint-fed
     and explode-fed inputs inherit lying-small size estimates (see
     lsh_candidate_pairs) and an eager mis-broadcast is unrecoverable."""
+    cand_docs = candidates.select(F.col("doc_a").alias(id_col)).union(
+        candidates.select(F.col("doc_b").alias(id_col))
+    )
+    if n_candidates is not None and n_candidates <= _VERIFY_BROADCAST_MAX_PAIRS:
+        cand_docs = F.broadcast(cand_docs)
+    shingled = shingled.join(cand_docs, id_col, "leftsemi")
     sizes = shingled.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     ea = shingled.select(F.col(id_col).alias("doc_a"), "shingle")
     eb = shingled.select(F.col(id_col).alias("doc_b"), "shingle")
@@ -214,9 +246,15 @@ def minhash_lsh_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         # downstream is honest (the sigs aggregate propagates the cache's
         # real bytes, conservative-large) -- AQE picks the join strategy
         # from actual runtime sizes instead of the defensive merge hints.
-        cands = lsh_candidate_pairs(sigs, id_col, trust_stats=True)
+        # materialized (and counted) because verify_jaccard consumes the
+        # candidate table twice since r15: once as the doc-id restriction
+        # list, once as the intersection join's left side
+        cands = lsh_candidate_pairs(
+            sigs, id_col, trust_stats=True
+        ).localCheckpoint()
         result = verify_jaccard(
-            cands, shingled, threshold, id_col, trust_stats=True
+            cands, shingled, threshold, id_col, trust_stats=True,
+            n_candidates=cands.count(),
         ).localCheckpoint()
     finally:
         shingled.unpersist()

@@ -92,12 +92,15 @@ def _minhash_stage(spark: SparkSession, sf_dir: str):
     def build():
         shingled = _shingles_stage(spark, sf_dir)
         sigs = _truthful_ckpt(D.minhash_signatures(shingled, n_bands=8))
-        # cands is NOT materialized: it re-derives from the checkpointed
-        # sigs in one small equi-join, cheaper than a third barrier
-        cands = D.lsh_candidate_pairs(sigs, trust_stats=True)
+        # r15: cands IS materialized now -- verify_jaccard consumes it
+        # twice (doc-id restriction list + intersection left side), so the
+        # third barrier earns itself; the count feeds the broadcast bound
+        # of the restriction semi-join (VERDICT r14 #1)
+        cands = _truthful_ckpt(D.lsh_candidate_pairs(sigs, trust_stats=True))
         jacc0 = _truthful_ckpt(
             D.verify_jaccard(cands, shingled, threshold=0.0,
-                             trust_stats=True)
+                             trust_stats=True,
+                             n_candidates=cands.count())
         )
         return sigs, cands, jacc0
 
