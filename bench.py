@@ -42,7 +42,16 @@ def _calibration_probe(spark) -> float:
     separate host-class drift (judge-confirmed 2-4x swings between
     sessions) from genuine per-query code movement without a worktree
     A/B. Memory-light by construction (no per-key state; the 1g default
-    heap runs it with headroom)."""
+    heap runs it with headroom).
+
+    Reading the pair: pre >> post within one run is NOT host drift -- it
+    is heap/page warmth (measured r15: pre 12.9 s vs post 2.1 s under
+    SPARK_GRAFT_DRIVER_MEM=8g, the session.py big-fresh-heap
+    demand-faulting pathology; and pre 53 s while a concurrent fixture
+    generator saturated the box vs post 3.1 s after it finished). For
+    cross-ROUND comparison bench_compare.py uses the pair's MEAN, and the
+    driver's per-round runs use identical heap settings, so the ratio
+    isolates the host class."""
     t0 = time.time()
     (
         spark.range(0, 30_000_000, 1, 32)

@@ -337,3 +337,39 @@ def test_route_ann_follows_measured_operating_points():
     assert route_ann(1000, 1.0, curve, cost) == "exact"
     # all rows partial for the target point -> honest default crossover
     assert route_ann(10, 0.9, curve, {10: {"exact": 5.0}}) == ("ivf", 64)
+
+
+def test_route_ann_decision_stable_under_uniform_host_scaling():
+    """VERDICT r14 #7: the embedded cost rows were measured on a host class
+    that has since swung 2-4x. The routing decision compares interpolated
+    exact-vs-probe COSTS, so a UNIFORM host rescale (every measured second
+    multiplied by the same factor) must never flip any decision -- the
+    crossover is a ratio, not an absolute. Pin that for the registered
+    fixture (_ROUTE_CURVE/_ROUTE_COST, the rows ann_routed_topk routes by)
+    across +-4x and a deliberately non-round factor."""
+    from sqldataintegrationfunctiontriggerapp_spark.operators.similarity import (
+        route_ann,
+    )
+    from sqldataintegrationfunctiontriggerapp_spark.plans.similarity import (
+        _ROUTE_COST,
+        _ROUTE_CURVE,
+    )
+
+    probes = [1, 10, 55, 100, 500, 1000, 5000]
+    targets = [0.6, 0.9, 1.0]
+    baseline = {
+        (q, r): route_ann(q, r, _ROUTE_CURVE, _ROUTE_COST)
+        for q in probes for r in targets
+    }
+    # the registered entry's two pinned decisions ride this fixture
+    assert baseline[(10, 0.9)] == ("ivf", 4)
+    assert baseline[(500, 0.9)] == "exact"
+    for factor in (0.25, 0.5, 1.7, 4.0):
+        scaled = {
+            s: {k: v * factor for k, v in row.items()}
+            for s, row in _ROUTE_COST.items()
+        }
+        for q in probes:
+            for r in targets:
+                assert route_ann(q, r, _ROUTE_CURVE, scaled) == \
+                    baseline[(q, r)], (factor, q, r)
