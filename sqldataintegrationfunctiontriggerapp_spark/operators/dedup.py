@@ -41,6 +41,18 @@ def keyed_latest(df: DataFrame, key: str, order_cols: list[str]) -> DataFrame:
     return df.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1).drop("_rn")
 
 
+def _explode_partitions(df: DataFrame) -> int:
+    """Partition count for repartition-before-explode: the session's
+    derived spark.sql.shuffle.partitions (amplification-aware, re-derived
+    per sf_dir by catalog.load_table), floored at defaultParallelism."""
+    spark = df.sparkSession
+    try:
+        derived = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except Exception:
+        derived = 0
+    return max(spark.sparkContext.defaultParallelism, derived)
+
+
 def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
                   id_col: str = "doc_id") -> DataFrame:
     """(id, shingle) pairs: distinct word n-grams per document. Documents with
@@ -51,8 +63,17 @@ def word_shingles(df: DataFrame, text_col: str = "text", n: int = 3,
     this the explode + hashing below runs on as many cores as there are
     splits (measured 84s single-task vs ~3s spread over 32). Hash
     partitioning on id also satisfies every downstream per-doc groupBy, so
-    the shuffle is paid once."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    the shuffle is paid once.
+
+    r15: the target is the session's DERIVED shuffle-partition count (the
+    amplification-aware per-sf_dir value load_table maintains), not bare
+    defaultParallelism -- at the sf100 rung a 32-way exchange left each
+    post-explode partition holding 1/32nd of a 16x-amplified corpus
+    (~800 MB blocks), which is what OOM'd the span family's 8 g stage
+    persist; the derived count keeps persisted explode blocks near the
+    16 MB shuffle target at every scale. Floor stays defaultParallelism,
+    so small fixtures are byte-identical to the old plan."""
+    df = df.repartition(_explode_partitions(df), id_col)
     toks = tokens(text_col)
     shingles = F.array_distinct(
         F.transform(
@@ -72,8 +93,9 @@ def word_shingles_pos(df, text_col: str = "text", n: int = 3,
     token start position -- the positional posting table substring-level
     dedup needs (word_shingles above deduplicates per doc and drops
     position, which suffices for set-similarity but cannot express
-    aligned-run semantics). Same repartition-before-explode discipline."""
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, id_col)
+    aligned-run semantics). Same repartition-before-explode discipline
+    (incl. the r15 derived-count target -- see word_shingles)."""
+    df = df.repartition(_explode_partitions(df), id_col)
     toks = tokens(text_col)
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(toks) - n),
@@ -485,7 +507,7 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Per-doc hash = sign of the per-bit vote sum. Identical construction is
     expressible in the DuckDB oracle, so values hash-check."""
     spark = df.sparkSession
-    df = df.repartition(spark.sparkContext.defaultParallelism, id_col)
+    df = df.repartition(_explode_partitions(df), id_col)
     toked = df.select(id_col, F.explode(tokens(text_col)).alias("token"))
 
     # bit b of a token: nibble (b div 4) of the md5 hex, bit (b mod 4).
