@@ -123,7 +123,33 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-(query, doc) BM25 scored table -- shared by bm25_topk and
-    hybrid_rrf_fusion (plan shape documented on bm25_topk)."""
+    hybrid_rrf_fusion, memoized per session+sf_dir (OPTIMIZATION r16,
+    VERDICT r15 #3): both entries windowed the SAME scored table but each
+    rebuilt the full inverted-index subtree (explode + tf aggregate + df
+    window + postings join -- the expensive corpus passes; measured
+    ~2.5-3 s of hybrid_rrf_fusion's 5.2 s bench cost was this rebuild).
+    One truthful-checkpointed build per session, same ledger/eviction
+    contract as _ivf_assigned_16; the first consumer pays the build inside
+    its timed region. The table is |queries| x |matched docs| rows --
+    bounded by the query-panel fan-out, never the corpus -- and
+    truthful_ckpt degrades to local parquet if it ever outgrows the heap
+    share. Plan shape of the BUILD (merge-hinted postings joins, 1-row
+    stats broadcast) is unchanged and pinned by
+    test_bm25_is_postings_join_never_pairwise against _bm25_scored_plan."""
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        session_stage,
+        truthful_ckpt,
+    )
+
+    return session_stage(
+        spark, sf_dir, "bm25_scored",
+        lambda: truthful_ckpt(_bm25_scored_plan(spark, sf_dir)),
+    )
+
+
+def _bm25_scored_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy (unmaterialized) scored-table plan -- the shape the plan
+    tests lint (plan shape documented on bm25_topk)."""
     d = _docs(spark, sf_dir)
     toks = d.select("doc_id", TX.tokens("text").alias("tk"))
     is_query = F.col("doc_id") % _QUERY_MOD == 0

@@ -612,9 +612,17 @@ def ann_routed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    # exact branch, |Q|=500: brute-force scan (broadcast queries)
+    # exact branch, |Q|=500: brute-force scan (broadcast queries) on the
+    # dgemm kernel -- the regime the router's cost table models ("exact
+    # dgemm wins from |Q|~100 up", _ROUTE_COST): the JVM fold kernel
+    # evaluated the 500x2000 scored stream as ONE interpreted-HOF task
+    # (measured: a single 5.7-6.9 s single-task job = the whole entry's
+    # cost, OPTIMIZATION r16); the blas kernel scores each Arrow batch in
+    # one dgemm and ships only per-batch candidates to the rank window --
+    # bit-identical rows (ids, ranks AND cosines) by
+    # test_topk_kernels_agree_bitwise.
     exact_rows = (
-        S.brute_force_topk(e, e.where(F.col("vec_id") < 500), k=5)
+        S.brute_force_topk_blas(e, e.where(F.col("vec_id") < 500), k=5)
         .select(
             F.lit(500).cast("int").alias("batch"),
             F.lit("exact").alias("route"),
@@ -2070,7 +2078,15 @@ def _dimalloc_frames(spark: SparkSession, sf_dir: str):
     choice, not a new kernel)."""
 
     def build():
-        e = load_table(spark, sf_dir, "embeddings")
+        # spread=True (OPTIMIZATION r16): the fixture scan is one split, so
+        # every consumer whose heavy work precedes its first exchange -- the
+        # blas fit's mapInPandas assignment passes and the entry's three
+        # crossJoin scoring legs (exact + two ADC rankings, interpreted-HOF
+        # folds) -- ran as ONE task each (measured: three ~1.4-2 s
+        # single-task jobs per invocation). Round-robin placement changes no
+        # value: fits aggregate decimal sums over disjoint groups, rankings
+        # break ties totally. No-op on properly split inputs.
+        e = load_table(spark, sf_dir, "embeddings", spread=True)
         u = S._as_double("embedding")
         w = F.array(*[
             u[j] * F.lit(_DIMALLOC_SCALES[j]) for j in range(_DIMALLOC_D)

@@ -43,7 +43,10 @@ _BNLJ_ALLOWED = {
     "zorder_layout":             "1-row: global min/max quantization bounds",
     "bpe_vocab_induction":       "1-row x5: per-round argmax merge pair",
     "bpe_apply_segmentation":    "1-row x5: per-round argmax merge pair",
-    "bm25_topk":                 "1-row: corpus size + avgdl normalizer",
+    # bm25_topk's 1-row stats BNLJ moved into the session-staged
+    # _bm25_scored build (OPTIMIZATION r16) -- the registered plan is a
+    # window over the checkpointed scored table, so no BNLJ remains;
+    # the build shape is pinned by test_bm25_is_postings_join_never_pairwise
     "frequent_term_pairs":       "1-row: corpus-size support threshold",
     "frequent_term_triples":     "1-row: corpus-size support threshold",
     "hll_shard_merge":           "1-row: global-vs-merged estimate combine",
@@ -58,7 +61,9 @@ _BNLJ_ALLOWED = {
     "hybrid_rrf_fusion":         "gated: dense-branch query panel broadcast (blas kernel above 64 queries)",
     "group_kfold_components":    "1-row: straddling-pair audit count combine",
     "dedup_threshold_sweep":     "4-row: threshold frame broadcast over the materialized pair table",
-    "ann_routed_topk":           "gated: exact branch = ann_cosine_topk's broadcast scan at |Q|=500 (the route the measured cost table picks for big batches)",
+    # ann_routed_topk's exact branch is the blas mapInPandas kernel since
+    # OPTIMIZATION r16 (the regime the router's cost table models) -- no
+    # BNLJ plans; the ivf branch consumes the checkpointed pair stage
 }
 
 

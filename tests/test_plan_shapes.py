@@ -493,8 +493,16 @@ def test_bucketed_colocated_join_is_shuffle_free(spark, sf_dir):
 
 def test_bm25_is_postings_join_never_pairwise(spark, sf_dir):
     # the query-term fan-out must be term-keyed equi-joins over the
-    # inverted index; the only nested-loop is the 1-row stats broadcast
-    plan = plan_of(spark, sf_dir, "bm25_topk")
+    # inverted index; the only nested-loop is the 1-row stats broadcast.
+    # Linted on the BUILDER's lazy plan: the registered entries consume the
+    # session-staged checkpoint of this subtree (OPTIMIZATION r16), so the
+    # postings-join shape lives in the build, not the consumer plans.
+    from sqldataintegrationfunctiontriggerapp_spark.plans.retrieval import (
+        _bm25_scored_plan,
+    )
+
+    df = _bm25_scored_plan(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastNestedLoopJoin") == 1
     # explode-descended sides are merge-hinted (size-estimate poisoning)
