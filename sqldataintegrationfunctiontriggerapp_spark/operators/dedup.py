@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from sqldataintegrationfunctiontriggerapp_spark.functions.text import tokens
 
@@ -387,8 +388,18 @@ def ngram_jaccard_pairs(df: DataFrame | None, text_col: str = "text",
     return result
 
 
+# Driver-route bound for connected_components: symmetrized edge rows (two
+# ids each) below this are solved with union-find on the driver -- the
+# same DATA-DEPENDENT size-gating discipline as
+# _SURVIVORS_BROADCAST_MAX_ROWS below (2M symmetrized = 1M undirected
+# pairs, tens of MB collected). Above it, the distributed min-label loop
+# is the only shape that scales.
+_CC_DRIVER_MAX_EDGES = 2_000_000
+
+
 def connected_components(edges: DataFrame, src: str = "doc_a",
-                         dst: str = "doc_b", max_iter: int = 25) -> DataFrame:
+                         dst: str = "doc_b", max_iter: int = 25,
+                         driver_max_edges: int | None = None) -> DataFrame:
     """Connected components over an undirected edge list, returning
     (node, component_id) with component_id = min node id in the component --
     the step that turns near-dup *pairs* into dedup *groups* (pick one keeper
@@ -411,6 +422,61 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     sym = sym.union(
         sym.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).distinct().persist()
+    # Small-graph route (OPTIMIZATION r16): below _CC_DRIVER_MAX_EDGES
+    # symmetrized edges, run union-find driver-side instead of the
+    # distributed loop. The loop's cost at small scale is pure round
+    # machinery -- measured ~9 Spark jobs per round (joins, broadcast
+    # builds, the checkpoint, the convergence count) x up to ~12 rounds =
+    # 100+ jobs of 10-30 ms work each, ~3 s of scheduler/AQE latency for a
+    # graph whose edges fit in one task. The bound is edge COUNT (the
+    # count() below doubles as the loop's materialization action), two
+    # longs per row -- tens of MB collected at the cap, far under the
+    # driver's broadcast-scale allowances elsewhere (annotate_survivors'
+    # 1M-row cap). Same fixed point bit for bit: component id = min node
+    # id, pinned by test_connected_components_driver_route_matches_loop.
+    # At 100 TB dup graphs carry billions of edges and take the loop.
+    if driver_max_edges is None:
+        driver_max_edges = _CC_DRIVER_MAX_EDGES
+    n_sym = sym.count()
+    if n_sym <= driver_max_edges:
+        spark = edges.sparkSession
+        node_type = edges.schema[src].dataType
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in sym.collect():
+            a, b = row[0], row[1]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp_min: dict = {}
+        for node in parent:
+            r = find(node)
+            m = comp_min.get(r)
+            if m is None or node < m:
+                comp_min[r] = node
+        rows = [(n, comp_min[find(n)]) for n in parent]
+        sym.unpersist()
+        out_schema = T.StructType(
+            [
+                T.StructField("doc_id", node_type),
+                T.StructField("component_id", node_type),
+            ]
+        )
+        if not rows:
+            return spark.createDataFrame(
+                spark.sparkContext.parallelize([], 1), out_schema
+            )
+        return spark.createDataFrame(rows, out_schema)
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()

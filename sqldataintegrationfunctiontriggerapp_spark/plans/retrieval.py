@@ -373,6 +373,21 @@ def frequent_term_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("df") * _MINSUP_DEN >= F.col("n_docs") * _MINSUP_NUM)
         .select("doc_id", "term", "n_docs")
     )
+    # Materialize L1 ONCE (OPTIMIZATION r16): the plan references it on
+    # both sides of the pair self-join, inside the L2 derivation, and on
+    # both sides of the triple self-join -- and every reference re-ran the
+    # expensive upstream (tokenize + explode + distinct + df aggregate +
+    # corpus-count broadcast, ~5 evaluations measured at 5.3 s wall /
+    # 7.0 s summed job time). L1 itself is tiny: one row per (doc,
+    # frequent term), bounded by the >=50%-support singleton set. The
+    # WIDE intermediates (pair_docs) stay lazy -- checkpointing one of
+    # those was measured strictly worse (151 MB materialization at
+    # sf0.1) than recomputing the now-cheap 2-column self-join.
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        truthful_ckpt,
+    )
+
+    l1 = truthful_ckpt(l1)
     a = l1.select("doc_id", F.col("term").alias("t1"), "n_docs")
     c = l1.select("doc_id", F.col("term").alias("t2"))
     pair_docs = (

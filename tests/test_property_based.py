@@ -80,6 +80,15 @@ def test_connected_components_equals_union_find(spark, edges):
     }
     want = _union_find_components(edges)
     assert got == want
+    # Route equality (OPTIMIZATION r16): the size-gated driver-side
+    # union-find (the default at this scale) and the distributed
+    # min-label loop (forced via driver_max_edges=-1, the 100 TB shape)
+    # must agree row for row on arbitrary graphs.
+    loop = {
+        r.doc_id: r.component_id
+        for r in connected_components(df, driver_max_edges=-1).collect()
+    }
+    assert loop == want
 
 
 @PROP
