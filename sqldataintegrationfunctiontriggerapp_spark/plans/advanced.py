@@ -1961,16 +1961,36 @@ def kmv_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sizes = tokd.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    ta, tb = tokd.alias("ta"), tokd.alias("tb")
-    inter = (
-        ta.join(
-            tb,
-            (F.col("tb.shingle") == F.col("ta.shingle"))
-            & (F.col("ta.source") < F.col("tb.source")),
+    # Exact intersections from ONE shingle-grain aggregate (OPTIMIZATION
+    # r16) instead of the tokd-x-tokd self-join: per shingle, the sorted
+    # source set, expanded to its src_a < src_b pairs and counted --
+    # identical counts (each shared shingle contributes exactly its source
+    # pairs) without the second corpus scan and the sort-merge join's two
+    # 52-char-shingle sorts. The pair expansion is bounded by |sources|^2
+    # per shingle -- sources are a handful of crawl snapshots, never
+    # corpus-scale.
+    pair_expand = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ss"), i + F.lit(2),
+                    F.greatest(F.size("ss") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x.alias("src_a"), y.alias("src_b")
+                ),
+            ),
         )
+    )
+    inter = (
+        tokd.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+        .select(F.explode(pair_expand).alias("p"))
         .groupBy(
-            F.col("ta.source").alias("src_a"),
-            F.col("tb.source").alias("src_b"),
+            F.col("p.src_a").alias("src_a"),
+            F.col("p.src_b").alias("src_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
