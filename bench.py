@@ -93,21 +93,51 @@ def main() -> None:
     warm_udf = F.pandas_udf(_warm_fn, "long")  # needs the active session
     spark.range(10_000).repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
         .select(warm_udf("id")).write.mode("overwrite").format("noop").save()
-    # Python-decode-path warmup at the smallest SF (OPTIMIZATION r15, same
-    # pattern as the entry() SQL warmup below): the first
-    # scan->exchange->mapInPandas pipeline of a session pays ~3 s/worker of
-    # one-time cost (engine-module import in every reused worker plus JVM
-    # JIT of the PythonMapInArrow path) -- measured 100 extra CPU-seconds
-    # across 32 workers (stage REST: 132.6 cold vs 31.5 warm executor_run
-    # seconds), landing on whichever decode/BLAS query ran first. One
-    # registered decode at sf0.001 (50 docs -- the data is irrelevant,
-    # nothing is cached and the bench sf_dir differs) absorbs all of it;
-    # after this every decode entry measures steady-state. Long-lived
-    # workers make this deployment, not query, time.
+    # Python-decode-path warmup at the smallest OTHER SF (OPTIMIZATION
+    # r15, path derivation fixed r16 per VERDICT r15 #8 / ADVICE): the
+    # first scan->exchange->mapInPandas pipeline of a session pays
+    # ~3 s/worker of one-time cost (engine-module import in every reused
+    # worker plus JVM JIT of the PythonMapInArrow path) -- measured 100
+    # extra CPU-seconds across 32 workers (stage REST: 132.6 cold vs 31.5
+    # warm executor_run seconds), landing on whichever decode/BLAS query
+    # ran first. One registered decode absorbs it; the warmup dir is now
+    # DERIVED -- the smallest sibling sf* dir that is not the bench
+    # sf_dir (r15 hardcoded /root/testdata/sf0.001, which crashed hosts
+    # without that fixture and, when sf_dir WAS sf0.001, pre-warmed the
+    # page cache of a measured query's own fixture). Without any sibling,
+    # warm_python_workers covers the per-worker import + MapInPandas JVM
+    # path fixture-free. Nothing is cached; clearCache() runs below.
     from sqldataintegrationfunctiontriggerapp_spark import plans as _p
-    _p.QUERIES["multimodal_decode_gif"](
-        spark, "/root/testdata/sf0.001"
-    ).write.mode("overwrite").format("noop").save()
+    from sqldataintegrationfunctiontriggerapp_spark.operators.multimodal import (
+        warm_python_workers,
+    )
+
+    def _warmup_dir(target: str) -> str | None:
+        import glob
+        base = os.path.dirname(os.path.abspath(target.rstrip("/")))
+        cands = []
+        for p in glob.glob(os.path.join(base, "sf*")):
+            if not os.path.isdir(p) or os.path.samefile(p, target):
+                continue
+            try:
+                sz = sum(
+                    os.path.getsize(os.path.join(dp, f))
+                    for dp, _dirs, fs in os.walk(p) for f in fs
+                )
+            except OSError:
+                continue
+            cands.append((sz, p))
+        return min(cands)[1] if cands else None
+
+    wdir = _warmup_dir(sf_dir)
+    if wdir is not None:
+        _p.QUERIES["multimodal_decode_gif"](
+            spark, wdir
+        ).write.mode("overwrite").format("noop").save()
+    else:
+        print("# no sibling sf dir: fixture-free python-worker warmup",
+              file=sys.stderr)
+        warm_python_workers(spark)
     # SQL-path warmup at the smallest SF: parquet reader, scan codegen,
     # broadcast/shuffle machinery -- so the first measured query isn't
     # charged the JVM's one-time initialization.

@@ -1750,10 +1750,24 @@ def pq_fit_multi(
     for bit. `seeds` are each corpus's pivot rows (what ivf_pivots would
     return -- callers that know one corpus is a column permutation of
     another can derive the second seed driver-side and skip its sample
-    job). An empty seed yields [] for that variant, matching pq_fit."""
+    job). An empty seed yields [] for that variant, matching pq_fit.
+
+    `k` bounds the codebook size each seed may carry (asserted -- the
+    actual size is len(seed), matching pq_fit where a short sample yields
+    a short book). `via_blas`, when unset, is decided ONCE from
+    corpora[0]'s row count and applied to every variant (ADVICE r15): the
+    lockstep design runs all variants in one job per round, so one kernel
+    route keeps that job homogeneous; the fixture-scale caller fits the
+    same corpus under two allocations, so the counts agree by
+    construction. Mixed-size corpora straddling _PQ_BLAS_MIN_ROWS would
+    take one route for all -- results identical either way (the kernels
+    are bit-identical by contract), only per-variant plan shape differs;
+    pass via_blas explicitly to pin it."""
     import functools
 
     w = dim // m
+    for seed in seeds:
+        assert len(seed) <= k, (len(seed), k)
     if via_blas is None:
         via_blas = corpora[0].count() > _PQ_BLAS_MIN_ROWS
     books_per: list[list[list[list[float]]] | None] = [
