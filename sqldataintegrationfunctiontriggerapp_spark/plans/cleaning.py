@@ -340,40 +340,45 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean routes through the DECIMAL(18,6) accumulator convention of
     plans/_util.py).
 
-    Plan shape: tokenize+explode (codegen-fused into the scan), ONE keyed
-    count aggregate over bigram occurrences (c2); the context table c1 is
-    a re-aggregation of c2 (c1(w1) = sum of c2 over bigrams starting with
-    w1), so it shuffles |bigram types| rows, not a second pass over the
-    corpus; a 1-row vocabulary aggregate broadcast onto every row (the
-    Laplace denominator); two equi-joins back onto the occurrence stream;
-    one per-doc aggregate. At 100 TB every join is a keyed shuffle AQE
-    can plan (c2/c1 are Zipf-headed but far smaller than the corpus; no
-    broadcast assumption on either count table) and the only state is the
-    counts themselves -- no driver-side model object at any scale."""
+    Plan shape (reworked OPTIMIZATION r16): tokenize+explode
+    (codegen-fused into the scan), then BOTH model counts ride COUNT
+    windows over the occurrence stream -- c2 over (PARTITION BY bigram),
+    c1 over (PARTITION BY w1), since summing c2 across the bigram types
+    of a context w1 is exactly counting w1's occurrences. That replaces
+    the two count-aggregate branches plus two sort-merge joins back onto
+    the stream (which re-evaluated the corpus explode and sorted the
+    occurrence stream twice on string keys) with two keyed exchanges
+    over ONE evaluation; a 1-row vocabulary aggregate broadcasts the
+    Laplace denominator; one per-doc aggregate finishes. At 100 TB the
+    windows shuffle the occurrence stream by key exactly as the joins'
+    probe side did (no new skew surface, no broadcast assumption) and
+    the only state is the counts themselves -- no driver-side model
+    object at any scale."""
+    from pyspark.sql import Window
+
     d = _docs(spark, sf_dir)
     bg = d.select("doc_id", F.explode(TX.bigrams("text")).alias("bigram"))
-    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
-    # c1(w1) = sum of c2 over bigrams starting with w1: re-aggregating the
-    # (Zipf-bounded) bigram-count table instead of a second full corpus
-    # explode+shuffle -- one fewer scan of `documents`, and the context
-    # shuffle moves |bigram types| rows instead of |bigram occurrences|
-    c1 = (
-        c2.groupBy(
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1")
-        )
-        .agg(F.sum("c2").alias("c1"))
-    )
     vocab = d.select(F.explode(TX.tokens("text")).alias("tok")).agg(
         F.countDistinct("tok").alias("v")
     )
+    # Both counts ride COUNT windows over the occurrence stream itself
+    # (OPTIMIZATION r16, the bm25 df trick): c2(bigram) = occurrences of
+    # the bigram, and c1(w1) = total occurrences whose first word is w1
+    # (summing c2 over bigram TYPES starting with w1 IS counting the
+    # occurrences) -- so the two count-aggregate branches and the two
+    # sort-merge joins back onto the stream (which re-evaluated the
+    # corpus explode and sorted the full occurrence stream twice on
+    # string keys) collapse to two keyed exchanges over ONE evaluation of
+    # bg. Skew note: a Zipf-hot bigram concentrates its window partition
+    # exactly as it concentrated its SMJ partition before -- no new skew
+    # surface. No broadcast assumption anywhere (the windows shuffle by
+    # key; the 1-row vocab frame stays the only broadcast).
     p = (
-        # merge hints (r10): the docstring's 'no broadcast assumption on
-        # either count table' is now enforced -- bg's explode-poisoned
-        # estimate would otherwise let Catalyst broadcast a corpus-growing
-        # side (c2 = bigram TYPES)
-        bg.join(c2.hint("merge"), "bigram")
+        bg.withColumn(
+            "c2", F.count(F.lit(1)).over(Window.partitionBy("bigram"))
+        )
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
-        .join(c1.hint("merge"), "w1")
+        .withColumn("c1", F.count(F.lit(1)).over(Window.partitionBy("w1")))
         .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
