@@ -2078,15 +2078,14 @@ def _dimalloc_frames(spark: SparkSession, sf_dir: str):
     choice, not a new kernel)."""
 
     def build():
-        # spread=True (OPTIMIZATION r16): the fixture scan is one split, so
-        # every consumer whose heavy work precedes its first exchange -- the
-        # blas fit's mapInPandas assignment passes and the entry's three
-        # crossJoin scoring legs (exact + two ADC rankings, interpreted-HOF
-        # folds) -- ran as ONE task each (measured: three ~1.4-2 s
-        # single-task jobs per invocation). Round-robin placement changes no
-        # value: fits aggregate decimal sums over disjoint groups, rankings
-        # break ties totally. No-op on properly split inputs.
-        e = load_table(spark, sf_dir, "embeddings", spread=True)
+        # NOT spread (OPTIMIZATION r16, measured and rejected): spreading
+        # the single-split scan parallelized the blas fit's mapInPandas
+        # passes and the crossJoin scoring legs, but at fixture scale each
+        # of the 32 spread tasks carries ~60 rows -- per-task Arrow/python
+        # batch overhead exceeded the parallelism win (same-minute A/B:
+        # cold 10.5 s/19 jobs unspread vs 12.1 s/28 jobs spread; hot 2.6
+        # vs 2.8). At real scale the scan arrives multi-split anyway.
+        e = load_table(spark, sf_dir, "embeddings")
         u = S._as_double("embedding")
         w = F.array(*[
             u[j] * F.lit(_DIMALLOC_SCALES[j]) for j in range(_DIMALLOC_D)
