@@ -270,12 +270,16 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     which crawls/mirrors duplicate each other before a mixture is weighted
     (two sources with heavy span overlap should not both be upsampled).
 
-    Plan: explode to (source, shingle), distinct, self-equi-join on the
-    shingle hash, one aggregate on the source pair. The self-join is an
-    inverted-index join -- shuffle volume O(distinct spans x sources
-    carrying them), never all-pairs of documents -- and the output is tiny
-    (sources x sources), so at 100 TB the only real cost is the one
-    distinct over spans."""
+    Plan (reworked OPTIMIZATION r16): explode to (source, shingle),
+    distinct, then ONE shingle-grain aggregate collects each shingle's
+    sorted source set and a bounded expansion emits its a<b pairs --
+    identical counts to the former shingle-keyed self-join (each shared
+    shingle contributes exactly its source pairs) with one evaluation of
+    the explode+distinct chain instead of two and no string-key
+    sort-merge join. Shuffle volume stays O(distinct spans x sources
+    carrying them), the per-shingle expansion is |sources|^2-bounded, and
+    the output is tiny (sources x sources), so at 100 TB the only real
+    cost remains the one distinct over spans."""
     sh = (
         word_shingles(load_table(spark, sf_dir, "documents"), n=5)
         .join(
@@ -285,13 +289,37 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "shingle")
         .distinct()
     )
-    a = sh.select(F.col("source").alias("source_a"), "shingle")
-    b = sh.select(F.col("source").alias("source_b"), "shingle")
+    # Pair counts from ONE shingle-grain aggregate (OPTIMIZATION r16, the
+    # kmv_jaccard_sources exact-audit shape): per shingle the sorted
+    # source set, expanded to its a<b pairs and counted -- identical to
+    # the shingle-keyed self-join (each shared shingle contributes
+    # exactly its source pairs) without the second evaluation of the
+    # explode+distinct chain and the sort-merge join's two string-key
+    # sorts (plan audit: 14 -> 6 Exchanges). The expansion is bounded by
+    # |sources|^2 per shingle.
+    pair_expand = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ss"), i + F.lit(2),
+                    F.greatest(F.size("ss") - i - 1, F.lit(0)),
+                ),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
+        )
+    )
     return (
-        # merge hint (r10): explode-poisoned estimates on both sides
-        a.hint("merge").join(b, "shingle")
-        .where(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .where(F.size("ss") >= 2)
+        .select(F.explode(pair_expand).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_shared_shingles"))
     )
 

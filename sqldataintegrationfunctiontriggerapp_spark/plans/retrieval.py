@@ -259,7 +259,14 @@ def frequent_term_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = d.select("doc_id", F.explode(TX.tokens("text")).alias("term")).distinct()
     n = baskets.agg(F.count_distinct("doc_id").alias("n_docs"))
     df_ = baskets.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    l1 = (
+    # Materialize L1 once (OPTIMIZATION r16, the triples fix applied to
+    # the pair entry it came from): both self-join sides re-ran the
+    # tokenize+explode+distinct+df chain (plan audit: 30 Exchanges).
+    from sqldataintegrationfunctiontriggerapp_spark.plans._util import (
+        truthful_ckpt,
+    )
+
+    l1 = truthful_ckpt(
         baskets.join(df_.hint("merge"), "term")
         .crossJoin(F.broadcast(n))
         .where(F.col("df") * _MINSUP_DEN >= F.col("n_docs") * _MINSUP_NUM)

@@ -47,8 +47,9 @@ _BNLJ_ALLOWED = {
     # _bm25_scored build (OPTIMIZATION r16) -- the registered plan is a
     # window over the checkpointed scored table, so no BNLJ remains;
     # the build shape is pinned by test_bm25_is_postings_join_never_pairwise
-    "frequent_term_pairs":       "1-row: corpus-size support threshold",
-    "frequent_term_triples":     "1-row: corpus-size support threshold",
+    # frequent_term_pairs/_triples: the 1-row corpus-size BNLJ moved into
+    # the truthful-checkpointed L1 build (OPTIMIZATION r16) -- the
+    # registered plans are self-joins over the materialized L1, no BNLJ
     "hll_shard_merge":           "1-row: global-vs-merged estimate combine",
     "ann_pq_adc_topk":           "gated: ADC scan, fixed query set broadcast",
     "ann_pq_recall":             "gated: ADC + exact scans, query set broadcast",

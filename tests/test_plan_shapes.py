@@ -512,12 +512,13 @@ def test_bm25_is_postings_join_never_pairwise(spark, sf_dir):
 def test_frequent_pairs_self_join_is_doc_keyed(spark, sf_dir):
     # A-priori candidate generation: the basket self-join must stay an
     # equi-join on doc_id (the t1 < t2 triangle filter rides post-join).
-    # The 1-row corpus-size nested-loop appears twice because BOTH sides
-    # of the self-join embed the L1 subtree (exchange reuse shares the
-    # underlying scan/aggregate work at runtime)
+    # Since OPTIMIZATION r16 the L1 subtree (with its 1-row corpus-size
+    # nested-loop) is truthful-checkpointed once, so the registered plan
+    # is the self-join + aggregate over the materialized L1 -- no BNLJ
+    # remains in the consumer plan.
     plan = plan_of(spark, sf_dir, "frequent_term_pairs")
     assert "CartesianProduct" not in plan
-    assert plan.count("BroadcastNestedLoopJoin") == 2
+    assert plan.count("BroadcastNestedLoopJoin") == 0
 
 
 def test_crossdoc_span_runs_is_postings_join(spark, sf_dir):
