@@ -566,33 +566,58 @@ def not_exists_anti_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
 def funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view -> click -> purchase): per user, the first view,
     the first click strictly after it, the first purchase strictly after
-    that; counts of users surviving each stage. Each stage is one shuffle
-    on user_id reusing the same partitioning; the stage tables shrink
-    monotonically, so the later joins broadcast naturally under AQE."""
+    that; counts of users surviving each stage.
+
+    Single-scan shape (OPTIMIZATION r16, the r15 "not yet" item): the
+    three funnel stages are SEQUENTIAL MIN windows over ONE user_id
+    partitioning -- tv = min(view ts), tc = min(click ts > tv),
+    tp = min(purchase ts > tc); each later window may reference the
+    earlier one because they share the partitioning, so Catalyst plans
+    one exchange + consecutive Window operators (no re-shuffle). The
+    former shape scanned events three times and ran two join+aggregate
+    stages plus two final joins. A user with no view has tv NULL, so
+    `ts > tv` is NULL and tc/tp stay NULL -- exactly the oracle's
+    join-restricted semantics; the per-user dedup rides the same
+    partitioning as a user-keyed aggregate, and only the 3 funnel event
+    types are scanned (pushed filter)."""
+    from pyspark.sql import Window
+
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    ).where(F.col("event_type").isin("view", "click", "purchase"))
+    w = Window.partitionBy("user_id")
+    staged = (
+        ev.withColumn(
+            "tv",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+        )
+        .withColumn(
+            "tc",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click") & (F.col("ts") > F.col("tv")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "tp",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") > F.col("tc")),
+                    F.col("ts"),
+                )
+            ).over(w),
+        )
     )
-
-    def first_after(prev: DataFrame, prev_col: str, etype: str, out: str) -> DataFrame:
-        return (
-            ev.join(prev, "user_id")
-            .where((F.col("event_type") == etype) & (F.col("ts") > F.col(prev_col)))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias(out))
-        )
-
-    tv = ev.where(F.col("event_type") == "view").groupBy("user_id").agg(
-        F.min("ts").alias("tv"))
-    tc = first_after(tv, "tv", "click", "tc")
-    tp = first_after(tc, "tc", "purchase", "tp")
-    return (
-        tv.join(tc, "user_id", "left")
-        .join(tp, "user_id", "left")
-        .agg(
-            F.count("tv").cast("long").alias("n_viewed"),
-            F.count("tc").cast("long").alias("n_clicked"),
-            F.count("tp").cast("long").alias("n_purchased"),
-        )
+    per_user = staged.groupBy("user_id").agg(
+        F.max("tv").alias("tv"), F.max("tc").alias("tc"), F.max("tp").alias("tp")
+    )
+    return per_user.agg(
+        F.count("tv").cast("long").alias("n_viewed"),
+        F.count("tc").cast("long").alias("n_clicked"),
+        F.count("tp").cast("long").alias("n_purchased"),
     )
 
 
