@@ -433,7 +433,8 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
     # longs per row -- tens of MB collected at the cap, far under the
     # driver's broadcast-scale allowances elsewhere (annotate_survivors'
     # 1M-row cap). Same fixed point bit for bit: component id = min node
-    # id, pinned by test_connected_components_driver_route_matches_loop.
+    # id; test_connected_components_equals_union_find asserts BOTH routes
+    # against an independent reference on arbitrary hypothesis graphs.
     # At 100 TB dup graphs carry billions of edges and take the loop.
     if driver_max_edges is None:
         driver_max_edges = _CC_DRIVER_MAX_EDGES
