@@ -465,7 +465,6 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
             m = comp_min.get(r)
             if m is None or node < m:
                 comp_min[r] = node
-        rows = [(n, comp_min[find(n)]) for n in parent]
         sym.unpersist()
         out_schema = T.StructType(
             [
@@ -473,11 +472,27 @@ def connected_components(edges: DataFrame, src: str = "doc_a",
                 T.StructField("component_id", node_type),
             ]
         )
-        if not rows:
+        if not parent:
             return spark.createDataFrame(
                 spark.sparkContext.parallelize([], 1), out_schema
             )
-        return spark.createDataFrame(rows, out_schema)
+        nodes = list(parent)
+        if isinstance(node_type, (T.LongType, T.IntegerType)):
+            # Arrow path (guide §6 driver transfers): createDataFrame from
+            # a pandas frame is ~20x faster than pickling row tuples
+            # (measured 2.33 s -> ~0.1 s for a 20k-row label table at sf1)
+            import pandas as pd
+
+            pdf = pd.DataFrame(
+                {
+                    "doc_id": nodes,
+                    "component_id": [comp_min[find(n)] for n in nodes],
+                }
+            )
+            return spark.createDataFrame(pdf, schema=out_schema)
+        return spark.createDataFrame(
+            [(n, comp_min[find(n)]) for n in nodes], out_schema
+        )
     labels = (
         sym.select(F.col("u").alias("node"))
         .distinct()
